@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+The reference hard-codes its knobs (seed list
+``cmd/link-processor/main.go:56-82``, filter tables
+``pkg/linkutils/linkutils.go:17-26``, batch sizes
+``cmd/link-processor/main.go:122-147``).  Here everything is explicit
+config so pipelines are reproducible and tunable per deployment scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.filters import DEFAULT_FILTERS, FilterConfig
+
+__all__ = ["CrawlConfig", "DEFAULT_SEEDS"]
+
+# The reference's seed list (cmd/link-processor/main.go:56-82) is a
+# hard-coded list of live websites; tests use synthetic seeds into the
+# fixture corpus instead. Kept empty here on purpose.
+DEFAULT_SEEDS: tuple[str, ...] = ()
+
+
+@dataclass
+class CrawlConfig:
+    """All knobs of the round-based crawl engine."""
+
+    # --- semantics ---------------------------------------------------------
+    filters: FilterConfig = field(default_factory=lambda: DEFAULT_FILTERS)
+    #: max pages fetched per host per round (politeness budget; None = ∞,
+    #: which reproduces the reference's un-throttled FIFO BFS exactly).
+    politeness_budget: int | None = None
+    #: honor robots.txt rows found in the corpus (user-agent *)
+    respect_robots: bool = True
+    #: stop after this many rounds (None = run until frontier empty)
+    max_rounds: int | None = None
+    #: stop after this many visited pages (None = unbounded)
+    max_pages: int | None = None
+
+    # --- partitioning / scale ---------------------------------------------
+    #: number of host-hash partitions for frontier/seen/politeness state.
+    #: At the 10^10-URL design point this should be O(cluster cores × 4);
+    #: small here, but all state paths are per-bucket regardless.
+    num_buckets: int = 16
+
+    # --- physical knobs -----------------------------------------------------
+    #: rows per batch into the fetch/extract stages (html rows can be MBs —
+    #: keep batches modest so batch × concurrency fits in worker heaps)
+    fetch_batch_size: int = 256
+    extract_batch_size: int = 256
+    #: actor-pool size for the fetch stage; None → let Ray use tasks
+    fetch_concurrency: int | tuple[int, int] | None = None
+
+    # --- io ----------------------------------------------------------------
+    #: working directory for checkpoints + outputs (one subdir per round)
+    work_dir: str = "/tmp/webgraph_work"
