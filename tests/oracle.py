@@ -165,8 +165,10 @@ def run_oracle(
 
     visit_seq = 0
     rnd = 0
-    stop = False
-    while frontier and not stop and (max_rounds is None or rnd < max_rounds):
+    processed_total = 0
+    while frontier and (max_rounds is None or rnd < max_rounds):
+        if max_pages is not None and processed_total >= max_pages:
+            break
         frontier.sort(key=lambda r: r["seq"])
         res.frontiers.append([r["page_id"] for r in frontier])
         counters = {
@@ -181,10 +183,14 @@ def run_oracle(
         }
         next_frontier: list[dict] = []
         host_used: dict[str, int] = {}
+        # crawl cap = a pure prefix of the round's frontier in seq order
+        # (so the distributed engine can compute the cap boundary from the
+        # frontier alone, before any per-host admission logic)
+        remaining = None if max_pages is None else max_pages - processed_total
 
-        for row in frontier:
-            if stop:
-                # crawl cap hit mid-round: remaining rows defer untouched
+        for rank, row in enumerate(frontier):
+            if remaining is not None and rank >= remaining:
+                counters["deferred"] += 1
                 next_frontier.append(row)
                 continue
             # politeness budget (deterministic virtual time)
@@ -195,6 +201,7 @@ def run_oracle(
                     next_frontier.append(row)
                     continue
                 host_used[row["hostname"]] = used + 1
+            processed_total += 1
             # robots gate
             if respect_robots and not robots.is_allowed(row["hostname"], row["path"]):
                 counters["robots_denied"] += 1
@@ -233,10 +240,6 @@ def run_oracle(
                 counters["dead"] += 1
                 continue
             counters["fetched"] += 1
-            if max_pages is not None and counters["fetched"] + sum(
-                c["fetched"] for c in res.counters
-            ) >= max_pages:
-                stop = True
 
             from web_graph_ray.functions.urlnorm import parse as go_parse
 

@@ -1,0 +1,184 @@
+"""Engine ≡ oracle conformance (SURVEY.md §5 / north_rule).
+
+The Ray engine must reproduce the sequential oracle's visit order,
+URL-seen set, pages/links tables (exact first-wins winners), per-url
+extracted text (byte-identical), per-round frontier composition and
+counters — under plain BFS, politeness budgets, robots, and crawl caps
+— and a resumed run must equal an uninterrupted one.
+"""
+
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from web_graph_ray.config import CrawlConfig
+from web_graph_ray.pipelines.crawl import CrawlEngine
+from web_graph_ray.sources.synth import CorpusConfig, render_pages_table, seed_urls, write_corpus
+from tests.oracle import run_oracle
+
+CCFG = CorpusConfig(n_pages=300, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return write_corpus(str(d), CCFG)
+
+
+@pytest.fixture(scope="module")
+def corpus_table(corpus_path):
+    return pq.read_table(corpus_path)
+
+
+@pytest.fixture(scope="module")
+def seeds():
+    return seed_urls(CCFG)
+
+
+def make_engine(corpus_path, tmp_path, **kw) -> CrawlEngine:
+    cfg = CrawlConfig(num_buckets=8, work_dir=str(tmp_path / "work"), **kw)
+    return CrawlEngine(corpus_path, cfg)
+
+
+def engine_visits(eng):
+    df = eng.visits().to_pandas().sort_values(["round", "seq"]).reset_index(drop=True)
+    return list(zip(df["page_id"], df["status"], df["depth"], df["round"]))
+
+
+def oracle_visits(res):
+    return [(v["page_id"], v["status"], v["depth"], v["round"]) for v in res.visits]
+
+
+def engine_pages(eng):
+    df = eng.pages().to_pandas()
+    return sorted(map(tuple, df[["page_id", "host", "path", "url"]].values))
+
+
+def oracle_pages(res):
+    return sorted((p["page_id"], p["host"], p["path"], p["url"]) for p in res.pages)
+
+
+def engine_links(eng):
+    df = eng.links().to_pandas()
+    return sorted(map(tuple, df[["from_page_id", "to_page_id", "text"]].values))
+
+
+def oracle_links(res):
+    return sorted((l["from_page_id"], l["to_page_id"], l["text"]) for l in res.links)
+
+
+def engine_texts(eng) -> dict:
+    df = eng.texts().to_pandas()
+    return dict(zip(df["url"], df["text"]))
+
+
+def assert_conformance(eng, res):
+    assert engine_visits(eng) == oracle_visits(res)
+    assert engine_pages(eng) == oracle_pages(res)
+    assert engine_links(eng) == oracle_links(res)
+    assert engine_texts(eng) == res.texts
+    assert eng.counters() == res.counters
+
+
+class TestPlainBFS:
+    """budget=∞, robots off ⇒ exactly the reference's FIFO BFS."""
+
+    @pytest.fixture(scope="class")
+    def both(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        eng = make_engine(corpus_path, tmp_path_factory.mktemp("bfs"), respect_robots=False)
+        eng.run(seeds)
+        res = run_oracle(corpus_table, seeds)
+        return eng, res
+
+    def test_visit_order(self, both):
+        eng, res = both
+        assert engine_visits(eng) == oracle_visits(res)
+
+    def test_pages_first_wins(self, both):
+        eng, res = both
+        assert engine_pages(eng) == oracle_pages(res)
+
+    def test_links_first_wins(self, both):
+        eng, res = both
+        assert engine_links(eng) == oracle_links(res)
+
+    def test_texts_byte_identical(self, both, corpus_table):
+        eng, res = both
+        got = engine_texts(eng)
+        assert got == res.texts
+        # and engine text == the corpus's analytically-built text column
+        # for every fetched url (north-rule per-row invariant)
+        corpus_text = dict(
+            zip(corpus_table["url"].to_pylist(), corpus_table["text"].to_pylist())
+        )
+        by_id = {}
+        from web_graph_ray.functions.urlnorm import parse, page_id_from_parts
+        for u, t in corpus_text.items():
+            p = parse(u)
+            by_id[page_id_from_parts(p.hostname(), p.escaped_path())] = t
+        checked = 0
+        for url, text in got.items():
+            p = parse(url)
+            pid = page_id_from_parts(p.hostname(), p.escaped_path())
+            assert text == by_id[pid], f"text differs for {url}"
+            checked += 1
+        assert checked > 100
+
+    def test_counters(self, both):
+        eng, res = both
+        assert eng.counters() == res.counters
+
+    def test_frontier_composition(self, both, corpus_path):
+        eng, res = both
+        from web_graph_ray.state.checkpoint import frontier_dirs, list_bucket_files
+        for rnd, gold in enumerate(res.frontiers):
+            files = list_bucket_files(frontier_dirs(eng.work, rnd)[0]) + \
+                    list_bucket_files(frontier_dirs(eng.work, rnd)[1])
+            rows = []
+            for f in files:
+                t = pq.read_table(f, columns=["page_id", "seq"])
+                rows += list(zip(t["seq"].to_pylist(), t["page_id"].to_pylist()))
+            rows.sort()
+            assert [pid for _, pid in rows] == gold, f"frontier mismatch round {rnd}"
+
+
+class TestPoliteness:
+    def test_budget_and_robots(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        eng = make_engine(
+            corpus_path, tmp_path_factory.mktemp("pol"),
+            respect_robots=True, politeness_budget=3, max_rounds=8,
+        )
+        eng.run(seeds)
+        res = run_oracle(corpus_table, seeds, budget=3, respect_robots=True, max_rounds=8)
+        assert_conformance(eng, res)
+
+    def test_max_pages_cap(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        eng = make_engine(
+            corpus_path, tmp_path_factory.mktemp("cap"),
+            respect_robots=False, max_pages=25,
+        )
+        eng.run(seeds)
+        res = run_oracle(corpus_table, seeds, max_pages=25)
+        assert_conformance(eng, res)
+
+
+class TestResume:
+    def test_resume_equals_uninterrupted(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        base = tmp_path_factory.mktemp("resume")
+        # interrupted: run 3 rounds, then resume with a FRESH engine object
+        eng1 = make_engine(corpus_path, base, respect_robots=False, max_rounds=3)
+        eng1.run(seeds)
+        assert len(eng1.counters()) == 3
+        eng2 = make_engine(corpus_path, base, respect_robots=False)
+        eng2.run()  # no seeds: must resume from checkpoints
+        res = run_oracle(corpus_table, seeds)
+        assert_conformance(eng2, res)
+
+    def test_rerun_is_noop(self, ray_session, corpus_path, seeds, tmp_path_factory):
+        base = tmp_path_factory.mktemp("noop")
+        eng = make_engine(corpus_path, base, respect_robots=False, max_rounds=2)
+        eng.run(seeds)
+        c1 = eng.counters()
+        eng.run()  # idempotent: nothing new to do
+        assert eng.counters() == c1

@@ -110,7 +110,7 @@ class TestOracleEquivalence:
 
     def test_max_pages_stops(self, corpus, seeds):
         r = run_oracle(corpus, seeds, max_pages=20)
-        assert sum(c["fetched"] for c in r.counters) == 20
+        assert sum(c["admitted"] + c["robots_denied"] for c in r.counters) == 20
 
     def test_budget_determinism(self, corpus, seeds):
         r1 = run_oracle(corpus, seeds, budget=3, respect_robots=True)

@@ -1,0 +1,634 @@
+"""The round-based BFS crawl engine (Ray Data native).
+
+Reference lifecycle being re-expressed (SURVEY.md §3): the Go crawler's
+continuous FIFO loop (``cmd/link-processor/main.go:203-227`` +
+``pkg/linkprocessor/linkprocessor.go:172-216``) becomes a sequence of
+BSP crawl *rounds*; with politeness budget ∞ the visit order is exactly
+the reference's single-consumer FIFO BFS (proven against the oracle in
+tests/test_crawl_conformance.py).
+
+Per-round dataflow (§3.4) — ONE all-to-all exchange, one sink:
+
+    frontier sidecars (per-bucket files, written by round-1)
+      → map_batches(admit)        # one task per bucket reads ITS files:
+                                  #   crawl cap, politeness, robots;
+                                  #   writes deferred + visited_delta
+      → map_batches(fetch)        # stateful lookup, per-worker corpus cache
+      → map_batches(extract_emit) # 1→N flat map
+      → write_parquet(emissions, partition_cols=[to_bucket])
+                                  # THE shuffle: link rows land hive-
+                                  # partitioned by target bucket
+    probe: one task per target bucket reads emissions/to_bucket=N/
+      → within-round first-wins dedup + anti-join vs the bucket's
+        all-time enqueued set → writes round+1 novel sidecars
+    MANIFEST.json                 # commit record
+
+Partitioning discipline: the frontier is ALWAYS partitioned by
+host-bucket on disk, so admission never reshuffles it — each round's
+only data movement is the partitioned emissions write.  At 256-node /
+10^10-URL scale the same layout holds: buckets ≫ cores, every task
+reads/writes only its bucket's files, and skew is bounded by the
+politeness budget (a mega-host can emit at most ``budget`` fetches per
+round).
+
+Determinism: every winner/order derives from hierarchical seq strings
+(seed index, then parent-seq.anchor-index), never from task timing, so
+outputs are identical at any parallelism — the property behind the
+N-vs-4N scaling-equivalence check.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..config import CrawlConfig
+from ..state.checkpoint import (
+    atomic_write_json,
+    atomic_write_parquet,
+    bucket_file,
+    frontier_dirs,
+    last_committed_round,
+    list_bucket_files,
+    read_json,
+    round_dir,
+)
+from ..state.politeness import RobotsRules, parse_robots
+from ..stages.canonicalize import (
+    FRONTIER_SCHEMA,
+    make_corpus_canonicalizer,
+    seed_frontier_rows,
+    write_frontier_by_bucket,
+)
+from ..stages.extract import emit_key_self, make_extract_emitter
+from ..stages.fetch import make_fetcher
+
+__all__ = ["CrawlEngine"]
+
+PROCESSED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("status", pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# per-bucket batch UDFs (inputs are bucket descriptors, not shuffled rows)
+# ---------------------------------------------------------------------------
+
+
+def make_admitter(
+    work: str,
+    rnd: int,
+    budget: int | None,
+    robots_by_host: dict[str, list[str]],
+    cap_boundary: str | None,
+):
+    """Admission task: reads one bucket's frontier files (novel+deferred),
+    applies crawl-cap prefix, per-host politeness budget and robots gate
+    in seq order; writes the bucket's deferred + visited_delta sidecars
+    (atomic, deterministic → idempotent under task retry); returns the
+    processed rows (admitted | robots_denied) with a ``status`` column."""
+    deferred_dir = frontier_dirs(work, rnd + 1)[1]
+    visited_dir = os.path.join(round_dir(work, rnd), "visited_delta")
+    rules = RobotsRules(robots_by_host)
+
+    def admit(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        out: list[pa.Table] = []
+        for i in range(batch.num_rows):
+            bucket = batch["bucket"][i].as_py()
+            files = batch["files"][i].as_py()
+            df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+            df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
+
+            if cap_boundary is not None:
+                capped = df["seq"] > cap_boundary
+            else:
+                capped = df["seq"] != df["seq"]  # all-False
+            eligible = df[~capped]
+            if budget is not None:
+                pol_rank = eligible.groupby("hostname").cumcount()
+                admit_mask = pol_rank < budget
+            else:
+                admit_mask = eligible["seq"] == eligible["seq"]  # all-True
+            deferred = pd.concat([df[capped], eligible[~admit_mask]])
+            processed = eligible[admit_mask].copy()
+
+            if len(processed) and rules.by_host:
+                denied = processed.apply(
+                    lambda r: not rules.is_allowed(r["hostname"], r["path"]), axis=1
+                )
+            else:
+                denied = pd.Series(False, index=processed.index)
+            processed["status"] = "admitted"
+            processed.loc[denied, "status"] = "robots_denied"
+
+            if len(deferred):
+                tbl = pa.Table.from_pandas(
+                    deferred.sort_values("seq"),
+                    schema=FRONTIER_SCHEMA,
+                    preserve_index=False,
+                )
+                atomic_write_parquet(tbl, bucket_file(deferred_dir, bucket))
+            if len(processed):
+                ptbl = pa.Table.from_pandas(
+                    processed, schema=PROCESSED_SCHEMA, preserve_index=False
+                )
+                atomic_write_parquet(
+                    ptbl.append_column("round", pa.array([rnd] * len(processed), type=pa.int32())),
+                    bucket_file(visited_dir, bucket),
+                    sort_by="seq",
+                )
+                out.append(ptbl)
+        if not out:
+            return PROCESSED_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    return admit
+
+
+def make_prober(work: str, rnd: int):
+    """Frontier-construction task for one target bucket: within-round
+    first-wins dedup by candidate_seq, then exact anti-join against the
+    bucket's all-time enqueued set (the union of its prior ``novel``
+    sidecars — state-on-Parquet, no long-lived actors to route to).
+    Writes the next round's novel sidecar; returns a per-bucket summary.
+
+    Scale note: the enqueued union is re-read from the bucket's delta
+    files each round; the deltas are id-only columns and per-bucket
+    (10^10 ids / buckets ≈ manageable per task); compaction of old
+    deltas is a follow-up optimization, not a correctness need."""
+    novel_out = frontier_dirs(work, rnd + 1)[0]
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        res = {"bucket": [], "link_rows": [], "novel": []}
+        for i in range(batch.num_rows):
+            bucket = batch["bucket"][i].as_py()
+            part_dir = batch["dir"][i].as_py()
+            df = pads.dataset(part_dir).to_table(
+                columns=[
+                    "page_id", "to_page_id", "to_url", "to_hostname",
+                    "to_host", "to_path", "candidate_seq",
+                ]
+            ).to_pandas()
+            link_rows = len(df)
+            df = df.sort_values("candidate_seq", kind="mergesort").drop_duplicates(
+                "to_page_id", keep="first"
+            )
+            enq: set[str] = set()
+            for r in range(rnd + 1):
+                f = bucket_file(frontier_dirs(work, r)[0], bucket)
+                if os.path.exists(f):
+                    enq.update(
+                        pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
+                    )
+            novel = df[~df["to_page_id"].isin(enq)]
+            if len(novel):
+                out = pd.DataFrame(
+                    {
+                        "url": novel["to_url"].values,
+                        "page_id": novel["to_page_id"].values,
+                        "hostname": novel["to_hostname"].values,
+                        "host": novel["to_host"].values,
+                        "path": novel["to_path"].values,
+                        "bucket": bucket,
+                        "seq": novel["candidate_seq"].values,
+                        "depth": novel["candidate_seq"].str.count("\\.").values,
+                        "priority": 0,
+                        "discovered_from": novel["page_id"].values,
+                    }
+                )
+                tbl = pa.Table.from_pandas(
+                    out, schema=FRONTIER_SCHEMA, preserve_index=False
+                )
+                atomic_write_parquet(tbl, bucket_file(novel_out, bucket), sort_by="seq")
+            res["bucket"].append(bucket)
+            res["link_rows"].append(link_rows)
+            res["novel"].append(int(len(novel)))
+        return pa.Table.from_pydict(res)
+
+    return probe
+
+
+def _corpus_bucket_writer(out_dir: str, robots_dir: str):
+    """One-time corpus index: per bucket, dedup ids (first capture by
+    warc_ts wins), sort by page_id (→ row-group pruning for fetch),
+    write atomically; robots.txt rows copied to a tiny sidecar."""
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bucket = group["bucket"][0].as_py()
+        tbl = group.sort_by([("page_id", "ascending"), ("warc_ts", "ascending")])
+        ids = np.asarray(tbl["page_id"].to_pylist())
+        first = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            first[1:] = ids[1:] != ids[:-1]
+        tbl = tbl.filter(pa.array(first))
+        out = tbl.select(["page_id", "url", "hostname", "path", "html", "content_type"])
+        atomic_write_parquet(out, bucket_file(out_dir, bucket))
+
+        robots = tbl.filter(pc.equal(tbl["path"], "/robots.txt"))
+        if robots.num_rows:
+            atomic_write_parquet(
+                robots.select(["hostname", "html"]), bucket_file(robots_dir, bucket)
+            )
+        return pa.Table.from_pydict(
+            {"bucket": [bucket], "rows": [out.num_rows]},
+            schema=pa.schema([("bucket", pa.int32()), ("rows", pa.int64())]),
+        )
+
+    return write_bucket
+
+
+def _count_rows(files: list[str]) -> int:
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+class CrawlEngine:
+    """Round-based crawl over a Parquet page corpus.
+
+    Owns no Ray session — callers initialise Ray.  All state lives in
+    ``cfg.work_dir`` (see state/checkpoint.py for the layout); a fresh
+    engine pointed at an existing work dir resumes exactly.
+    """
+
+    def __init__(self, corpus_paths: str | list[str], cfg: CrawlConfig | None = None):
+        self.corpus_paths = corpus_paths
+        self.cfg = cfg or CrawlConfig()
+        self.work = self.cfg.work_dir
+        self.idx_dir = os.path.join(self.work, "corpus_idx")
+        self._robots: dict[str, list[str]] | None = None
+
+    # -- one-time corpus preparation ---------------------------------------
+
+    def prepare(self) -> None:
+        manifest_path = os.path.join(self.idx_dir, "MANIFEST.json")
+        if os.path.exists(manifest_path):
+            m = read_json(manifest_path)
+            assert m["num_buckets"] == self.cfg.num_buckets, (
+                "work dir was prepared with a different bucket count"
+            )
+            self._load_robots()
+            return
+        schema = pads.dataset(self.corpus_paths).schema
+        columns = ["url", "warc_ts", "html"]
+        has_ct = "content_type" in schema.names
+        if has_ct:
+            columns.append("content_type")
+        ds = ray.data.read_parquet(self.corpus_paths, columns=columns)
+        if not has_ct:
+            ds = ds.map_batches(
+                lambda t: t.append_column(
+                    "content_type", pa.array(["text/html"] * t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+        ds = ds.map_batches(
+            make_corpus_canonicalizer(self.cfg.num_buckets), batch_format="pyarrow"
+        )
+        robots_dir = os.path.join(self.work, "robots_parts")
+        summary = ds.groupby("bucket").map_groups(
+            _corpus_bucket_writer(self.idx_dir, robots_dir), batch_format="pyarrow"
+        )
+        total = int(sum(r["rows"] for r in summary.take_all()))
+        self._collect_robots(robots_dir)
+        atomic_write_json(
+            {"num_buckets": self.cfg.num_buckets, "rows": total, "ts": time.time()},
+            manifest_path,
+        )
+
+    def _collect_robots(self, robots_dir: str) -> None:
+        bodies: dict[str, str] = {}
+        for f in list_bucket_files(robots_dir):
+            t = pq.read_table(f)
+            for host, body in zip(t["hostname"].to_pylist(), t["html"].to_pylist()):
+                bodies.setdefault(host, body.decode("utf-8", "replace"))
+        rules = {h: parse_robots(b) for h, b in bodies.items()}
+        atomic_write_json(rules, os.path.join(self.work, "robots.json"))
+        self._robots = rules
+
+    def _load_robots(self) -> None:
+        path = os.path.join(self.work, "robots.json")
+        self._robots = read_json(path) if os.path.exists(path) else {}
+
+    @property
+    def robots(self) -> dict[str, list[str]]:
+        if self._robots is None:
+            self._load_robots()
+        return self._robots if self.cfg.respect_robots else {}
+
+    # -- rounds -------------------------------------------------------------
+
+    def seed(self, seeds: list[str]) -> int:
+        """Write the round-0 frontier (idempotent)."""
+        tbl = seed_frontier_rows(seeds, self.cfg.num_buckets, self.cfg.filters)
+        return write_frontier_by_bucket(tbl, frontier_dirs(self.work, 0)[0])
+
+    def _frontier_parts(self, rnd: int) -> list[dict]:
+        """Bucket descriptors: [{bucket, files:[novel?, deferred?]}]."""
+        novel, deferred = frontier_dirs(self.work, rnd)
+        by_bucket: dict[int, list[str]] = {}
+        for f in list_bucket_files(novel) + list_bucket_files(deferred):
+            b = int(os.path.basename(f).split("=")[1].split(".")[0])
+            by_bucket.setdefault(b, []).append(f)
+        return [{"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())]
+
+    def _cap_boundary(self, parts: list[dict], remaining: int) -> str | None:
+        """seq value of the last row inside the crawl cap (None = no cap)."""
+        seqs = []
+        for p in parts:
+            for f in p["files"]:
+                seqs.extend(pq.read_table(f, columns=["seq"])["seq"].to_pylist())
+        if len(seqs) <= remaining:
+            return None
+        seqs.sort()
+        return seqs[remaining - 1] if remaining > 0 else ""
+
+    def run_round(self, rnd: int, processed_total: int) -> dict | None:
+        rd = round_dir(self.work, rnd)
+        manifest_path = os.path.join(rd, "MANIFEST.json")
+        if os.path.exists(manifest_path):
+            return read_json(manifest_path)["counters"]  # idempotent rerun
+        parts = self._frontier_parts(rnd)
+        if not parts:
+            return None
+        emis_dir = os.path.join(rd, "emissions")
+        if os.path.isdir(emis_dir):
+            shutil.rmtree(emis_dir)  # crashed attempt: rebuild the sink
+
+        cap_boundary = None
+        if self.cfg.max_pages is not None:
+            remaining = self.cfg.max_pages - processed_total
+            cap_boundary = self._cap_boundary(parts, remaining)
+
+        admit = make_admitter(
+            self.work, rnd, self.cfg.politeness_budget, self.robots, cap_boundary
+        )
+        (
+            ray.data.from_items(parts)
+            .map_batches(admit, batch_size=1, batch_format="pyarrow")
+            .map_batches(
+                make_fetcher(self.idx_dir, self.cfg.filters),
+                batch_format="pyarrow",
+                batch_size=self.cfg.fetch_batch_size,
+            )
+            .map_batches(
+                make_extract_emitter(rnd, self.cfg.num_buckets, self.cfg.filters),
+                batch_format="pyarrow",
+                batch_size=self.cfg.extract_batch_size,
+            )
+            .write_parquet(emis_dir, partition_cols=["to_bucket"])
+        )
+
+        # frontier construction from this round's (pre-partitioned) links
+        link_parts = [
+            {"bucket": int(name.split("=")[1]), "dir": os.path.join(emis_dir, name)}
+            for name in sorted(os.listdir(emis_dir))
+            if name.startswith("to_bucket=") and not name.endswith("=-1")
+        ]
+        discovered = link_rows = 0
+        if link_parts:
+            summaries = (
+                ray.data.from_items(link_parts)
+                .map_batches(make_prober(self.work, rnd), batch_size=1, batch_format="pyarrow")
+                .take_all()
+            )
+            discovered = int(sum(s["novel"] for s in summaries))
+            link_rows = int(sum(s["link_rows"] for s in summaries))
+
+        # counters from committed artifacts (tiny column reads)
+        nonlink = os.path.join(emis_dir, "to_bucket=-1")
+        visit_status = (
+            pads.dataset(nonlink)
+            .to_table(columns=["status"], filter=pads.field("row_type") == "visit")
+        )["status"].to_pylist() if os.path.isdir(nonlink) else []
+        from collections import Counter
+
+        by_status = Counter(visit_status)
+        counters = {
+            "round": rnd,
+            "admitted": sum(v for k, v in by_status.items() if k != "robots_denied"),
+            "fetched": by_status.get("ok", 0),
+            "dead": by_status.get("dead", 0) + by_status.get("bad_content_type", 0),
+            "robots_denied": by_status.get("robots_denied", 0),
+            "deferred": _count_rows(list_bucket_files(frontier_dirs(self.work, rnd + 1)[1])),
+            "discovered": discovered,
+            "deduped": link_rows - discovered,
+        }
+        processed_total += counters["admitted"] + counters["robots_denied"]
+        atomic_write_json(
+            {
+                "round": rnd,
+                "counters": counters,
+                "processed_total": processed_total,
+                "frontier_buckets": [p["bucket"] for p in parts],
+                "config": {
+                    "num_buckets": self.cfg.num_buckets,
+                    "politeness_budget": self.cfg.politeness_budget,
+                    "respect_robots": self.cfg.respect_robots,
+                },
+            },
+            manifest_path,
+        )
+        return counters
+
+    def run(self, seeds: list[str] | None = None) -> dict:
+        """Crawl to completion (or budget); resumes from the last
+        committed round if the work dir already has progress."""
+        self.prepare()
+        last = last_committed_round(self.work)
+        if last is None:
+            assert seeds is not None, "fresh crawl needs seeds"
+            self.seed(seeds)
+            rnd, processed_total = 0, 0
+        else:
+            m = read_json(os.path.join(round_dir(self.work, last), "MANIFEST.json"))
+            rnd, processed_total = last + 1, m["processed_total"]
+
+        t0 = time.perf_counter()
+        while True:
+            if self.cfg.max_rounds is not None and rnd >= self.cfg.max_rounds:
+                break
+            if self.cfg.max_pages is not None and processed_total >= self.cfg.max_pages:
+                break
+            counters = self.run_round(rnd, processed_total)
+            if counters is None:
+                break
+            processed_total += counters["admitted"] + counters["robots_denied"]
+            rnd += 1
+        return {
+            "rounds": rnd,
+            "processed_total": processed_total,
+            "wall_sec": time.perf_counter() - t0,
+        }
+
+    # -- result views (lazy Datasets over committed rounds) -----------------
+
+    def _committed_rounds(self) -> list[int]:
+        last = last_committed_round(self.work)
+        return list(range((last if last is not None else -1) + 1))
+
+    @staticmethod
+    def _parquet_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def _nonlink_files(self) -> list[str]:
+        out = []
+        for r in self._committed_rounds():
+            d = os.path.join(round_dir(self.work, r), "emissions", "to_bucket=-1")
+            if os.path.isdir(d):
+                out += self._parquet_files(d)
+        return out
+
+    def _link_files(self) -> list[str]:
+        out = []
+        for r in self._committed_rounds():
+            emis = os.path.join(round_dir(self.work, r), "emissions")
+            if not os.path.isdir(emis):
+                continue
+            for name in sorted(os.listdir(emis)):
+                if name.startswith("to_bucket=") and not name.endswith("=-1"):
+                    out += self._parquet_files(os.path.join(emis, name))
+        return out
+
+    def _visited_files(self) -> list[str]:
+        out = []
+        for r in self._committed_rounds():
+            out += list_bucket_files(os.path.join(round_dir(self.work, r), "visited_delta"))
+        return out
+
+    def visits(self) -> "ray.data.Dataset":
+        """Crawl records: one row per processed page; reference visit
+        order = sort by (round, seq)."""
+        cols = ["round", "page_id", "url", "seq", "depth", "status", "bucket"]
+        return (
+            ray.data.read_parquet(self._nonlink_files(), columns=cols + ["row_type"])
+            .filter(expr="row_type == 'visit'")
+            .drop_columns(["row_type"])
+        )
+
+    def texts(self) -> "ray.data.Dataset":
+        """Per-url extracted document text (north-rule invariant)."""
+        return (
+            ray.data.read_parquet(self._nonlink_files(), columns=["url", "text", "row_type"])
+            .filter(expr="row_type == 'text'")
+            .drop_columns(["row_type"])
+        )
+
+    def links(self) -> "ray.data.Dataset":
+        """links_visited parity: first-wins dedup on (from,to) —
+        conflict-discarding compaction over all rounds' emissions
+        (PK semantics of ``pkg/linkstorage/linkstorage.go:106-113``)."""
+        ds = ray.data.read_parquet(
+            self._link_files(), columns=["page_id", "to_page_id", "text", "emit_key"]
+        )
+
+        def first_wins(df):
+            df = df.sort_values("emit_key", kind="mergesort").drop_duplicates(
+                ["page_id", "to_page_id"], keep="first"
+            )
+            return df[["page_id", "to_page_id", "text"]].rename(
+                columns={"page_id": "from_page_id"}
+            )
+
+        return ds.groupby(["page_id", "to_page_id"]).map_groups(
+            first_wins, batch_format="pandas"
+        )
+
+    def pages(self) -> "ray.data.Dataset":
+        """pages_visited parity: first-wins by exact reference emission
+        order (self row at visit; target rows at link processing,
+        censored for targets already robots-denied at emission time)."""
+        vd = self._visited_files()
+        selfs = ray.data.read_parquet(
+            vd, columns=["page_id", "hostname", "path", "url", "seq", "round", "status"]
+        )
+
+        def self_rows(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["status"], "admitted"))
+            keys = [
+                emit_key_self(r, s)
+                for r, s in zip(t["round"].to_pylist(), t["seq"].to_pylist())
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "page_id": t["page_id"].combine_chunks(),
+                    "host": t["hostname"].combine_chunks(),
+                    "path": t["path"].combine_chunks(),
+                    "url": t["url"].combine_chunks(),
+                    "emit_key": pa.array(keys, type=pa.string()),
+                }
+            )
+
+        selfs = selfs.map_batches(self_rows, batch_format="pyarrow")
+
+        # denial keys: small (robots denials are rare) → broadcast dict
+        denial: dict[str, str] = {}
+        for f in vd:
+            t = pq.read_table(f, columns=["page_id", "seq", "round", "status"])
+            for pid, s, r, st in zip(
+                t["page_id"].to_pylist(), t["seq"].to_pylist(),
+                t["round"].to_pylist(), t["status"].to_pylist(),
+            ):
+                if st == "robots_denied":
+                    denial[pid] = emit_key_self(r, s)
+
+        targets = ray.data.read_parquet(
+            self._link_files(),
+            columns=["to_page_id", "to_hostname", "to_path", "to_url", "emit_key"],
+        )
+
+        def target_rows(t: pa.Table) -> pa.Table:
+            if denial:
+                keep = [
+                    pid not in denial or key < denial[pid]
+                    for pid, key in zip(
+                        t["to_page_id"].to_pylist(), t["emit_key"].to_pylist()
+                    )
+                ]
+                t = t.filter(pa.array(keep))
+            return pa.Table.from_pydict(
+                {
+                    "page_id": t["to_page_id"].combine_chunks(),
+                    "host": t["to_hostname"].combine_chunks(),
+                    "path": t["to_path"].combine_chunks(),
+                    "url": t["to_url"].combine_chunks(),
+                    "emit_key": t["emit_key"].combine_chunks(),
+                }
+            )
+
+        targets = targets.map_batches(target_rows, batch_format="pyarrow")
+
+        def first_wins(df):
+            df = df.sort_values("emit_key", kind="mergesort").drop_duplicates(
+                "page_id", keep="first"
+            )
+            return df[["page_id", "host", "path", "url"]]
+
+        return selfs.union(targets).groupby("page_id").map_groups(
+            first_wins, batch_format="pandas"
+        )
+
+    def counters(self) -> list[dict]:
+        out = []
+        for r in self._committed_rounds():
+            m = read_json(os.path.join(round_dir(self.work, r), "MANIFEST.json"))
+            out.append(m["counters"])
+        return out

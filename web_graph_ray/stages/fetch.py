@@ -1,0 +1,171 @@
+"""FetchSim — the stateful fetch stage (actor pool).
+
+The reference fetches live URLs with a shared HTTP client + DNS cache
+(``pkg/linkprocessor/linkprocessor.go:51-75,110-121``).  Here "fetch"
+is a keyed lookup of the page body in the Common-Crawl-style corpus:
+identity-keyed (page_id), so any URL variant of a page retrieves the
+one stored capture — mirroring the reference's worldview that scheme/
+port/query variants are the same page.
+
+Scale design: the corpus is pre-partitioned into per-host-bucket
+Parquet files sorted by page_id (see CrawlEngine.prepare).  Each actor
+resolves a batch by selective, predicate-pushdown reads of only the
+needed bucket files (row-group pruning via the sorted page_id column)
+— no broadcast of the corpus, no per-batch reshipping.  Small bucket
+files are cached whole in the actor (bounded LRU), which at sandbox
+scale makes repeat rounds memory-speed.
+
+Outcome semantics (per reference):
+- id absent from corpus        → status "dead"   (fetch error: logged &
+  dropped, page stays seen — ``linkprocessor.go:188-192``, no retry)
+- content-type gate fails (F4) → status "bad_content_type"
+  (``linkutils.go:53-63``)
+- otherwise                    → status "ok" + html payload
+Rows already robots_denied pass through untouched.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.filters import FilterConfig, DEFAULT_FILTERS, happy_content_type
+from ..state.checkpoint import bucket_file
+
+__all__ = ["FetchSim"]
+
+
+class FetchSim:
+    """Callable class for ``map_batches(FetchSim, concurrency=N)``.
+
+    __init__ runs once per actor (ST4 analogue: expensive setup
+    amortized across batches); __call__ per batch.
+    """
+
+    def __init__(
+        self,
+        corpus_idx_dir: str,
+        filters: FilterConfig = DEFAULT_FILTERS,
+        cache_bytes: int = 1 << 30,
+    ) -> None:
+        self.dir = corpus_idx_dir
+        self.filters = filters
+        self.cache_bytes = cache_bytes
+        # bucket -> ({id: (html, ct)}, approx_bytes)
+        self._cache: OrderedDict[int, tuple[dict, int]] = OrderedDict()
+        self._cache_size = 0
+
+    # -- corpus access ------------------------------------------------------
+
+    def _bucket_index(self, bucket: int, ids: list[str]) -> dict:
+        """id → (html, content_type) for the requested ids of one bucket."""
+        cached = self._cache.get(bucket)
+        if cached is not None:
+            self._cache.move_to_end(bucket)
+            return cached[0]
+        path = bucket_file(self.dir, bucket)
+        if not os.path.exists(path):
+            return {}
+        size = os.path.getsize(path)
+        if size <= self.cache_bytes // 4:
+            # small bucket: load whole file once, keep in the actor (LRU)
+            tbl = pq.read_table(path, columns=["page_id", "html", "content_type"])
+            idx = dict(
+                zip(
+                    tbl["page_id"].to_pylist(),
+                    zip(tbl["html"].to_pylist(), tbl["content_type"].to_pylist()),
+                )
+            )
+            while self._cache and self._cache_size + size > self.cache_bytes:
+                _, (_, s) = self._cache.popitem(last=False)
+                self._cache_size -= s
+            self._cache[bucket] = (idx, size)
+            self._cache_size += size
+            return idx
+        # big bucket: selective read with predicate pushdown (file is
+        # page_id-sorted → row-group pruning keeps this O(matching groups))
+        tbl = pq.read_table(
+            path,
+            columns=["page_id", "html", "content_type"],
+            filters=pc.field("page_id").isin(pa.array(ids)),
+        )
+        return dict(
+            zip(
+                tbl["page_id"].to_pylist(),
+                zip(tbl["html"].to_pylist(), tbl["content_type"].to_pylist()),
+            )
+        )
+
+    # -- batch transform ----------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        statuses = batch["status"].to_pylist()
+        ids = batch["page_id"].to_pylist()
+        buckets = batch["bucket"].to_pylist()
+
+        # group lookups per bucket (batches are mostly bucket-pure since
+        # they come out of the per-bucket admission groups)
+        want: dict[int, list[str]] = {}
+        for pid, b, st in zip(ids, buckets, statuses):
+            if st == "admitted":
+                want.setdefault(b, []).append(pid)
+        lookup: dict[str, tuple] = {}
+        for b, bucket_ids in want.items():
+            idx = self._bucket_index(b, bucket_ids)
+            for pid in bucket_ids:
+                row = idx.get(pid)
+                if row is not None:
+                    lookup[pid] = row
+
+        out_status, out_html, out_ct = [], [], []
+        for pid, st in zip(ids, statuses):
+            if st != "admitted":
+                out_status.append(st)  # robots_denied passes through
+                out_html.append(None)
+                out_ct.append(None)
+                continue
+            row = lookup.get(pid)
+            if row is None:
+                out_status.append("dead")
+                out_html.append(None)
+                out_ct.append(None)
+            elif not happy_content_type(row[1] or "text/html", self.filters):
+                out_status.append("bad_content_type")
+                out_html.append(None)
+                out_ct.append(row[1])
+            else:
+                out_status.append("ok")
+                out_html.append(row[0])
+                out_ct.append(row[1])
+
+        batch = batch.drop_columns(["status"])
+        batch = batch.append_column("status", pa.array(out_status, type=pa.string()))
+        batch = batch.append_column("html", pa.array(out_html, type=pa.binary()))
+        batch = batch.append_column("content_type", pa.array(out_ct, type=pa.string()))
+        return batch
+
+
+# -- stateless-task form with per-worker-process cache ----------------------
+#
+# Ray worker processes are long-lived across executions, so a module-level
+# FetchSim gives actor-pool state amortization (corpus cache survives
+# rounds) WITHOUT per-round actor-pool startup cost.  The state is a
+# read-only cache of immutable corpus files → safe under task retries.
+
+_SIMS: dict[tuple, FetchSim] = {}
+
+
+def make_fetcher(corpus_idx_dir: str, filters: FilterConfig = DEFAULT_FILTERS):
+    key = (corpus_idx_dir, filters)  # FilterConfig is frozen → hashable
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        sim = _SIMS.get(key)
+        if sim is None:
+            sim = _SIMS[key] = FetchSim(corpus_idx_dir, filters)
+        return sim(batch)
+
+    return fetch_batch
