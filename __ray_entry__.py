@@ -1,44 +1,576 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline on an sf0.001-scale
+synthetic page corpus.  ``queries()`` exposes every implemented
+operator from SURVEY.md §2 plus the training-data operator families
+(dedup / similarity / text analysis / windows / joins), each over the
+driver's TPC-H-ish testdata where SQL-expressible (``oracle_sql()``
+twin, DuckDB) and over crawl outputs where not (rows-only check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in these code paths.
+
+Float policy: every float aggregate/score is rounded identically in
+the Ray pipeline and the SQL twin (sums→2dp, means/scores→6dp) so the
+driver's value-hash comparison is stable across summation orders.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    from web_graph_ray.functions.numeric import round_half_away
+
+    for c, nd in spec.items():
+        df[c] = round_half_away(df[c].astype("float64").values, nd)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (SQL-checked)
+# ---------------------------------------------------------------------------
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1 shape: vectorized derived column + grouped aggregate
+    (partial-per-block then combine — Ray Data's native agg path)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    return _round_cols(out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6})
+
+
+def filter_events(sf_dir: str):
+    """Vectorized predicate filter + projection (M-row F-filter shape)."""
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 50.0))
+        ).select(["event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def topk_users_by_events(sf_dir: str):
+    """groupby-count → top-k (A2/top-hosts analogue; integer-valued so
+    ordering is exact)."""
+    ds = _t(sf_dir, "events", ["user_id"])
+    df = ds.groupby("user_id").aggregate(Count(alias_name="n_events")).to_pandas()
+    df = df.sort_values(["n_events", "user_id"], ascending=[False, True], kind="mergesort")
+    return df.head(10).reset_index(drop=True)
+
+
+def join_orders_customers(sf_dir: str):
+    """Partitioned hash join (Dataset.join) → grouped count."""
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=4,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby("c_mktsegment").aggregate(Count(alias_name="order_count")).to_pandas()
+    )
+
+
+def broadcast_join_nation_region(sf_dir: str):
+    """Broadcast (map-side) join: region is 5 rows — ray.put once."""
+    from web_graph_ray.stages.relational import broadcast_join
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _t(sf_dir, "region").to_pandas().rename(columns={"r_regionkey": "n_regionkey"})
+    return (
+        broadcast_join(nation, region, on="n_regionkey")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="nation_count"))
+        .to_pandas()
+    )
+
+
+def semi_join_customers(sf_dir: str):
+    """Semi join via broadcast key set (customers with ≥1 event)."""
+    from web_graph_ray.stages.relational import semi_join
+
+    keys = _t(sf_dir, "events", ["user_id"]).unique("user_id")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return semi_join(cust, "c_custkey", keys).select_columns(["c_custkey"])
+
+
+def anti_join_customers(sf_dir: str):
+    """Anti join via broadcast key set (customers with no events)."""
+    from web_graph_ray.stages.relational import anti_join
+
+    keys = _t(sf_dir, "events", ["user_id"]).unique("user_id")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    return anti_join(cust, "c_custkey", keys).select_columns(["c_custkey"])
+
+
+def first_wins_lineitem(sf_dir: str):
+    """First-wins dedup (D2/D3 generalized): first line per order by
+    linenumber."""
+    from web_graph_ray.stages.relational import first_wins_dedup
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    # testdata has duplicate (orderkey, linenumber) rows → l_partkey is
+    # the deterministic tie-break (mirrored in the SQL row_number order)
+    return first_wins_dedup(ds, ["l_orderkey"], ["l_linenumber", "l_partkey"])
+
+
+def unique_flag_status(sf_dir: str):
+    """Distinct combinations (set op)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["l_returnflag", "l_linestatus"])
+    )
+
+
+def window_tumbling_events(sf_dir: str):
+    """Per-user tumbling 1-hour window aggregate (streaming-shaped)."""
+    from web_graph_ray.stages.relational import tumbling_window_agg
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, "user_id", "ts", "value", 3600).to_pandas()
+    out = out[["user_id", "window_start", "value_sum", "n_events"]]
+    return _round_cols(out, {"value_sum": 6})
+
+
+def sessionize_events(sf_dir: str):
+    """Session windows per user (gap 1800 s)."""
+    from web_graph_ray.stages.relational import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", 1800)
+
+
+def asof_join_events_orders(sf_dir: str):
+    """As-of join: each event ↔ the user's latest order at event time
+    (ties on order date break by max orderkey, pinned both sides)."""
+    from web_graph_ray.stages.relational import asof_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]).to_pandas()
+    orders = orders.rename(columns={"o_custkey": "user_id"})
+    orders = orders.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    out = asof_join(
+        events, orders, key_col="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey"],
+    ).to_pandas()
+    out = out[["event_id", "o_orderkey"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / similarity (documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_documents(sf_dir: str):
+    from web_graph_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def ngram_dedup_documents(sf_dir: str):
+    """Exact char-5-gram Jaccard pairs ≥ 0.5 (blocking: ≥5 shared
+    shingles of doc-frequency ≤20 — mirrored in the SQL oracle)."""
+    from web_graph_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, k=5, threshold=0.5, max_block=20, min_shared=5).to_pandas()
+    return _round_cols(out, {"jaccard": 6})
+
+
+def doc_quality(sf_dir: str):
+    from web_graph_ray.stages.text import add_quality_metrics
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_quality_metrics, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars", "n_tokens", "alpha_ratio", "digit_ratio"]
+    )
+    return _round_cols(out.to_pandas(), {"alpha_ratio": 6, "digit_ratio": 6})
+
+
+def token_counts_documents(sf_dir: str):
+    from web_graph_ray.stages.text import add_token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_pieces"]
+    )
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors = vec_id 0..4
+    (broadcast query matrix, per-batch matmul, partial top-k reduce)."""
+    from web_graph_ray.stages.ann import cosine_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = cosine_topk(ds, queries, k=10)
+    return out
+
+
+def cosine_near_dup_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine ≥ 0.4), exact all-pairs at this
+    scale (nbits=0); LSH-bucketed at scale."""
+    from web_graph_ray.stages.ann import cosine_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_pairs(ds, threshold=0.4, nbits=0).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# rows-only (not ANSI-SQL-expressible): approx dedup, langid, crawl, mm
+# ---------------------------------------------------------------------------
+
+
+def langid_documents(sf_dir: str):
+    from web_graph_ray.stages.text import add_lang
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_lang, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def fingerprint_documents(sf_dir: str):
+    from web_graph_ray.stages.text import add_fingerprint
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def minhash_pairs_documents(sf_dir: str):
+    from web_graph_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    return _round_cols(out, {"est_jaccard": 6}).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    from web_graph_ray.stages.dedup import simhash_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=6)
+
+
+def lsh_ann_topk(sf_dir: str):
+    from web_graph_ray.stages.ann import lsh_cosine_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    return lsh_cosine_topk(ds, queries, k=10)
+
+
+def multimodal_image_features(sf_dir: str):
+    """Multimodal plumbing: documents' bytes as opaque payloads through
+    the actor-pool decode stage (deterministic fake decoder — real
+    codecs are stubbed, see stages/multimodal.py)."""
+    from web_graph_ray.stages.multimodal import ImageDecode
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "item_id": t["doc_id"].combine_chunks(),
+                "payload": pc.cast(t["text"], pa.binary()),
+                "mime": pa.array(["image/fake"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.map_batches(
+        ImageDecode,
+        fn_constructor_kwargs={"height": 8, "width": 8, "decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).select_columns(["item_id", "mean_intensity"])
+    return _round_cols(out.to_pandas(), {"mean_intensity": 6})
+
+
+# --- crawl pipeline (fixture corpus; rows-only checks) ---------------------
+
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _crawl_engine(sf_dir: str):
+    """Run (once per sf_dir per process) the flagship crawl on the
+    deterministic synthetic corpus scaled to the sf tier."""
+    if sf_dir in _CRAWL_CACHE:
+        return _CRAWL_CACHE[sf_dir]
+    import re
+    import shutil
+
+    from web_graph_ray.config import CrawlConfig
+    from web_graph_ray.pipelines.crawl import CrawlEngine
+    from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or "0.001"
+    n_pages = {"0.001": 300, "0.01": 1000, "0.1": 3000}.get(sf, 300)
+    tag = re.sub(r"[^A-Za-z0-9.]", "_", sf)
+    root = f"/tmp/wg_entry/{tag}_{n_pages}"
+    ccfg = CorpusConfig(n_pages=n_pages, seed=42)
+    corpus = os.path.join(root, "corpus", "pages.parquet")
+    if not os.path.exists(corpus):
+        shutil.rmtree(root, ignore_errors=True)
+        write_corpus(os.path.join(root, "corpus"), ccfg)
+    cfg = CrawlConfig(
+        num_buckets=16,
+        work_dir=os.path.join(root, "work"),
+        respect_robots=True,
+        politeness_budget=64,
+    )
+    eng = CrawlEngine(corpus, cfg)
+    eng.run(seed_urls(ccfg))
+    _CRAWL_CACHE[sf_dir] = eng
+    return eng
+
+
+def crawl_pages(sf_dir: str):
+    return _crawl_engine(sf_dir).pages()
+
+
+def crawl_links(sf_dir: str):
+    return _crawl_engine(sf_dir).links()
+
+
+def crawl_visits(sf_dir: str):
+    return _crawl_engine(sf_dir).visits()
+
+
+def crawl_texts(sf_dir: str):
+    return _crawl_engine(sf_dir).texts()
+
+
+def crawl_top_hosts(sf_dir: str):
+    from web_graph_ray.pipelines.queries import GraphQueries
+
+    return GraphQueries(_crawl_engine(sf_dir)).top_hosts(10)
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full crawl of the
+    synthetic corpus → compacted pages table."""
+    eng = _crawl_engine("/root/testdata/sf0.001")
+    return eng.pages()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregate (SQL-checked)
+        "q1_lineitem_agg": q1_lineitem_agg,
+        "filter_events": filter_events,
+        "topk_users_by_events": topk_users_by_events,
+        "join_orders_customers": join_orders_customers,
+        "broadcast_join_nation_region": broadcast_join_nation_region,
+        "semi_join_customers": semi_join_customers,
+        "anti_join_customers": anti_join_customers,
+        "first_wins_lineitem": first_wins_lineitem,
+        "unique_flag_status": unique_flag_status,
+        "window_tumbling_events": window_tumbling_events,
+        "sessionize_events": sessionize_events,
+        "asof_join_events_orders": asof_join_events_orders,
+        # text / dedup / similarity (SQL-checked)
+        "exact_dedup_documents": exact_dedup_documents,
+        "ngram_dedup_documents": ngram_dedup_documents,
+        "doc_quality": doc_quality,
+        "token_counts_documents": token_counts_documents,
+        "ann_cosine_topk": ann_cosine_topk,
+        "cosine_near_dup_pairs": cosine_near_dup_pairs,
+        # rows-only
+        "langid_documents": langid_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "minhash_pairs_documents": minhash_pairs_documents,
+        "simhash_pairs_documents": simhash_pairs_documents,
+        "lsh_ann_topk": lsh_ann_topk,
+        "multimodal_image_features": multimodal_image_features,
+        "crawl_pages": crawl_pages,
+        "crawl_links": crawl_links,
+        "crawl_visits": crawl_visits,
+        "crawl_texts": crawl_texts,
+        "crawl_top_hosts": crawl_top_hosts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_lineitem_agg": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                          as sum_qty,
+                   round(sum(l_extendedprice), 2)                     as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)  as sum_disc_price,
+                   count(*)                                           as count_order,
+                   round(sum(l_quantity) / count(*), 6)               as avg_qty
+            from lineitem group by 1, 2
+        """,
+        "filter_events": """
+            select event_id, value from events
+            where event_type = 'click' and value > 50.0
+        """,
+        "topk_users_by_events": """
+            select user_id, count(*) as n_events from events
+            group by 1 order by n_events desc, user_id asc limit 10
+        """,
+        "join_orders_customers": """
+            select c_mktsegment, count(*) as order_count
+            from orders join customer on o_custkey = c_custkey group by 1
+        """,
+        "broadcast_join_nation_region": """
+            select r_name, count(*) as nation_count
+            from nation join region on n_regionkey = r_regionkey group by 1
+        """,
+        "semi_join_customers": """
+            select c_custkey from customer
+            where c_custkey in (select user_id from events)
+        """,
+        "anti_join_customers": """
+            select c_custkey from customer
+            where c_custkey not in (select user_id from events)
+        """,
+        "first_wins_lineitem": """
+            select l_orderkey, l_linenumber, l_partkey from (
+              select l_orderkey, l_linenumber, l_partkey,
+                     row_number() over (partition by l_orderkey order by l_linenumber, l_partkey) rn
+              from lineitem) where rn = 1
+        """,
+        "unique_flag_status": """
+            select distinct l_returnflag, l_linestatus from lineitem
+        """,
+        "window_tumbling_events": """
+            select user_id,
+                   (floor(epoch(ts))::bigint // 3600) * 3600 as window_start,
+                   round(sum(value), 6) as value_sum,
+                   count(*) as n_events
+            from events group by 1, 2
+        """,
+        "sessionize_events": """
+            with e as (
+              select user_id, floor(epoch(ts))::bigint sec,
+                     case when floor(epoch(ts))::bigint
+                               - lag(floor(epoch(ts))::bigint)
+                                 over (partition by user_id order by ts) > 1800
+                          or lag(ts) over (partition by user_id order by ts) is null
+                          then 1 else 0 end new_s
+              from events),
+            s as (select user_id, sec,
+                         sum(new_s) over (partition by user_id order by sec
+                                          rows unbounded preceding) sid
+                  from e)
+            select user_id, min(sec) as session_start, max(sec) as session_end,
+                   count(*) as n_events
+            from s group by user_id, sid
+        """,
+        "asof_join_events_orders": """
+            select e.event_id,
+                   (select o.o_orderkey from orders o
+                    where o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+                    order by o.o_orderdate desc, o.o_orderkey desc limit 1) as o_orderkey
+            from events e
+        """,
+        "exact_dedup_documents": """
+            select min(doc_id) as doc_id from documents group by text
+        """,
+        "ngram_dedup_documents": """
+            with d as (select doc_id, lower(text) t from documents),
+            sh as (
+              select distinct doc_id, substr(t, i, 5) sh
+              from d cross join generate_series(1, 4000) g(i)
+              where i <= length(t) - 4),
+            sizes as (select doc_id, count(*) n from sh group by 1),
+            rare as (select sh from sh group by sh having count(*) <= 20),
+            cand as (select s1.doc_id a, s2.doc_id b
+                     from sh s1 join sh s2 using (sh)
+                     where s1.doc_id < s2.doc_id and sh in (select sh from rare)
+                     group by 1, 2 having count(*) >= 5),
+            inter as (select s1.doc_id a, s2.doc_id b, count(*) i
+                      from sh s1 join sh s2 using (sh)
+                      join cand on cand.a = s1.doc_id and cand.b = s2.doc_id
+                      group by 1, 2),
+            jac as (select a, b,
+                           round(cast(i as double) / (na.n + nb.n - i), 6) jaccard
+                    from inter
+                    join sizes na on na.doc_id = a
+                    join sizes nb on nb.doc_id = b)
+            select a, b, jaccard from jac where jaccard >= 0.5
+        """,
+        "doc_quality": """
+            select doc_id,
+                   length(text) as n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_tokens,
+                   round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+                         / greatest(length(text), 1), 6) as alpha_ratio,
+                   round(cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double)
+                         / greatest(length(text), 1), 6) as digit_ratio
+            from documents
+        """,
+        "token_counts_documents": """
+            select doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\v]+')) as n_pieces
+            from documents
+        """,
+        "ann_cosine_topk": """
+            with q as (select vec_id qid, embedding qe from embeddings where vec_id < 5),
+            s as (select qid, vec_id,
+                         round(list_cosine_similarity(cast(qe as double[]), cast(embedding as double[])), 6) score
+                  from q cross join embeddings),
+            r as (select qid as query_id, vec_id, score,
+                         row_number() over (partition by qid
+                                            order by score desc, vec_id asc) rn
+                  from s)
+            select query_id, vec_id, score from r where rn <= 10
+        """,
+        "cosine_near_dup_pairs": """
+            select e1.vec_id a, e2.vec_id b,
+                   round(list_cosine_similarity(cast(e1.embedding as double[]),
+                                                cast(e2.embedding as double[])), 6) score
+            from embeddings e1 join embeddings e2 on e1.vec_id < e2.vec_id
+            where list_cosine_similarity(cast(e1.embedding as double[]),
+                                         cast(e2.embedding as double[])) >= 0.4
+        """,
+    }

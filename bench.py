@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {...pages/s detail...}}
+
+Headline = the crawl engine (BASELINE.json metric: pages fetched/sec +
+frontier-dedup throughput) over a bench-scale synthetic Common-Crawl-
+style corpus (generated once into /tmp, cached across runs), plus the
+heavy operator pipelines over the sf testdata.
+
+``--scaling``: runs bench.py twice in FRESH processes at num_cpus=8 and
+32 on the same inputs, reports pages/s at both + scaling efficiency
+(speedup / cpu-ratio), updates the measured-results section of
+BASELINE.md, and prints a one-line JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench corpus: heavy-ish pages so extract is compute-bound (the 100 TB
+# proxy), no chain tail (that's a correctness fixture, it only adds
+# fixed-overhead rounds), wide fan-out so BFS completes in few rounds
+BENCH_PAGES = int(os.environ.get("WG_BENCH_PAGES", "150000"))
+CORPUS_DIR = f"/tmp/wg_bench/corpus_{BENCH_PAGES}"
+WORK_DIR_BASE = "/tmp/wg_bench/work"
+
+
+def corpus_cfg():
+    from web_graph_ray.sources.synth import CorpusConfig
+
+    return CorpusConfig(
+        n_pages=BENCH_PAGES,
+        seed=42,
+        n_hosts=200,
+        chain_len=0,
+        avg_links=12,
+        filler_words=120,
+    )
+
+
+def bench_crawl() -> dict:
+    from web_graph_ray.config import CrawlConfig
+    from web_graph_ray.pipelines.crawl import CrawlEngine
+    from web_graph_ray.sources.synth import seed_urls, write_corpus_ray
+
+    ccfg = corpus_cfg()
+    t0 = time.perf_counter()
+    write_corpus_ray(CORPUS_DIR, ccfg)
+    gen_sec = time.perf_counter() - t0
+
+    work = f"{WORK_DIR_BASE}_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_buckets=64,
+        work_dir=work,
+        respect_robots=True,
+        politeness_budget=None,
+        fetch_batch_size=512,
+        extract_batch_size=256,
+    )
+    eng = CrawlEngine(CORPUS_DIR, cfg)
+    t0 = time.perf_counter()
+    eng.prepare()
+    prep_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    summary = eng.run(seed_urls(ccfg))
+    crawl_sec = time.perf_counter() - t0
+    counters = eng.counters()
+    fetched = sum(c["fetched"] for c in counters)
+    links = sum(c["discovered"] + c["deduped"] for c in counters)
+    return {
+        "corpus_gen_sec": round(gen_sec, 2),
+        "prepare_sec": round(prep_sec, 2),
+        "crawl_sec": round(crawl_sec, 2),
+        "rounds": summary["rounds"],
+        "pages_fetched": fetched,
+        "links_extracted": links,
+        "pages_per_sec": round(fetched / crawl_sec, 1),
+        "links_per_sec": round(links / crawl_sec, 1),
+        "frontier_dedup_per_sec": round(links / crawl_sec, 1),
+    }
+
+
+def bench_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    names = [
+        "q1_lineitem_agg",
+        "window_tumbling_events",
+        "exact_dedup_documents",
+        "minhash_pairs_documents",
+        "ann_cosine_topk",
+        "join_orders_customers",
+    ]
+    out = {}
+    qs = entrymod.queries()
+    for name in names:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,  # keep stdout = exactly one JSON line
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    crawl = bench_crawl()
+    queries = bench_queries()
+    total = crawl["crawl_sec"] + sum(queries.values())
+    result = {
+        "metric": "crawl pages fetched/sec + operator pipeline seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {"crawl": crawl["crawl_sec"], **queries},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)   # also warms the corpus + OS page cache
+    hi = run(hi_cpus)
+    ratio = hi_cpus / lo_cpus
+    speedup = lo["crawl"]["crawl_sec"] / hi["crawl"]["crawl_sec"]
+    eff = speedup / ratio
+    summary = {
+        "metric": "crawl scaling efficiency (N→4N cpus, fresh processes)",
+        "cpus": [lo_cpus, hi_cpus],
+        "crawl_sec": [lo["crawl"]["crawl_sec"], hi["crawl"]["crawl_sec"]],
+        "pages_per_sec": [lo["crawl"]["pages_per_sec"], hi["crawl"]["pages_per_sec"]],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "lo": lo,
+        "hi": hi,
+    }
+    _update_baseline_md(summary)
+    return summary
+
+
+def _update_baseline_md(s: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    begin, end = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
+    block = f"""{begin}
+## Measured (bench.py --scaling, single node, fresh processes per level)
+
+| num_cpus | crawl wall (s) | pages/s | links+dedup rows/s |
+|---|---|---|---|
+| {s['cpus'][0]} | {s['crawl_sec'][0]} | {s['pages_per_sec'][0]} | {s['lo']['crawl']['links_per_sec']} |
+| {s['cpus'][1]} | {s['crawl_sec'][1]} | {s['pages_per_sec'][1]} | {s['hi']['crawl']['links_per_sec']} |
+
+Scaling efficiency {s['cpus'][0]}→{s['cpus'][1]} cpus: **{s['scaling_efficiency']}**
+(speedup {s['speedup']}× over a {s['cpus'][1] // s['cpus'][0]}× cpu ratio; corpus:
+{BENCH_PAGES} synthetic pages, identical input both levels, page cache warm).
+Operator pipeline seconds at {s['cpus'][1]} cpus: {json.dumps(s['hi']['queries'])}
+{end}"""
+    with open(path) as f:
+        text = f.read()
+    if begin in text:
+        pre = text.split(begin)[0]
+        post = text.split(end)[1] if end in text else ""
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

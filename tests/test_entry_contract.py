@@ -1,0 +1,73 @@
+"""Mirror of the driver's correctness gate: run every queries() entry
+at sf0.01 and compare against its oracle_sql() twin via DuckDB
+(row-count + column names + order-insensitive values), exactly as the
+driver does.  Rows-only queries get smoke checks."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SQL_CHECKED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def to_df(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]) or str(df[c].dtype) == "Int64":
+            df[c] = df[c].astype("float64")  # unify int flavors & allow NaN
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked(name, con, ray_session):
+    ray_df = canon(to_df(entrymod.queries()[name](SF_DIR)))
+    sql_df = canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, atol=0, rtol=0)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only(name, ray_session):
+    res = to_df(entrymod.queries()[name](SF_DIR))
+    assert len(res) > 0, f"{name}: empty result"
+
+
+def test_entry(ray_session):
+    res = entrymod.entry()
+    assert to_df(res).shape[0] > 0

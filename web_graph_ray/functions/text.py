@@ -1,0 +1,178 @@
+"""Text-analysis primitives for large-scale training-data pipelines.
+
+No counterpart in the reference (it stores no text beyond anchor text);
+these are the standard web-text curation operators a 100 TB pipeline
+needs, built to run vectorized inside ``map_batches``:
+
+- token counting (simple word regex + a BPE-ish segmentation regex)
+- quality scoring (length / character-class ratios / token stats)
+- language ID (stopword-profile heuristic — deterministic, no model)
+- document fingerprinting (Karp-Rabin rolling hash)
+- shingling + MinHash + SimHash signatures (inputs to the dedup stages)
+
+All functions are pure and seed-free; numeric outputs are float64/int64
+so DuckDB oracles can reproduce them bit-for-bit where expressible.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = [
+    "WORD_RE",
+    "BPE_RE",
+    "tokenize",
+    "token_count",
+    "bpe_piece_count",
+    "quality_metrics",
+    "detect_lang",
+    "fingerprint",
+    "char_shingles",
+    "minhash_signature",
+    "simhash64",
+]
+
+WORD_RE = re.compile(r"[A-Za-z0-9]+")
+# BPE-ish pre-tokenization: letter runs, single digits, punctuation runs
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+")
+
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+
+
+def _fnv1a(data: bytes) -> int:
+    h = _FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def tokenize(text: str) -> list[str]:
+    return WORD_RE.findall(text)
+
+
+def token_count(text: str) -> int:
+    return len(WORD_RE.findall(text))
+
+
+def bpe_piece_count(text: str) -> int:
+    return len(BPE_RE.findall(text))
+
+
+def quality_metrics(text: str) -> dict:
+    """Deterministic quality features (DuckDB-expressible subset).
+
+    Ratios use max(len,1) denominators; all divisions are float64 over
+    small ints, so SQL `cast(x as double)/y` reproduces them exactly.
+    """
+    n = len(text)
+    toks = WORD_RE.findall(text)
+    alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+    digit = sum(1 for c in text if c.isascii() and c.isdigit())
+    denom = max(n, 1)
+    return {
+        "n_chars": n,
+        "n_tokens": len(toks),
+        "alpha_ratio": alpha / denom,
+        "digit_ratio": digit / denom,
+        "mean_token_len": (sum(map(len, toks)) / len(toks)) if toks else 0.0,
+    }
+
+
+# --- language ID (stopword-profile heuristic) ------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "with", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "für", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que", "des", "du"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "en", "por", "que", "del"},
+    "it": {"il", "la", "che", "e", "di", "un", "una", "per", "non", "sono", "con", "del"},
+}
+_LANG_ORDER = tuple(sorted(_STOPWORDS))  # deterministic tie-break order
+
+
+def detect_lang(text: str, default: str = "und") -> str:
+    """Stopword-hit-rate argmax; 'und' (undetermined) when no hits.
+    Ties break by language code order — fully deterministic."""
+    words = [w.lower() for w in WORD_RE.findall(text)]
+    if not words:
+        return default
+    best_lang, best_score = default, 0
+    for lang in _LANG_ORDER:
+        score = sum(1 for w in words if w in _STOPWORDS[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+# --- fingerprint -----------------------------------------------------------
+
+_KR_BASE = 1000003
+
+
+def fingerprint(text: str) -> int:
+    """Karp-Rabin rolling hash over word tokens (order-sensitive
+    document fingerprint), masked to signed int64 for Arrow/SQL."""
+    h = 0
+    for tok in WORD_RE.findall(text):
+        h = (h * _KR_BASE + _fnv1a(tok.encode())) & _MASK64
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+# --- shingles / MinHash / SimHash ------------------------------------------
+
+
+def char_shingles(text: str, k: int = 5) -> set[int]:
+    """Hashed character k-gram shingle set (lowercased)."""
+    t = text.lower()
+    if len(t) < k:
+        return {_fnv1a(t.encode())} if t else set()
+    return {_fnv1a(t[i : i + k].encode()) for i in range(len(t) - k + 1)}
+
+
+# MinHash permutations: h_i(x) = (a_i * x + b_i) mod p — parameters are
+# derived deterministically (splitmix-style) from the permutation index.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64)
+    mix = lambda z: (
+        ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(_MASK64)
+    )
+    a = (mix(idx * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(_MERSENNE_P - 1)) + np.uint64(1)
+    b = mix(idx * np.uint64(0xD1B54A32D192ED03)) % np.uint64(_MERSENNE_P)
+    return a, b
+
+
+_PERM_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_signature(shingles: set[int], num_perm: int = 128) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a shingle set."""
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = _PERM_CACHE[num_perm]
+    if not shingles:
+        return np.full(num_perm, np.uint64(_MASK64), dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    # (a*x + b) mod p, computed in python-int space via object ops would be
+    # slow; use uint64 wraparound then mod — deterministic and well-mixed.
+    vals = (x[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE_P)
+    return vals.min(axis=1)
+
+
+def simhash64(text: str, k: int = 5) -> int:
+    """64-bit SimHash over hashed character k-grams (signed int64)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for sh in char_shingles(text, k):
+        bits = np.unpackbits(np.frombuffer(np.uint64(sh).tobytes(), dtype=np.uint8))
+        acc += np.where(bits.astype(np.int64) > 0, 1, -1)
+    h = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            h |= 1 << i
+    return h - (1 << 64) if h >= 1 << 63 else h

@@ -536,20 +536,17 @@ class CrawlEngine:
         """links_visited parity: first-wins dedup on (from,to) —
         conflict-discarding compaction over all rounds' emissions
         (PK semantics of ``pkg/linkstorage/linkstorage.go:106-113``)."""
+        from ..stages.relational import first_wins_dedup
+
         ds = ray.data.read_parquet(
             self._link_files(), columns=["page_id", "to_page_id", "text", "emit_key"]
         )
-
-        def first_wins(df):
-            df = df.sort_values("emit_key", kind="mergesort").drop_duplicates(
-                ["page_id", "to_page_id"], keep="first"
-            )
-            return df[["page_id", "to_page_id", "text"]].rename(
+        winners = first_wins_dedup(ds, ["page_id", "to_page_id"], "emit_key")
+        return winners.map_batches(
+            lambda df: df[["page_id", "to_page_id", "text"]].rename(
                 columns={"page_id": "from_page_id"}
-            )
-
-        return ds.groupby(["page_id", "to_page_id"]).map_groups(
-            first_wins, batch_format="pandas"
+            ),
+            batch_format="pandas",
         )
 
     def pages(self) -> "ray.data.Dataset":
@@ -616,14 +613,11 @@ class CrawlEngine:
 
         targets = targets.map_batches(target_rows, batch_format="pyarrow")
 
-        def first_wins(df):
-            df = df.sort_values("emit_key", kind="mergesort").drop_duplicates(
-                "page_id", keep="first"
-            )
-            return df[["page_id", "host", "path", "url"]]
+        from ..stages.relational import first_wins_dedup
 
-        return selfs.union(targets).groupby("page_id").map_groups(
-            first_wins, batch_format="pandas"
+        winners = first_wins_dedup(selfs.union(targets), ["page_id"], "emit_key")
+        return winners.map_batches(
+            lambda df: df[["page_id", "host", "path", "url"]], batch_format="pandas"
         )
 
     def counters(self) -> list[dict]:

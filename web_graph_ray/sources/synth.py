@@ -47,6 +47,10 @@ class CorpusConfig:
     chain_host: str = "chain.example.com"
     dead_host: str = "dead.example.net"  # linked but never in corpus
 
+    #: extra filler prose per page (bench knob: makes html realistically
+    #: heavy so extract is compute-bound; 0 keeps unit fixtures tiny)
+    filler_words: int = 0
+
     @property
     def n_chain(self) -> int:
         return min(self.chain_len, self.n_pages)
@@ -210,7 +214,7 @@ def render_page(cfg: CorpusConfig, i: int) -> dict:
         html_parts.append("<p>unicode snippet: café ✓ straße</p>")
         text_parts.append("unicode snippet: café ✓ straße")
     filler = f"Filler prose for page {i}: " + " ".join(
-        f"w{_mix(cfg, i, 9, j) % 1000}" for j in range(10 + m % 20)
+        f"w{_mix(cfg, i, 9, j) % 1000}" for j in range(10 + m % 20 + cfg.filler_words)
     )
     html_parts.append(f"<p>{filler}</p></body></html>")
     text_parts.append(filler)
@@ -302,6 +306,39 @@ def seed_urls(cfg: CorpusConfig) -> list[str]:
     seeds.append(variant + "?utm=seed")
     seeds.append(f"https://{cfg.dead_host}/seed")  # dead seed
     return seeds
+
+
+def write_corpus_ray(out_dir: str, cfg: CorpusConfig, shard_rows: int = 8192) -> str:
+    """Bench-scale corpus generation: render pages INSIDE Ray map_batches
+    (generation is a pure function of the row index) and write a
+    multi-file parquet dataset.  Robots rows ride with shard 0."""
+    import os
+
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        rows = [render_page(cfg, i) for i in ids]
+        if 0 in ids:  # robots rows ride with the shard containing page 0
+            rows = _robots_rows(cfg) + rows
+        cols = {name: [r[name] for r in rows] for name in _SCHEMA.names}
+        cols["warc_ts"] = pa.array(cols["warc_ts"], type=pa.timestamp("us"))
+        return pa.Table.from_pydict(cols, schema=_SCHEMA)
+
+    (
+        ray.data.range(cfg.n_pages, override_num_blocks=max(1, cfg.n_pages // shard_rows))
+        .map_batches(render, batch_format="pyarrow", batch_size=shard_rows)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
 
 
 def write_corpus(out_dir: str, cfg: CorpusConfig, row_group_size: int = 4096) -> str:

@@ -1,0 +1,218 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: exact brute-force top-k — the baseline.  The query
+  matrix is broadcast once (``ray.put``) and every batch does one
+  float64 matmul against it; per-batch partial top-k rows flow into a
+  tiny final reduce (partial/combiner pattern — the shuffle carries
+  k×queries rows per batch, not the corpus).
+- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH buckets
+  (signed projections → bit signature); only same/near-bucket vectors
+  are scored.  Approximate; recall grows with probes.
+- ``cosine_pairs``: all-pairs near-duplicate detection above a cosine
+  threshold (blocked matmul within LSH buckets).
+
+Scores are float64, rounded HALF-AWAY-FROM-ZERO to 6 decimals (SQL
+ROUND semantics) so a DuckDB oracle (``list_cosine_similarity`` over
+double-cast lists) reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.numeric import round_half_away
+
+__all__ = ["cosine_topk", "lsh_cosine_topk", "cosine_pairs"]
+
+ROUND = 6
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row; returns a small pandas
+    frame (query_id, vec_id, score) — k×|queries| rows, sorted by
+    (query_id, -score, vec_id) with deterministic tie-breaks."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        scores = m @ qm.T  # (batch, nq)
+        out_q, out_id, out_s = [], [], []
+        kk = min(k, len(ids))
+        for qi in range(qm.shape[0]):
+            s = scores[:, qi]
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(round_half_away(s[idx], ROUND).tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def _hyperplanes(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (seed-free: derived from
+    a fixed-seed Generator so every process agrees)."""
+    rng = np.random.Generator(np.random.PCG64(20240817))
+    return rng.standard_normal((nbits, dim))
+
+
+def lsh_cosine_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    probes: int = 2,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures bucket the
+    corpus; each query scores only vectors in its ``probes`` nearest
+    buckets (by signature Hamming distance).  The 100 TB shape: the
+    bucketing is a map_batches + groupby-free filter (each batch keeps
+    only rows whose bucket ∈ probed set — a broadcast semi-join)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = _hyperplanes(q.shape[1], nbits)
+    q_sig = (q @ planes.T > 0).astype(np.uint8)
+
+    # probed buckets per query: enumerate signatures within small hamming
+    def neighbors(sig: np.ndarray, max_flip: int) -> set[int]:
+        base = int(np.packbits(sig, bitorder="little")[0]) if nbits <= 8 else None
+        out = {base}
+        if max_flip >= 1:
+            for b in range(nbits):
+                out.add(base ^ (1 << b))
+        return out
+
+    probed = [neighbors(q_sig[i], probes - 1) for i in range(q.shape[0])]
+    wanted: set[int] = set().union(*probed)
+    q_ref = ray.put((q, probed, wanted, planes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm, probed_l, wanted_l, pl = ray.get(q_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sigs = np.packbits((m @ pl.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
+        keep = np.isin(sigs, list(wanted_l))
+        m, ids, sigs = m[keep], ids[keep], sigs[keep]
+        out_q, out_id, out_s = [], [], []
+        if len(ids):
+            scores = m @ qm.T
+            for qi in range(qm.shape[0]):
+                mask = np.isin(sigs, list(probed_l[qi]))
+                if not mask.any():
+                    continue
+                s = scores[mask, qi]
+                sel_ids = ids[mask]
+                kk = min(k, len(sel_ids))
+                idx = np.argpartition(-s, kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sel_ids[idx].tolist())
+                out_s.extend(round_half_away(s[idx], ROUND).tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def cosine_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 6,
+) -> "ray.data.Dataset":
+    """Embedding near-duplicate pairs (cosine ≥ threshold), exact within
+    LSH buckets: groupby(bucket) → blocked matmul per bucket.  With
+    nbits=0 this is exact all-pairs (test scale); at 100 TB nbits bounds
+    each block."""
+    if nbits > 0:
+        planes_ref = ray.put(_hyperplanes(_first_dim(ds, vec_col), nbits))
+    else:
+        planes_ref = None
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if planes_ref is None:
+            bucket = np.zeros(batch.num_rows, dtype=np.int64)
+        else:
+            pl = ray.get(planes_ref)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            bucket = np.packbits((m @ pl.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0].astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64")}
+        )
+        if len(df) < 2:
+            return empty
+        m = _normalize(np.asarray(df[vec_col].tolist(), dtype=np.float64))
+        ids = np.asarray(df[id_col].tolist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        s = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        sel = s[ii, jj] >= threshold
+        if not sel.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "a": ids[ii[sel]],
+                "b": ids[jj[sel]],
+                "score": round_half_away(s[ii, jj][sel], ROUND),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+
+def _first_dim(ds: "ray.data.Dataset", vec_col: str) -> int:
+    row = ds.take(1)[0]
+    return len(row[vec_col])

@@ -1,0 +1,453 @@
+"""Deduplication stages for training-data curation (exact, n-gram
+Jaccard, MinHash-LSH, SimHash).
+
+The reference's only dedups are first-wins key dedups (D1–D3); these
+stages add the content-level family a web-text pipeline needs.  Every
+stage is expressed as map_batches (+ at most one groupby shuffle per
+logical exchange), with the partial/pre-aggregate pattern where it cuts
+shuffle volume.
+
+Scale notes per stage are in the docstrings; the common skew guard is
+``max_block``: blocking keys whose posting list exceeds it are dropped
+from candidate *generation* (standard blocking practice — a 10^6-doc
+shingle would generate 10^12 pairs); verification still uses full
+shingle sets, so similarity values are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.text import char_shingles, minhash_signature
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_clusters",
+    "simhash_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Exact duplicate removal: one survivor per distinct text, winner =
+    min id (deterministic).  Pattern: per-batch partial winner (combiner)
+    → groupby(hash) final — the pre-aggregate idiom that ships one row
+    per distinct text per batch into the shuffle instead of every row."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "h": [
+                    hashlib.sha1(t.encode("utf-8", "surrogateescape")).hexdigest()
+                    for t in batch[text_col].to_pylist()
+                ],
+                id_col: batch[id_col].to_pylist(),
+            }
+        )
+        win = df.groupby("h", as_index=False)[id_col].min()
+        return pa.Table.from_pandas(win, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("h", as_index=False)[id_col].min()[[id_col]]
+
+    from .relational import bucketed_group_map
+
+    return bucketed_group_map(
+        ds.map_batches(partial, batch_format="pyarrow"), ["h"], per_bucket
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact similarity, shingle blocking)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(text_col: str, id_col: str, k: int):
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, shingles = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            tl = t.lower()
+            grams = (
+                {tl[j : j + k] for j in range(len(tl) - k + 1)}
+                if len(tl) >= k
+                else ({tl} if tl else set())
+            )
+            ids.extend([i] * len(grams))
+            shingles.extend(grams)
+        return pa.Table.from_pydict(
+            {id_col: pa.array(ids, type=pa.int64()), "shingle": pa.array(shingles)}
+        )
+
+    return explode
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_block: int = 20,
+    min_shared: int = 5,
+) -> "ray.data.Dataset":
+    """Exact character-k-gram Jaccard duplicate pairs.
+
+    1. explode distinct shingles per doc (map_batches, 1→N)
+    2. candidates: pairs sharing ≥ ``min_shared`` RARE shingles (doc
+       frequency ≤ ``max_block``) — the df-cap bounds the quadratic
+       blow-up on hot shingles, the min-shared count prunes the long
+       tail of incidental collisions (both knobs are part of the
+       operator's deterministic semantics, mirrored in the SQL oracle)
+    3. verify: EXACT Jaccard — intersection counted over ALL shingles of
+       candidate pairs (vectorized self-merge restricted to candidate
+       members), union from per-doc distinct counts.
+
+    True near-dups above any reasonable threshold share many rare
+    shingles, so the pruning does not cost recall on actual duplicates;
+    MinHash-LSH below is the approximate scale path.
+    """
+    from .relational import bucketed_group_map
+
+    explode = _shingle_rows(text_col, id_col, k)
+    shingles = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    sizes = shingles.groupby(id_col).count()  # distinct shingles per doc
+
+    def rare_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket: pairs per rare shingle (one row per co-occurrence)."""
+        df = df[df.groupby("shingle")["shingle"].transform("size").le(max_block)]
+        m = df.merge(df, on="shingle")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
+
+    cand = (
+        bucketed_group_map(shingles, ["shingle"], rare_pairs)
+        .groupby(["a", "b"])
+        .count()
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t["count()"], min_shared)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+        )
+    )
+    cand_df = cand.to_pandas()
+    if not len(cand_df):
+        return ray.data.from_items([]).limit(0)
+    # candidate set is cap-bounded → broadcastable; at larger scale this
+    # becomes a repartition join on (a,b) instead of a broadcast
+    cand_ref = ray.put(cand_df)
+
+    # second pass: intersection sizes over ALL shingles, candidate
+    # members only, via vectorized self-merge + inner join to candidates
+    def pair_hits(df: pd.DataFrame) -> pd.DataFrame:
+        cands = ray.get(cand_ref)
+        members = set(cands["a"]).union(cands["b"])
+        df = df[df[id_col].isin(members)]
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        m = df.merge(df, on="shingle")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        m = m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
+        return m.merge(cands, on=["a", "b"])
+
+    inter = (
+        bucketed_group_map(shingles, ["shingle"], pair_hits)
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    n_of = {r[id_col]: r["count()"] for r in sizes.take_all()}
+    n_ref = ray.put(n_of)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = ray.get(n_ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        inter_n = batch["count()"].to_pylist()
+        jac = [i / (n[x] + n[y] - i) for x, y, i in zip(a, b, inter_n)]
+        t = pa.Table.from_pydict(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "jaccard": pa.array(jac, type=pa.float64()),
+            }
+        )
+        return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
+
+    return inter.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate, the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def _band_rows(text_col: str, id_col: str, k: int, num_perm: int, bands: int):
+    from ..functions.text import _fnv1a  # seed-free (Python hash() is salted!)
+
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes, sigs = [], [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = minhash_signature(char_shingles(t, k), num_perm)
+            sigs.append(sig)
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                ids.append(i)
+                band_ids.append(b)
+                band_hashes.append(int(_fnv1a(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF))
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "band": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.int64()),
+            }
+        )
+
+    return to_bands
+
+
+def _signatures(ds, text_col: str, id_col: str, k: int, num_perm: int):
+    """(id, sig:list<uint64>) dataset — joined against candidate pairs
+    for verification (no driver-side collection of signatures)."""
+
+    def to_sig(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        # serialized as binary: Arrow hash joins reject list payloads
+        sigs = [
+            minhash_signature(char_shingles(t, k), num_perm).tobytes()
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_sig, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    max_block: int = 200,
+) -> "ray.data.Dataset":
+    """Near-dup pairs via MinHash banding: shingle→minhash→(band,hash)
+    rows → groupby band bucket → candidate pairs → verify by estimated
+    Jaccard (fraction of equal signature rows) ≥ threshold.
+
+    Signatures are recomputed for verification inside the scoring stage
+    from a broadcast of candidate ids' texts? No — signatures travel as
+    columns: verification joins the two sides' signatures via a second
+    groupby on the pair.  Approximate by construction (banding recall
+    <1); the exactness-checkable twin is ngram_jaccard_pairs."""
+    to_bands = _band_rows(text_col, id_col, k, num_perm, bands)
+    band_rows = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    from .relational import bucketed_group_map
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "band_hash"]):
+            if len(g) < 2 or len(g) > max_block:
+                continue
+            ids = sorted(set(g[id_col].tolist()))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64")}
+        ).drop_duplicates()
+
+    dedup_pairs = lambda df: df.drop_duplicates(["a", "b"])
+    cand = bucketed_group_map(
+        bucketed_group_map(band_rows, ["band", "band_hash"], bucket_pairs),
+        ["a", "b"],
+        dedup_pairs,
+        batch_partial=dedup_pairs,
+    )
+
+    # verify via two hash joins against the signatures dataset (the
+    # scale path — nothing is collected on the driver)
+    sigs = _signatures(ds, text_col, id_col, k, num_perm)
+    joined = cand.join(
+        sigs, join_type="inner", num_partitions=8, on=("a",), right_on=(id_col,)
+    ).rename_columns({"sig": "sig_a"}).join(
+        sigs, join_type="inner", num_partitions=8, on=("b",), right_on=(id_col,)
+    ).rename_columns({"sig": "sig_b"})
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        est = [
+            float(np.mean(np.frombuffer(sa, dtype=np.uint64)
+                          == np.frombuffer(sb, dtype=np.uint64)))
+            for sa, sb in zip(batch["sig_a"].to_pylist(), batch["sig_b"].to_pylist())
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "est_jaccard": pa.array(est, type=pa.float64()),
+            }
+        )
+        return t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_clusters(
+    pairs: "ray.data.Dataset", id_col: str = "doc_id", rounds: int = 4
+) -> "ray.data.Dataset":
+    """Connected components over near-dup pairs by iterative min-label
+    propagation (``rounds`` × groupby), no driver-side union-find:
+    label(x) ← min(label over neighbors ∪ self), repeated.  Converges in
+    O(diameter) rounds; duplicate clusters have tiny diameters."""
+    edges = pairs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays(
+                    [t["a"].combine_chunks().cast(pa.int64()), t["b"].combine_chunks().cast(pa.int64())]
+                ),
+                "peer": pa.concat_arrays(
+                    [t["b"].combine_chunks().cast(pa.int64()), t["a"].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = edges.groupby("node").min("peer").map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "node": t["node"].combine_chunks(),
+                "label": pa.compute.min_element_wise(t["min(peer)"], t["node"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds - 1):
+        lab = {r["node"]: r["label"] for r in labels.take_all()}
+        lab_ref = ray.put(lab)
+
+        def relabel(t: pa.Table) -> pa.Table:
+            m = ray.get(lab_ref)
+            peers = [m.get(p, p) for p in t["peer"].to_pylist()]
+            return pa.Table.from_pydict(
+                {"node": t["node"].combine_chunks(), "peer": pa.array(peers, type=pa.int64())}
+            )
+
+        labels = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .min("peer")
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "node": t["node"].combine_chunks(),
+                        "label": pa.compute.min_element_wise(t["min(peer)"], t["node"]),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs via 64-bit SimHash: bucket on each of ``bands``
+    16-bit bands (a pair within Hamming distance ≤ bands-1 must collide
+    on ≥1 band — pigeonhole), verify Hamming ≤ max_hamming."""
+    from ..functions.text import simhash64
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids, band_ids, keys, hashes = [], [], [], []
+        width = 64 // bands
+        mask = (1 << width) - 1
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            h = simhash64(t, k) & 0xFFFFFFFFFFFFFFFF
+            for b in range(bands):
+                ids.append(i)
+                band_ids.append(b)
+                keys.append((h >> (b * width)) & mask)
+                hashes.append(h - (1 << 64) if h >= 1 << 63 else h)
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "band": pa.array(band_ids, type=pa.int32()),
+                "key": pa.array(keys, type=pa.int64()),
+                "simhash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    from .relational import bucketed_group_map
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "hamming": []}
+        for _, g in df.groupby(["band", "key"]):
+            if len(g) < 2:
+                continue
+            recs = sorted(set(zip(g[id_col].tolist(), g["simhash"].tolist())))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = bin((recs[i][1] ^ recs[j][1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        out["a"].append(recs[i][0])
+                        out["b"].append(recs[j][0])
+                        out["hamming"].append(d)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out["a"], dtype="int64"),
+                "b": pd.Series(out["b"], dtype="int64"),
+                "hamming": pd.Series(out["hamming"], dtype="int64"),
+            }
+        ).drop_duplicates(["a", "b"])
+
+    dedup_pairs = lambda df: df.drop_duplicates(["a", "b"])
+    return bucketed_group_map(
+        bucketed_group_map(rows, ["band", "key"], bucket_pairs),
+        ["a", "b"],
+        dedup_pairs,
+        batch_partial=dedup_pairs,
+    )

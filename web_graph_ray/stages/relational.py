@@ -1,0 +1,245 @@
+"""Relational / stream-shaped operators (joins, windows, sessions).
+
+The reference has NO joins, sorts or windows (SURVEY.md §2.5) — its API
+does point lookups only.  These are the generic operator forms the new
+engine adds, each with a DuckDB-SQL twin in ``__ray_entry__``:
+
+- broadcast (map-side) join: small side via ``ray.put`` → per-batch
+  merge — no shuffle (the frontier⋈blocklist / dimension-table shape)
+- partitioned hash join: ``Dataset.join`` (both sides large)
+- semi / anti join: broadcast key set + vectorized is_in mask
+- first-wins dedup: groupby key → min order-key row (D2/D3 generalized)
+- tumbling-window aggregate + session windows: groupby(key) →
+  per-group pandas over ts-sorted rows (Ray Data has no event-time
+  windowing; the partition+sort-within-group formulation is the
+  documented pattern, ordering assumption stated per function)
+- as-of join: per-key merge_asof inside map_groups
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+__all__ = [
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "first_wins_dedup",
+    "tumbling_window_agg",
+    "sessionize",
+    "asof_join",
+]
+
+
+def bucketed_group_map(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    per_bucket_fn,
+    num_buckets: int = 32,
+    batch_partial=None,
+) -> "ray.data.Dataset":
+    """Grouped map over MANY small key groups without per-group UDF
+    overhead: hash keys into ``num_buckets`` coarse buckets (stable
+    cross-process via pd.util.hash_pandas_object), run one vectorized
+    pandas function per bucket.  ``batch_partial`` optionally shrinks
+    each batch before the shuffle (combiner pattern).
+
+    Ray Data's groupby().map_groups() calls the UDF once per distinct
+    key — fine for hundreds of groups, pathological for 10^5+ (e.g.
+    first-wins dedup keyed by page_id).  This keeps identical semantics
+    whenever ``per_bucket_fn`` is key-local (it sees every row of each
+    key, since a key maps to exactly one bucket)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if batch_partial is not None:
+            df = batch_partial(df)
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).values
+        out = df.copy()
+        out["_bucket"] = (h % num_buckets).astype("int64")
+        return out
+
+    def run_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket_fn(df.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(run_bucket, batch_format="pandas")
+    )
+
+
+def broadcast_join(
+    ds: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Map-side join: the small side is put in the object store ONCE and
+    merged into every batch — zero shuffle, the correct shape whenever
+    one side fits in memory (dimension tables, seed lists, vocab)."""
+    ref = ray.put(small_df)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(join_batch, batch_format="pandas")
+
+
+def _key_set_ref(keys) -> "ray.ObjectRef":
+    return ray.put(pa.array(sorted(set(keys))))
+
+
+def semi_join(ds: "ray.data.Dataset", on: str, keys) -> "ray.data.Dataset":
+    """Keep rows whose key ∈ keys (broadcast Bloom-filter shape)."""
+    ref = _key_set_ref(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[on], value_set=ray.get(ref)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(ds: "ray.data.Dataset", on: str, keys) -> "ray.data.Dataset":
+    ref = _key_set_ref(keys)
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[on], value_set=ray.get(ref))))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def first_wins_dedup(
+    ds: "ray.data.Dataset", key_cols: list[str], order_cols: str | list[str]
+) -> "ray.data.Dataset":
+    """One row per key: the minimum order_cols row.  Pass enough order
+    columns to make the winner unique — ties would otherwise be decided
+    by arrival order, which is nondeterministic under parallelism.
+    This is D2/D3 (`ON CONFLICT DO NOTHING` with deterministic arrival
+    order) as a generic operator.  Runs as per-batch combiner +
+    bucketed final, so the shuffle carries ≤1 row per key per batch."""
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, kind="mergesort").drop_duplicates(
+            key_cols, keep="first"
+        )
+
+    return bucketed_group_map(ds, key_cols, first, batch_partial=first)
+
+
+def tumbling_window_agg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+) -> "ray.data.Dataset":
+    """Per-key tumbling-window sum/count/mean.  Window = floor(epoch /
+    window_sec); pre-aggregated per batch (partial) then a small
+    groupby — the shuffle carries one row per (key, window) per batch."""
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        win = pc.multiply(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_sec)),
+            float(window_sec),
+        )
+        df = pd.DataFrame(
+            {
+                key_col: t[key_col].to_pylist(),
+                "window_start": pc.cast(win, pa.int64()).to_pylist(),
+                "_sum": t[value_col].to_pylist(),
+            }
+        )
+        g = df.groupby([key_col, "window_start"], as_index=False).agg(
+            _sum=("_sum", "sum"), _n=("_sum", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "value_mean", pc.divide(t["value_sum"], pc.cast(t["n_events"], pa.float64()))
+        )
+        return t
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("_sum", alias_name="value_sum"), Sum("_n", alias_name="n_events"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def sessionize(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    gap_sec: int,
+) -> "ray.data.Dataset":
+    """Session windows per key: events sorted by ts; a gap > gap_sec
+    starts a new session.  Emits (key, session_start, session_end,
+    n_events).  Ordering assumption: all events of one key fit one
+    group (partition by key — the streaming-shaped pattern)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        ts = df[ts_col].astype("int64") // 1_000_000
+        new_session = (ts - ts.shift(1)).fillna(gap_sec + 1) > gap_sec
+        sid = new_session.cumsum()
+        out = df.assign(_sid=sid, _ts=ts).groupby("_sid").agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_start": ("_ts", "min"),
+                "session_end": ("_ts", "max"),
+                "n_events": ("_ts", "size"),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right_df: pd.DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> "ray.data.Dataset":
+    """As-of (backward) join: for each left row, the latest right row of
+    the same key with right_ts <= left_ts.
+
+    Broadcast form: the right side (dimension-sized — e.g. orders per
+    customer) is shipped once via ``ray.put``; each left batch runs a
+    vectorized ``pd.merge_asof``.  Zero shuffle.  When BOTH sides are
+    large, the scale path is co-partitioning by key hash (pad the two
+    schemas to a union schema, tag a side column, union → groupby
+    bucket → merge_asof per bucket) — same per-bucket kernel, one
+    shuffle; not needed at the driver-testdata scales."""
+    r = right_df[[key_col, right_ts] + right_cols].sort_values(
+        right_ts, kind="mergesort"
+    )
+    ref = ray.put(r)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rr = ray.get(ref).rename(columns={right_ts: left_ts})
+        out = pd.merge_asof(
+            df.sort_values(left_ts, kind="mergesort"),
+            rr,
+            on=left_ts,
+            by=key_col,
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        return out
+
+    return left.map_batches(per_batch, batch_format="pandas")
