@@ -38,10 +38,19 @@ class CrawlConfig:
     max_pages: int | None = None
 
     # --- partitioning / scale ---------------------------------------------
-    #: number of host-hash partitions for frontier/seen/politeness state.
+    #: number of hash partitions for frontier/seen/politeness state.
     #: At the 10^10-URL design point this should be O(cluster cores × 4);
     #: small here, but all state paths are per-bucket regardless.
     num_buckets: int = 16
+    #: partitioning key: "auto" → "host" when a politeness budget is set
+    #: (per-host admission needs host locality), else "id" (page_id hash,
+    #: immune to mega-host skew).  See hashing.bucket_for.
+    bucket_mode: str = "auto"
+
+    def resolved_bucket_mode(self) -> str:
+        if self.bucket_mode != "auto":
+            return self.bucket_mode
+        return "host" if self.politeness_budget is not None else "id"
 
     # --- physical knobs -----------------------------------------------------
     #: rows per batch into the fetch/extract stages (html rows can be MBs —

@@ -55,5 +55,22 @@ def host_bucket_np(hostnames, num_buckets: int) -> np.ndarray:
     return (hash64_np(hostnames) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def bucket_for(hostname: str, page_id: str, num_buckets: int, mode: str) -> int:
+    """Frontier/state partition bucket.
+
+    mode="host": key on hostname — REQUIRED when per-host politeness
+    budgets are enforced (admission must see a host's rows together);
+    the budget itself then bounds per-bucket work, so a mega-host can
+    skew a bucket's frontier but not its admitted fetch load.
+
+    mode="id": key on page_id — perfectly balanced; valid whenever no
+    per-host state is held (budget=None), because page_id dedup is
+    bucket-exact under ANY function of the id, and robots checks are
+    stateless per row."""
+    if mode == "host":
+        return hash64(hostname) % num_buckets
+    return hash64(page_id) % num_buckets
+
+
 def sha1_hex(s: str) -> str:
     return hashlib.sha1(s.encode("utf-8", "surrogateescape")).hexdigest()

@@ -94,6 +94,22 @@ def _should_escape(c: int, mode: int) -> bool:
     return True
 
 
+# Precomputed per-mode tables (hot path: these functions run per URL per
+# anchor across the whole crawl — keep the common case at C speed).
+_ESC_TBL: dict[int, tuple] = {}
+for _mode in (ENC_PATH, ENC_PATH_SEGMENT, ENC_HOST, ENC_ZONE, ENC_USER_PASSWORD, ENC_QUERY, ENC_FRAGMENT):
+    _safe = bytes(b for b in range(256) if not _should_escape(b, _mode))
+    _ESC_TBL[_mode] = (_safe, frozenset(_safe))
+# bytes allowed to appear UNESCAPED in a host (non-ASCII always allowed)
+_HOST_SAFE = bytes(
+    b for b in range(256) if b >= 0x80 or not _should_escape(b, ENC_HOST)
+) + b"%"
+
+import re as _re
+
+_CTL_RE = _re.compile(r"[\x00-\x1f\x7f]")
+
+
 def _unescape(s: str, mode: int) -> str:
     """Port of net/url unescape: validate then %-decode.
 
@@ -102,6 +118,16 @@ def _unescape(s: str, mode: int) -> str:
     sequences surface as surrogate escapes so byte fidelity is kept,
     matching Go strings which are arbitrary bytes).
     """
+    if "%" not in s:
+        # fast path: no escapes to decode; only host/zone/query modes
+        # need any further inspection
+        if mode == ENC_QUERY and "+" in s:
+            return s.replace("+", " ")
+        if mode in (ENC_HOST, ENC_ZONE):
+            leftover = s.encode("utf-8", "surrogateescape").translate(None, _HOST_SAFE)
+            if leftover:
+                raise URLError(f"invalid character {chr(leftover[0])!r} in host name")
+        return s
     n = 0
     has_plus = False
     i = 0
@@ -153,21 +179,14 @@ def _unescape(s: str, mode: int) -> str:
 def _escape(s: str, mode: int) -> str:
     """Port of net/url escape: %-encode bytes per shouldEscape table."""
     raw = s.encode("utf-8", "surrogateescape")
-    space_count = 0
-    hex_count = 0
-    for b in raw:
-        if _should_escape(b, mode):
-            if b == 0x20 and mode == ENC_QUERY:
-                space_count += 1
-            else:
-                hex_count += 1
-    if space_count == 0 and hex_count == 0:
-        return s
+    safe_bytes, safe_set = _ESC_TBL[mode]
+    if not raw.translate(None, safe_bytes):
+        return s  # fast path: nothing needs escaping (C-speed check)
     out = []
     for b in raw:
         if b == 0x20 and mode == ENC_QUERY:
             out.append("+")
-        elif _should_escape(b, mode):
+        elif b not in safe_set:
             out.append("%" + _UPPERHEX[b >> 4] + _UPPERHEX[b & 0xF])
         else:
             out.append(chr(b))
@@ -214,7 +233,7 @@ def _valid_userinfo(s: str) -> bool:
 
 
 def _contains_ctl_byte(s: str) -> bool:
-    return any(ord(c) < 0x20 or ord(c) == 0x7F for c in s)
+    return _CTL_RE.search(s) is not None
 
 
 @dataclass

@@ -1,0 +1,81 @@
+"""CLI: run a crawl over a Parquet page corpus.
+
+    python -m web_graph_ray.pipelines --corpus /path/pages.parquet \
+        --work /tmp/crawl --seeds-file seeds.txt [--budget N] [--robots]
+
+Owns its own Ray session (unlike the library, which never inits Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="web_graph_ray crawl runner")
+    p.add_argument("--corpus", required=True, help="pages parquet file/dir")
+    p.add_argument("--work", required=True, help="work/checkpoint dir")
+    p.add_argument("--seeds-file", help="file with one seed URL per line")
+    p.add_argument("--seed-url", action="append", default=[], help="seed URL (repeatable)")
+    p.add_argument("--budget", type=int, default=None, help="politeness: max fetches/host/round")
+    p.add_argument("--robots", action="store_true", help="respect robots.txt rows in the corpus")
+    p.add_argument("--max-rounds", type=int, default=None)
+    p.add_argument("--max-pages", type=int, default=None)
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    seeds = list(args.seed_url)
+    if args.seeds_file:
+        with open(args.seeds_file) as f:
+            seeds += [line.strip() for line in f if line.strip()]
+    import os
+
+    resuming = os.path.isdir(os.path.join(args.work, "rounds"))
+    if not seeds and not resuming:
+        p.error("need --seeds-file/--seed-url for a fresh crawl")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ..config import CrawlConfig
+    from .crawl import CrawlEngine
+
+    cfg = CrawlConfig(
+        num_buckets=args.buckets,
+        work_dir=args.work,
+        politeness_budget=args.budget,
+        respect_robots=args.robots,
+        max_rounds=args.max_rounds,
+        max_pages=args.max_pages,
+    )
+    eng = CrawlEngine(args.corpus, cfg)
+    summary = eng.run(seeds or None)
+    out = {
+        "summary": summary,
+        "counters": eng.counters(),
+        "pages": eng.pages().count(),
+        "links": eng.links().count(),
+    }
+    print(json.dumps(out, indent=1))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -154,6 +154,32 @@ def make_admitter(
     return admit
 
 
+COMPACT_EVERY = 8  # rounds between per-bucket enqueued-set compactions
+
+
+def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
+    """The bucket's all-time enqueued id set through round ``rnd``:
+    latest compacted snapshot (if any) + the novel deltas after it.
+    Returns (ids, compacted_through_round)."""
+    comp_dir = os.path.join(work, "enqueued")
+    prefix = f"bucket={bucket:04d}.through="
+    best_r, best_f = -1, None
+    if os.path.isdir(comp_dir):
+        for f in os.listdir(comp_dir):
+            if f.startswith(prefix) and f.endswith(".parquet"):
+                r = int(f[len(prefix):].split(".")[0])
+                if best_r < r <= rnd:
+                    best_r, best_f = r, os.path.join(comp_dir, f)
+    enq: set = set()
+    if best_f is not None:
+        enq.update(pq.read_table(best_f, columns=["page_id"])["page_id"].to_pylist())
+    for r in range(best_r + 1, rnd + 1):
+        f = bucket_file(frontier_dirs(work, r)[0], bucket)
+        if os.path.exists(f):
+            enq.update(pq.read_table(f, columns=["page_id"])["page_id"].to_pylist())
+    return enq, best_r
+
+
 def make_prober(work: str, rnd: int):
     """Frontier-construction task for one target bucket: within-round
     first-wins dedup by candidate_seq, then exact anti-join against the
@@ -184,14 +210,15 @@ def make_prober(work: str, rnd: int):
             df = df.sort_values("candidate_seq", kind="mergesort").drop_duplicates(
                 "to_page_id", keep="first"
             )
-            enq: set[str] = set()
-            for r in range(rnd + 1):
-                f = bucket_file(frontier_dirs(work, r)[0], bucket)
-                if os.path.exists(f):
-                    enq.update(
-                        pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
-                    )
+            enq, comp_r = _read_enqueued(work, bucket, rnd)
             novel = df[~df["to_page_id"].isin(enq)]
+            if rnd - comp_r >= COMPACT_EVERY:
+                # fold the delta tail into a fresh snapshot (deterministic,
+                # derived data — safe to rewrite on crash-rerun)
+                atomic_write_parquet(
+                    pa.Table.from_pydict({"page_id": pa.array(sorted(enq))}),
+                    os.path.join(work, "enqueued", f"bucket={bucket:04d}.through={rnd:06d}.parquet"),
+                )
             if len(novel):
                 out = pd.DataFrame(
                     {
@@ -283,6 +310,9 @@ class CrawlEngine:
             assert m["num_buckets"] == self.cfg.num_buckets, (
                 "work dir was prepared with a different bucket count"
             )
+            assert m.get("bucket_mode", "host") == self.cfg.resolved_bucket_mode(), (
+                "work dir was prepared with a different bucket mode"
+            )
             self._load_robots()
             return
         schema = pads.dataset(self.corpus_paths).schema
@@ -299,7 +329,8 @@ class CrawlEngine:
                 batch_format="pyarrow",
             )
         ds = ds.map_batches(
-            make_corpus_canonicalizer(self.cfg.num_buckets), batch_format="pyarrow"
+            make_corpus_canonicalizer(self.cfg.num_buckets, self.cfg.resolved_bucket_mode()),
+            batch_format="pyarrow",
         )
         robots_dir = os.path.join(self.work, "robots_parts")
         summary = ds.groupby("bucket").map_groups(
@@ -308,7 +339,12 @@ class CrawlEngine:
         total = int(sum(r["rows"] for r in summary.take_all()))
         self._collect_robots(robots_dir)
         atomic_write_json(
-            {"num_buckets": self.cfg.num_buckets, "rows": total, "ts": time.time()},
+            {
+                "num_buckets": self.cfg.num_buckets,
+                "bucket_mode": self.cfg.resolved_bucket_mode(),
+                "rows": total,
+                "ts": time.time(),
+            },
             manifest_path,
         )
 
@@ -336,7 +372,10 @@ class CrawlEngine:
 
     def seed(self, seeds: list[str]) -> int:
         """Write the round-0 frontier (idempotent)."""
-        tbl = seed_frontier_rows(seeds, self.cfg.num_buckets, self.cfg.filters)
+        tbl = seed_frontier_rows(
+            seeds, self.cfg.num_buckets, self.cfg.filters,
+            self.cfg.resolved_bucket_mode(),
+        )
         return write_frontier_by_bucket(tbl, frontier_dirs(self.work, 0)[0])
 
     def _frontier_parts(self, rnd: int) -> list[dict]:
@@ -371,6 +410,15 @@ class CrawlEngine:
         if os.path.isdir(emis_dir):
             shutil.rmtree(emis_dir)  # crashed attempt: rebuild the sink
 
+        timing: dict[str, float] = {}
+        t_phase = time.perf_counter()
+
+        def lap(name: str) -> None:
+            nonlocal t_phase
+            now = time.perf_counter()
+            timing[name] = round(now - t_phase, 3)
+            t_phase = now
+
         cap_boundary = None
         if self.cfg.max_pages is not None:
             remaining = self.cfg.max_pages - processed_total
@@ -380,20 +428,34 @@ class CrawlEngine:
             self.work, rnd, self.cfg.politeness_budget, self.robots, cap_boundary
         )
         (
-            ray.data.from_items(parts)
-            .map_batches(admit, batch_size=1, batch_format="pyarrow")
+            # one block per bucket descriptor → one admit task per bucket;
+            # the fused admit→fetch→extract→write chain then runs as
+            # num_buckets parallel tasks (from_items alone puts ALL items
+            # in one block = one task = a serialized round)
+            # batch_size=None throughout: task granularity = one bucket
+            # block.  A positive batch_size makes Ray's input bundler
+            # coalesce the tiny descriptor blocks until it reaches that
+            # many rows — which fuses the WHOLE round into one task.
+            # Memory per task is bounded by the bucket's frontier slice
+            # (itself bounded by num_buckets and the politeness budget).
+            ray.data.from_items(parts, override_num_blocks=len(parts))
+            .map_batches(admit, batch_size=None, batch_format="pyarrow")
             .map_batches(
                 make_fetcher(self.idx_dir, self.cfg.filters),
                 batch_format="pyarrow",
-                batch_size=self.cfg.fetch_batch_size,
+                batch_size=None,
             )
             .map_batches(
-                make_extract_emitter(rnd, self.cfg.num_buckets, self.cfg.filters),
+                make_extract_emitter(
+                    rnd, self.cfg.num_buckets, self.cfg.filters,
+                    self.cfg.resolved_bucket_mode(),
+                ),
                 batch_format="pyarrow",
-                batch_size=self.cfg.extract_batch_size,
+                batch_size=None,
             )
             .write_parquet(emis_dir, partition_cols=["to_bucket"])
         )
+        lap("main_pipeline")
 
         # frontier construction from this round's (pre-partitioned) links
         link_parts = [
@@ -404,12 +466,13 @@ class CrawlEngine:
         discovered = link_rows = 0
         if link_parts:
             summaries = (
-                ray.data.from_items(link_parts)
-                .map_batches(make_prober(self.work, rnd), batch_size=1, batch_format="pyarrow")
+                ray.data.from_items(link_parts, override_num_blocks=len(link_parts))
+                .map_batches(make_prober(self.work, rnd), batch_size=None, batch_format="pyarrow")
                 .take_all()
             )
             discovered = int(sum(s["novel"] for s in summaries))
             link_rows = int(sum(s["link_rows"] for s in summaries))
+        lap("probe")
 
         # counters from committed artifacts (tiny column reads)
         nonlink = os.path.join(emis_dir, "to_bucket=-1")
@@ -430,10 +493,12 @@ class CrawlEngine:
             "discovered": discovered,
             "deduped": link_rows - discovered,
         }
+        lap("counters")
         processed_total += counters["admitted"] + counters["robots_denied"]
         atomic_write_json(
             {
                 "round": rnd,
+                "timing": timing,
                 "counters": counters,
                 "processed_total": processed_total,
                 "frontier_buckets": [p["bucket"] for p in parts],

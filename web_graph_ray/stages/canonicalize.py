@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.filters import FilterConfig, DEFAULT_FILTERS, parse_url
-from ..functions.hashing import host_bucket
+from ..functions.hashing import bucket_for
 from ..functions.urlnorm import page_id_from_parts
 from ..state.checkpoint import atomic_write_parquet
 
@@ -46,7 +46,7 @@ FRONTIER_SCHEMA = pa.schema(
 )
 
 
-def make_corpus_canonicalizer(num_buckets: int):
+def make_corpus_canonicalizer(num_buckets: int, bucket_mode: str = "host"):
     """Batch UDF for the one-time corpus index build: adds
     page_id/hostname/path/bucket columns; drops unparseable URLs.
     Corpus rows are NOT run through the admission filters — the corpus
@@ -64,10 +64,11 @@ def make_corpus_canonicalizer(num_buckets: int):
             hn = u.hostname()
             ep = u.escaped_path()
             keep.append(i)
-            ids.append(page_id_from_parts(hn, ep))
+            pid = page_id_from_parts(hn, ep)
+            ids.append(pid)
             hostnames.append(hn)
             paths.append(ep)
-            buckets.append(host_bucket(hn, num_buckets))
+            buckets.append(bucket_for(hn, pid, num_buckets, bucket_mode))
         out = batch.take(pa.array(keep, type=pa.int64()))
         out = out.append_column("page_id", pa.array(ids, type=pa.string()))
         out = out.append_column("hostname", pa.array(hostnames, type=pa.string()))
@@ -82,6 +83,7 @@ def seed_frontier_rows(
     seeds: list[str],
     num_buckets: int,
     filters: FilterConfig = DEFAULT_FILTERS,
+    bucket_mode: str = "host",
 ) -> pa.Table:
     """Seed list → round-0 frontier table (ordered, id-deduped — the
     reference's seed loop at ``cmd/link-processor/main.go:55-101``
@@ -103,7 +105,7 @@ def seed_frontier_rows(
         rows["hostname"].append(hn)
         rows["host"].append(u.host)
         rows["path"].append(ep)
-        rows["bucket"].append(host_bucket(hn, num_buckets))
+        rows["bucket"].append(bucket_for(hn, pid, num_buckets, bucket_mode))
         rows["seq"].append(seed_seq(i))
         rows["depth"].append(0)
         rows["priority"].append(0)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.filters import FilterConfig, DEFAULT_FILTERS
-from ..functions.hashing import host_bucket
+from ..functions.hashing import bucket_for
 from ..functions.links import extract_links
 from ..functions.urlnorm import parse
 from .canonicalize import child_seq
@@ -70,6 +70,7 @@ def make_extract_emitter(
     rnd: int,
     num_buckets: int,
     filters: FilterConfig = DEFAULT_FILTERS,
+    bucket_mode: str = "host",
 ):
     """Build the per-round extract/emit batch UDF (stateless tasks)."""
 
@@ -117,7 +118,7 @@ def make_extract_emitter(
                     to_hostname=link.to_hostname,
                     to_host=link.to_host,
                     to_path=link.to_escaped_path,
-                    to_bucket=host_bucket(link.to_hostname, num_buckets),
+                    to_bucket=bucket_for(link.to_hostname, link.to_page_id, num_buckets, bucket_mode),
                     candidate_seq=child_seq(get["seq"][i], link.anchor_index),
                     text=link.text,
                     **base_kw,
