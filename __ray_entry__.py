@@ -328,6 +328,21 @@ def multimodal_image_features(sf_dir: str):
     return _round_cols(out.to_pandas(), {"mean_intensity": 6})
 
 
+def distinct_user_count(sf_dir: str):
+    """Exact distinct count (set op, SQL-checked twin of the sketch)."""
+    n = _t(sf_dir, "events", ["user_id"]).unique("user_id")
+    return pd.DataFrame({"n_users": [int(len(n))]})
+
+
+def hll_distinct_users(sf_dir: str):
+    """Approximate distinct users via mergeable HLL sketches (one sketch
+    per batch → register-max merge; deterministic at any parallelism)."""
+    from web_graph_ray.stages.sketch import hll_distinct
+
+    out = hll_distinct(_t(sf_dir, "events", ["user_id"]), "user_id")
+    return pd.DataFrame([out])
+
+
 # --- crawl pipeline (fixture corpus; rows-only checks) ---------------------
 
 _CRAWL_CACHE: dict[str, Any] = {}
@@ -423,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann_cosine_topk,
         "cosine_near_dup_pairs": cosine_near_dup_pairs,
         # rows-only
+        "distinct_user_count": distinct_user_count,
+        "hll_distinct_users": hll_distinct_users,
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
@@ -511,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
                     where o.o_custkey = e.user_id and o.o_orderdate <= e.ts
                     order by o.o_orderdate desc, o.o_orderkey desc limit 1) as o_orderkey
             from events e
+        """,
+        "distinct_user_count": """
+            select count(distinct user_id) as n_users from events
         """,
         "exact_dedup_documents": """
             select min(doc_id) as doc_id from documents group by text

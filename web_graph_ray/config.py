@@ -36,6 +36,10 @@ class CrawlConfig:
     max_rounds: int | None = None
     #: stop after this many visited pages (None = unbounded)
     max_pages: int | None = None
+    #: compute per-page curation features (lang ID, quality metrics,
+    #: simhash fingerprint) on extracted text — the training-data
+    #: enrichment a 100 TB pipeline runs inline with the crawl
+    enrich_text: bool = True
 
     # --- partitioning / scale ---------------------------------------------
     #: number of hash partitions for frontier/seen/politeness state.
@@ -63,3 +67,6 @@ class CrawlConfig:
     # --- io ----------------------------------------------------------------
     #: working directory for checkpoints + outputs (one subdir per round)
     work_dir: str = "/tmp/webgraph_work"
+    #: corpus index location (corpus-derived, deterministic — share it
+    #: across crawls of the same corpus); None → {work_dir}/corpus_idx
+    corpus_idx_dir: str | None = None

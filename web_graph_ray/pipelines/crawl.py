@@ -246,6 +246,19 @@ def make_prober(work: str, rnd: int):
     return probe
 
 
+def _probe_one(probe_fn, bucket: int, part_dir: str) -> dict:
+    """Run the probe batch UDF for one bucket (plain-Ray-task wrapper)."""
+    out = probe_fn(pa.Table.from_pydict({"bucket": [bucket], "dir": [part_dir]}))
+    return {
+        "bucket": out["bucket"][0].as_py(),
+        "link_rows": out["link_rows"][0].as_py(),
+        "novel": out["novel"][0].as_py(),
+    }
+
+
+_PROBE_TASK = ray.remote(num_cpus=1)(_probe_one)
+
+
 def _corpus_bucket_writer(out_dir: str, robots_dir: str):
     """One-time corpus index: per bucket, dedup ids (first capture by
     warc_ts wins), sort by page_id (→ row-group pruning for fetch),
@@ -298,7 +311,7 @@ class CrawlEngine:
         self.corpus_paths = corpus_paths
         self.cfg = cfg or CrawlConfig()
         self.work = self.cfg.work_dir
-        self.idx_dir = os.path.join(self.work, "corpus_idx")
+        self.idx_dir = self.cfg.corpus_idx_dir or os.path.join(self.work, "corpus_idx")
         self._robots: dict[str, list[str]] | None = None
 
     # -- one-time corpus preparation ---------------------------------------
@@ -332,7 +345,7 @@ class CrawlEngine:
             make_corpus_canonicalizer(self.cfg.num_buckets, self.cfg.resolved_bucket_mode()),
             batch_format="pyarrow",
         )
-        robots_dir = os.path.join(self.work, "robots_parts")
+        robots_dir = os.path.join(self.idx_dir, "robots_parts")
         summary = ds.groupby("bucket").map_groups(
             _corpus_bucket_writer(self.idx_dir, robots_dir), batch_format="pyarrow"
         )
@@ -355,11 +368,11 @@ class CrawlEngine:
             for host, body in zip(t["hostname"].to_pylist(), t["html"].to_pylist()):
                 bodies.setdefault(host, body.decode("utf-8", "replace"))
         rules = {h: parse_robots(b) for h, b in bodies.items()}
-        atomic_write_json(rules, os.path.join(self.work, "robots.json"))
+        atomic_write_json(rules, os.path.join(self.idx_dir, "robots.json"))
         self._robots = rules
 
     def _load_robots(self) -> None:
-        path = os.path.join(self.work, "robots.json")
+        path = os.path.join(self.idx_dir, "robots.json")
         self._robots = read_json(path) if os.path.exists(path) else {}
 
     @property
@@ -448,7 +461,7 @@ class CrawlEngine:
             .map_batches(
                 make_extract_emitter(
                     rnd, self.cfg.num_buckets, self.cfg.filters,
-                    self.cfg.resolved_bucket_mode(),
+                    self.cfg.resolved_bucket_mode(), self.cfg.enrich_text,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -465,11 +478,16 @@ class CrawlEngine:
         ]
         discovered = link_rows = 0
         if link_parts:
-            summaries = (
-                ray.data.from_items(link_parts, override_num_blocks=len(link_parts))
-                .map_batches(make_prober(self.work, rnd), batch_size=None, batch_format="pyarrow")
-                .take_all()
-            )
+            # The probe is a per-bucket STATE update (read the bucket's
+            # enqueued set, write its next-frontier sidecar) with a tiny
+            # scalar result — plain Ray tasks, not a Dataset: there is no
+            # stream to pipe anywhere, and the streaming executor's
+            # per-execution startup would dominate at ~2 executions/round.
+            probe = make_prober(self.work, rnd)
+            futures = [
+                _PROBE_TASK.remote(probe, p["bucket"], p["dir"]) for p in link_parts
+            ]
+            summaries = ray.get(futures)
             discovered = int(sum(s["novel"] for s in summaries))
             link_rows = int(sum(s["link_rows"] for s in summaries))
         lap("probe")

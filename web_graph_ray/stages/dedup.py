@@ -292,9 +292,36 @@ def minhash_lsh_pairs(
         batch_partial=dedup_pairs,
     )
 
-    # verify via two hash joins against the signatures dataset (the
-    # scale path — nothing is collected on the driver)
+    # verification: estimated Jaccard = matching signature positions.
+    # Signature table is num_perm*8 B/doc — broadcast it below ~64 MB
+    # (one ray.put, zero shuffle); above that, two partitioned hash
+    # joins (the 10^9-doc path).
     sigs = _signatures(ds, text_col, id_col, k, num_perm)
+    n_docs = ds.count()
+    if n_docs * num_perm * 8 <= 64 << 20:
+        sig_df = sigs.to_pandas()
+        sig_ref = ray.put(dict(zip(sig_df[id_col], sig_df["sig"])))
+
+        def score_bc(batch: pa.Table) -> pa.Table:
+            sig_of = ray.get(sig_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            est = [
+                float(np.mean(np.frombuffer(sig_of[x], dtype=np.uint64)
+                              == np.frombuffer(sig_of[y], dtype=np.uint64)))
+                for x, y in zip(a, b)
+            ]
+            t = pa.Table.from_pydict(
+                {
+                    "a": pa.array(a, type=pa.int64()),
+                    "b": pa.array(b, type=pa.int64()),
+                    "est_jaccard": pa.array(est, type=pa.float64()),
+                }
+            )
+            return t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold))
+
+        return cand.map_batches(score_bc, batch_format="pyarrow")
+
     joined = cand.join(
         sigs, join_type="inner", num_partitions=8, on=("a",), right_on=(id_col,)
     ).rename_columns({"sig": "sig_a"}).join(

@@ -49,6 +49,13 @@ EMISSIONS_SCHEMA = pa.schema(
         ("to_bucket", pa.int32()),
         ("candidate_seq", pa.string()),
         ("text", pa.string()),
+        # per-page curation features (text rows only, when enrich=True)
+        ("lang_pred", pa.string()),
+        ("n_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("alpha_ratio", pa.float64()),
+        ("digit_ratio", pa.float64()),
+        ("simhash", pa.int64()),
     ]
 )
 
@@ -71,58 +78,103 @@ def make_extract_emitter(
     num_buckets: int,
     filters: FilterConfig = DEFAULT_FILTERS,
     bucket_mode: str = "host",
+    enrich: bool = False,
 ):
-    """Build the per-round extract/emit batch UDF (stateless tasks)."""
+    """Build the per-round extract/emit batch UDF (stateless tasks).
+
+    Column construction is vectorized: the base columns of visit/text/
+    link rows are Arrow ``take``s of the input batch (zero Python work
+    per row); the only Python loop is over actual anchors.  Non-link
+    rows carry to_bucket=-1 so the round sink can be hive-partitioned
+    on to_bucket (links land pre-partitioned for the frontier probe).
+    """
+    base_names = (
+        "page_id", "url", "hostname", "host", "path", "bucket", "seq", "depth", "status"
+    )
+    link_names = (
+        "anchor_idx", "emit_key", "to_page_id", "to_url", "to_hostname",
+        "to_host", "to_path", "to_bucket", "candidate_seq", "text",
+    )
+
+    def _part(batch: pa.Table, row_type: str, indices, extras: dict) -> pa.Table:
+        src = batch.select(base_names) if indices is None else batch.select(base_names).take(indices)
+        m = src.num_rows
+        arrays, fields = [], []
+        for field in EMISSIONS_SCHEMA:
+            if field.name == "row_type":
+                arr = pa.array([row_type] * m, type=pa.string())
+            elif field.name == "round":
+                arr = pa.array([rnd] * m, type=pa.int32())
+            elif field.name in base_names:
+                arr = src[field.name].combine_chunks().cast(field.type)
+            elif field.name in extras:
+                arr = pa.array(extras[field.name], type=field.type)
+            else:
+                arr = pa.nulls(m, field.type)
+            arrays.append(arr)
+            fields.append(field)
+        return pa.Table.from_arrays(arrays, schema=EMISSIONS_SCHEMA)
 
     def extract_emit(batch: pa.Table) -> pa.Table:
-        cols: dict[str, list] = {name: [] for name in EMISSIONS_SCHEMA.names}
-
-        def emit(**kw) -> None:
-            for name in EMISSIONS_SCHEMA.names:
-                cols[name].append(kw.get(name))
-
         n = batch.num_rows
-        get = {
-            name: batch[name].to_pylist()
-            for name in ("url", "page_id", "hostname", "host", "path", "bucket", "seq", "depth", "status", "html")
+        statuses = batch["status"].to_pylist()
+        urls = batch["url"].to_pylist()
+        seqs = batch["seq"].to_pylist()
+        htmls = batch["html"].to_pylist() if "html" in batch.column_names else [None] * n
+
+        visits = _part(batch, "visit", None, {"to_bucket": [-1] * n})
+
+        ok_idx = [i for i in range(n) if statuses[i] == "ok"]
+        doc_texts: list[str] = []
+        feats: dict[str, list] = {
+            "lang_pred": [], "n_chars": [], "n_tokens": [],
+            "alpha_ratio": [], "digit_ratio": [], "simhash": [],
         }
-        for i in range(n):
-            base_kw = dict(
-                round=rnd,
-                bucket=get["bucket"][i],
-                page_id=get["page_id"][i],
-                url=get["url"][i],
-                hostname=get["hostname"][i],
-                host=get["host"][i],
-                path=get["path"][i],
-                seq=get["seq"][i],
-                depth=get["depth"][i],
-                status=get["status"][i],
-            )
-            # non-link rows carry to_bucket=-1 so the round sink can be
-            # hive-partitioned on to_bucket (links land pre-partitioned
-            # for the frontier probe; -1 holds visit/text rows)
-            emit(row_type="visit", to_bucket=-1, **base_kw)
-            if get["status"][i] != "ok":
-                continue
-            base_url = parse(get["url"][i])
-            links, doc_text = extract_links(base_url, get["html"][i], filters)
-            emit(row_type="text", text=doc_text, to_bucket=-1, **base_kw)
+        link_parent: list[int] = []
+        lcols: dict[str, list] = {name: [] for name in link_names}
+        for i in ok_idx:
+            links, doc_text = extract_links(parse(urls[i]), htmls[i], filters)
+            doc_texts.append(doc_text)
+            if enrich:
+                # training-data curation features per fetched page —
+                # language ID, quality metrics, near-dup fingerprint
+                from ..functions.text import detect_lang, quality_metrics, simhash64
+
+                q = quality_metrics(doc_text)
+                feats["lang_pred"].append(detect_lang(doc_text))
+                feats["n_chars"].append(q["n_chars"])
+                feats["n_tokens"].append(q["n_tokens"])
+                feats["alpha_ratio"].append(q["alpha_ratio"])
+                feats["digit_ratio"].append(q["digit_ratio"])
+                feats["simhash"].append(simhash64(doc_text))
+            seq = seqs[i]
             for link in links:
-                emit(
-                    row_type="link",
-                    anchor_idx=link.anchor_index,
-                    emit_key=emit_key_link(rnd, get["seq"][i], link.anchor_index),
-                    to_page_id=link.to_page_id,
-                    to_url=link.to_url,
-                    to_hostname=link.to_hostname,
-                    to_host=link.to_host,
-                    to_path=link.to_escaped_path,
-                    to_bucket=bucket_for(link.to_hostname, link.to_page_id, num_buckets, bucket_mode),
-                    candidate_seq=child_seq(get["seq"][i], link.anchor_index),
-                    text=link.text,
-                    **base_kw,
+                link_parent.append(i)
+                lcols["anchor_idx"].append(link.anchor_index)
+                lcols["emit_key"].append(emit_key_link(rnd, seq, link.anchor_index))
+                lcols["to_page_id"].append(link.to_page_id)
+                lcols["to_url"].append(link.to_url)
+                lcols["to_hostname"].append(link.to_hostname)
+                lcols["to_host"].append(link.to_host)
+                lcols["to_path"].append(link.to_escaped_path)
+                lcols["to_bucket"].append(
+                    bucket_for(link.to_hostname, link.to_page_id, num_buckets, bucket_mode)
                 )
-        return pa.Table.from_pydict(cols, schema=EMISSIONS_SCHEMA)
+                lcols["candidate_seq"].append(child_seq(seq, link.anchor_index))
+                lcols["text"].append(link.text)
+
+        parts = [visits]
+        if ok_idx:
+            extras = {"to_bucket": [-1] * len(ok_idx), "text": doc_texts}
+            if enrich:
+                extras.update(feats)
+            parts.append(
+                _part(batch, "text", pa.array(ok_idx, type=pa.int64()), extras)
+            )
+        if link_parent:
+            parts.append(
+                _part(batch, "link", pa.array(link_parent, type=pa.int64()), lcols)
+            )
+        return pa.concat_tables(parts)
 
     return extract_emit
