@@ -397,6 +397,20 @@ def crawl_texts(sf_dir: str):
     return _crawl_engine(sf_dir).texts()
 
 
+def crawl_text_features(sf_dir: str):
+    """Per-page curation features computed inline by the crawl's extract
+    stage (lang ID, quality metrics, simhash fingerprint)."""
+    import pyarrow.dataset as pads
+
+    eng = _crawl_engine(sf_dir)
+    files = eng._nonlink_files()
+    t = pads.dataset(files).to_table(
+        columns=["url", "lang_pred", "n_chars", "n_tokens", "alpha_ratio", "simhash"],
+        filter=pads.field("row_type") == "text",
+    )
+    return t
+
+
 def crawl_top_hosts(sf_dir: str):
     from web_graph_ray.pipelines.queries import GraphQueries
 
@@ -450,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_links": crawl_links,
         "crawl_visits": crawl_visits,
         "crawl_texts": crawl_texts,
+        "crawl_text_features": crawl_text_features,
         "crawl_top_hosts": crawl_top_hosts,
     }
 

@@ -163,6 +163,25 @@ class TestPoliteness:
         assert_conformance(eng, res)
 
 
+class TestOtherSeeds:
+    """Robustness across graph shapes: a different corpus seed, all
+    adversarial cases re-rolled, politeness+robots on."""
+
+    @pytest.mark.parametrize("seed,n", [(7, 150), (1234, 120)])
+    def test_seeded_conformance(self, ray_session, tmp_path_factory, seed, n):
+        from web_graph_ray.sources.synth import CorpusConfig
+
+        ccfg = CorpusConfig(n_pages=n, seed=seed)
+        d = tmp_path_factory.mktemp(f"seed{seed}")
+        path = write_corpus(str(d / "corpus"), ccfg)
+        table = pq.read_table(path)
+        seeds = seed_urls(ccfg)
+        eng = make_engine(path, d, respect_robots=True, politeness_budget=2, max_rounds=6)
+        eng.run(seeds)
+        res = run_oracle(table, seeds, budget=2, respect_robots=True, max_rounds=6)
+        assert_conformance(eng, res)
+
+
 class TestResume:
     def test_resume_equals_uninterrupted(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
         base = tmp_path_factory.mktemp("resume")

@@ -1,0 +1,137 @@
+"""Tests for crawl text enrichment, sketches, simhash, and the CLI."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from web_graph_ray.functions.text import detect_lang, quality_metrics, simhash64
+
+
+class TestSimhash:
+    def test_deterministic(self):
+        assert simhash64("hello world " * 50) == simhash64("hello world " * 50)
+
+    def test_similar_texts_close(self):
+        a = simhash64("the quick brown fox jumps over the lazy dog " * 20)
+        b = simhash64("the quick brown fox jumps over the lazy dogs " * 20)
+        c = simhash64("completely different content about databases " * 20)
+        ham = lambda x, y: bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert ham(a, b) < ham(a, c)
+
+    def test_empty_and_short(self):
+        assert simhash64("") == 0
+        assert isinstance(simhash64("ab"), int)
+
+    def test_signed_int64_range(self):
+        for t in ("x" * 100, "q9$#@!" * 40, "ünïcødé " * 30):
+            v = simhash64(t)
+            assert -(1 << 63) <= v < (1 << 63)
+
+
+class TestLangQuality:
+    def test_langid_languages(self):
+        assert detect_lang("the cat and the dog sat on the mat for a while") == "en"
+        assert detect_lang("der Hund und die Katze sind nicht mit dem Mann") == "de"
+        assert detect_lang("le chat est dans la maison pour le moment") == "fr"
+        assert detect_lang("") == "und"
+        assert detect_lang("12345 67890") == "und"
+
+    def test_quality_metrics_boundary(self):
+        m = quality_metrics("")
+        assert m["n_chars"] == 0 and m["n_tokens"] == 0 and m["alpha_ratio"] == 0.0
+        m = quality_metrics("abc 123!")
+        assert m["n_tokens"] == 2
+        assert m["alpha_ratio"] == 3 / 8
+        assert m["digit_ratio"] == 3 / 8
+
+
+class TestHLL:
+    def test_accuracy(self):
+        from web_graph_ray.stages.sketch import _hll_add_batch, _hll_estimate
+
+        for n in (100, 5000, 50000):
+            reg = np.zeros(1 << 12, dtype=np.uint8)
+            _hll_add_batch(reg, range(n), 12)
+            est = _hll_estimate(reg)
+            assert abs(est / n - 1) < 0.05, (n, est)
+
+    def test_merge_invariance(self):
+        """Sketch of a union == merge of partial sketches (mergeability —
+        the property that makes it a one-row-per-batch combiner)."""
+        from web_graph_ray.stages.sketch import _hll_add_batch
+
+        whole = np.zeros(1 << 12, dtype=np.uint8)
+        _hll_add_batch(whole, range(10000), 12)
+        a = np.zeros(1 << 12, dtype=np.uint8)
+        b = np.zeros(1 << 12, dtype=np.uint8)
+        _hll_add_batch(a, range(0, 6000), 12)
+        _hll_add_batch(b, range(4000, 10000), 12)
+        assert np.array_equal(whole, np.maximum(a, b))
+
+
+class TestEnrichment:
+    def test_extract_emitter_features(self):
+        import pyarrow as pa
+
+        from web_graph_ray.stages.extract import make_extract_emitter
+
+        batch = pa.Table.from_pydict(
+            {
+                "url": ["https://x.com/a"],
+                "page_id": ["p"], "hostname": ["x.com"], "host": ["x.com"],
+                "path": ["/a"], "bucket": pa.array([0], type=pa.int32()),
+                "seq": ["0000000"], "depth": pa.array([0], type=pa.int32()),
+                "priority": pa.array([0], type=pa.int32()), "discovered_from": [""],
+                "status": ["ok"],
+                "html": [b"<html><body>the cat and the dog went to the house</body></html>"],
+            }
+        )
+        out = make_extract_emitter(0, 4, enrich=True)(batch)
+        text_rows = out.filter(pa.compute.equal(out["row_type"], "text"))
+        assert text_rows.num_rows == 1
+        assert text_rows["lang_pred"][0].as_py() == "en"
+        assert text_rows["n_tokens"][0].as_py() == 9
+        assert text_rows["simhash"][0].as_py() is not None
+        # enrich off → nulls
+        out2 = make_extract_emitter(0, 4, enrich=False)(batch)
+        t2 = out2.filter(pa.compute.equal(out2["row_type"], "text"))
+        assert t2["lang_pred"][0].as_py() is None
+
+
+class TestCLI:
+    def test_cli_crawl_and_resume(self, tmp_path):
+        from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+
+        ccfg = CorpusConfig(n_pages=80, seed=11)
+        corpus = write_corpus(str(tmp_path / "corpus"), ccfg)
+        seeds_file = tmp_path / "seeds.txt"
+        seeds_file.write_text("\n".join(seed_urls(ccfg)))
+
+        def run(extra):
+            out = subprocess.run(
+                [sys.executable, "-m", "web_graph_ray.pipelines",
+                 "--corpus", corpus, "--work", str(tmp_path / "work"),
+                 "--num-cpus", "4", "--buckets", "4"] + extra,
+                capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            return json.loads(out.stdout)
+
+        first = run(["--seeds-file", str(seeds_file), "--max-rounds", "2"])
+        assert first["summary"]["rounds"] == 2
+        # resume without seeds
+        second = run([])
+        assert second["summary"]["rounds"] >= first["summary"]["rounds"]
+        assert second["pages"] >= first["pages"]
+
+    def test_cli_fresh_without_seeds_errors(self, tmp_path):
+        out = subprocess.run(
+            [sys.executable, "-m", "web_graph_ray.pipelines",
+             "--corpus", "x.parquet", "--work", str(tmp_path / "w")],
+            capture_output=True, text=True, timeout=60, cwd="/root/repo",
+        )
+        assert out.returncode != 0
+        assert "seeds" in out.stderr

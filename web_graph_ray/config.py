@@ -57,12 +57,10 @@ class CrawlConfig:
         return "host" if self.politeness_budget is not None else "id"
 
     # --- physical knobs -----------------------------------------------------
-    #: rows per batch into the fetch/extract stages (html rows can be MBs —
-    #: keep batches modest so batch × concurrency fits in worker heaps)
-    fetch_batch_size: int = 256
-    extract_batch_size: int = 256
-    #: actor-pool size for the fetch stage; None → let Ray use tasks
-    fetch_concurrency: int | tuple[int, int] | None = None
+    # The round pipeline deliberately runs with batch_size=None — task
+    # granularity is one frontier bucket (see pipelines/crawl.py), so
+    # per-task memory is bounded by num_buckets + politeness budget, and
+    # Ray's input bundler cannot collapse the round into one task.
 
     # --- io ----------------------------------------------------------------
     #: working directory for checkpoints + outputs (one subdir per round)
