@@ -125,6 +125,14 @@ def _fetch(idx: dict, pid: str, cfg: FilterConfig) -> tuple[str, dict | None]:
     return "ok", row
 
 
+def _priority(depth: int, mode: str) -> int:
+    if mode == "shallow_first":
+        return depth
+    if mode == "deep_first":
+        return -depth
+    return 0
+
+
 def run_oracle(
     pages: pa.Table,
     seeds: list[str],
@@ -133,6 +141,7 @@ def run_oracle(
     max_rounds: int | None = None,
     max_pages: int | None = None,
     filters: FilterConfig = DEFAULT_FILTERS,
+    priority_mode: str = "fifo",
 ) -> OracleResult:
     """Round-based canonical semantics (the engine's contract)."""
     idx = corpus_index(pages)
@@ -160,6 +169,7 @@ def run_oracle(
                 "host": u.host,
                 "path": u.escaped_path(),
                 "seq": seed_seq(i),
+                "priority": _priority(0, priority_mode),
             }
         )
 
@@ -169,7 +179,7 @@ def run_oracle(
     while frontier and (max_rounds is None or rnd < max_rounds):
         if max_pages is not None and processed_total >= max_pages:
             break
-        frontier.sort(key=lambda r: r["seq"])
+        frontier.sort(key=lambda r: (r["priority"], r["seq"]))
         res.frontiers.append([r["page_id"] for r in frontier])
         counters = {
             "round": rnd,
@@ -252,6 +262,7 @@ def run_oracle(
                     if tid not in enqueued:
                         enqueued.add(tid)
                         counters["discovered"] += 1
+                        cseq = child_seq(row["seq"], link.anchor_index)
                         next_frontier.append(
                             {
                                 "url": link.to_url,
@@ -259,7 +270,8 @@ def run_oracle(
                                 "hostname": link.to_hostname,
                                 "host": link.to_host,
                                 "path": link.to_escaped_path,
-                                "seq": child_seq(row["seq"], link.anchor_index),
+                                "seq": cseq,
+                                "priority": _priority(cseq.count("."), priority_mode),
                             }
                         )
                     else:

@@ -42,7 +42,10 @@ def make_engine(corpus_path, tmp_path, **kw) -> CrawlEngine:
 
 
 def engine_visits(eng):
-    df = eng.visits().to_pandas().sort_values(["round", "seq"]).reset_index(drop=True)
+    # reference visit order = (round, priority, seq) — the admission order
+    df = eng.visits().to_pandas().sort_values(
+        ["round", "priority", "seq"]
+    ).reset_index(drop=True)
     return list(zip(df["page_id"], df["status"], df["depth"], df["round"]))
 
 
@@ -161,6 +164,24 @@ class TestPoliteness:
         eng.run(seeds)
         res = run_oracle(corpus_table, seeds, max_pages=25)
         assert_conformance(eng, res)
+
+
+class TestPriorityQueue:
+    def test_deep_first_with_politeness(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        """Non-FIFO priority ordering: deeper pages admitted first when
+        politeness defers — engine ≡ oracle under the same rule."""
+        eng = make_engine(
+            corpus_path, tmp_path_factory.mktemp("prio"),
+            respect_robots=False, politeness_budget=3, max_rounds=6,
+            priority_mode="deep_first",
+        )
+        eng.run(seeds)
+        res = run_oracle(corpus_table, seeds, budget=3, max_rounds=6,
+                         priority_mode="deep_first")
+        assert_conformance(eng, res)
+        # sanity: ordering actually differs from FIFO
+        fifo = run_oracle(corpus_table, seeds, budget=3, max_rounds=6)
+        assert [v["page_id"] for v in res.visits] != [v["page_id"] for v in fifo.visits]
 
 
 class TestOtherSeeds:

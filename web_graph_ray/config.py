@@ -36,6 +36,11 @@ class CrawlConfig:
     max_rounds: int | None = None
     #: stop after this many visited pages (None = unbounded)
     max_pages: int | None = None
+    #: frontier ordering: "fifo" (pure BFS — the reference's order),
+    #: "shallow_first" (priority=depth: shallow pages first even over
+    #: politeness-deferred deep ones), "deep_first" (-depth).  Admission
+    #: processes (priority, seq) lexicographically; deterministic.
+    priority_mode: str = "fifo"
     #: compute per-page curation features (lang ID, quality metrics,
     #: simhash fingerprint) on extracted text — the training-data
     #: enrichment a 100 TB pipeline runs inline with the crawl

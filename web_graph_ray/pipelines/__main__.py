@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--max-pages", type=int, default=None)
     p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--priority-mode", default="fifo",
+                   choices=["fifo", "shallow_first", "deep_first"],
+                   help="frontier ordering (fifo = reference BFS)")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -63,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         respect_robots=args.robots,
         max_rounds=args.max_rounds,
         max_pages=args.max_pages,
+        priority_mode=args.priority_mode,
     )
     eng = CrawlEngine(args.corpus, cfg)
     summary = eng.run(seeds or None)

@@ -106,10 +106,13 @@ def make_admitter(
             bucket = batch["bucket"][i].as_py()
             files = batch["files"][i].as_py()
             df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
-            df = df.sort_values("seq", kind="mergesort").reset_index(drop=True)
+            df = df.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
 
             if cap_boundary is not None:
-                capped = df["seq"] > cap_boundary
+                cp, cs = cap_boundary
+                capped = (df["priority"] > cp) | (
+                    (df["priority"] == cp) & (df["seq"] > cs)
+                )
             else:
                 capped = df["seq"] != df["seq"]  # all-False
             eligible = df[~capped]
@@ -132,7 +135,7 @@ def make_admitter(
 
             if len(deferred):
                 tbl = pa.Table.from_pandas(
-                    deferred.sort_values("seq"),
+                    deferred.sort_values(["priority", "seq"]),
                     schema=FRONTIER_SCHEMA,
                     preserve_index=False,
                 )
@@ -157,10 +160,8 @@ def make_admitter(
 COMPACT_EVERY = 8  # rounds between per-bucket enqueued-set compactions
 
 
-def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
-    """The bucket's all-time enqueued id set through round ``rnd``:
-    latest compacted snapshot (if any) + the novel deltas after it.
-    Returns (ids, compacted_through_round)."""
+def _find_snapshot(work: str, bucket: int, rnd: int) -> tuple[str | None, int]:
+    """Latest compacted enqueued-set snapshot ≤ rnd: (path, through_round)."""
     comp_dir = os.path.join(work, "enqueued")
     prefix = f"bucket={bucket:04d}.through="
     best_r, best_f = -1, None
@@ -170,6 +171,14 @@ def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
                 r = int(f[len(prefix):].split(".")[0])
                 if best_r < r <= rnd:
                     best_r, best_f = r, os.path.join(comp_dir, f)
+    return best_f, best_r
+
+
+def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
+    """The bucket's all-time enqueued id set through round ``rnd``:
+    latest compacted snapshot (if any) + the novel deltas after it.
+    Returns (ids, compacted_through_round)."""
+    best_f, best_r = _find_snapshot(work, bucket, rnd)
     enq: set = set()
     if best_f is not None:
         enq.update(pq.read_table(best_f, columns=["page_id"])["page_id"].to_pylist())
@@ -180,7 +189,15 @@ def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
     return enq, best_r
 
 
-def make_prober(work: str, rnd: int):
+def _priority_of(depths, mode: str):
+    if mode == "shallow_first":
+        return depths
+    if mode == "deep_first":
+        return -depths
+    return 0  # fifo
+
+
+def make_prober(work: str, rnd: int, priority_mode: str = "fifo"):
     """Frontier-construction task for one target bucket: within-round
     first-wins dedup by candidate_seq, then exact anti-join against the
     bucket's all-time enqueued set (the union of its prior ``novel``
@@ -203,22 +220,75 @@ def make_prober(work: str, rnd: int):
             df = pads.dataset(part_dir).to_table(
                 columns=[
                     "page_id", "to_page_id", "to_url", "to_hostname",
-                    "to_host", "to_path", "candidate_seq",
+                    "to_host", "to_path", "candidate_seq", "priority",
                 ]
             ).to_pandas()
             link_rows = len(df)
-            df = df.sort_values("candidate_seq", kind="mergesort").drop_duplicates(
+            # within-round first-enqueuer-wins: sequential enqueue order is
+            # parent ADMISSION order (parent priority, then seq.anchor)
+            df = df.sort_values(["priority", "candidate_seq"], kind="mergesort").drop_duplicates(
                 "to_page_id", keep="first"
             )
-            enq, comp_r = _read_enqueued(work, bucket, rnd)
-            novel = df[~df["to_page_id"].isin(enq)]
+            cand_ids = df["to_page_id"].tolist()
+
+            from ..state.seen import BloomFilter, load_bloom, save_bloom
+
+            bloom, bloom_r = load_bloom(work, bucket)
+            if bloom is not None and bloom_r >= rnd:
+                # Bloom pre-filter (complete through this round): False ⇒
+                # DEFINITELY novel; True ⇒ check exactly, reading ONLY the
+                # maybe-seen ids from the sorted snapshot (row-group
+                # pruning) + the post-snapshot delta files.
+                maybe = bloom.contains_many(cand_ids)
+                need = [i for i, m in zip(cand_ids, maybe) if m]
+                seen: set[str] = set()
+                if need:
+                    snap_f, snap_r = _find_snapshot(work, bucket, rnd)
+                    if snap_f is not None:
+                        seen.update(
+                            pq.read_table(
+                                snap_f, columns=["page_id"],
+                                filters=pc.field("page_id").isin(need),
+                            )["page_id"].to_pylist()
+                        )
+                    need_set = set(need)
+                    for r in range(snap_r + 1, rnd + 1):
+                        f = bucket_file(frontier_dirs(work, r)[0], bucket)
+                        if os.path.exists(f):
+                            seen.update(
+                                need_set.intersection(
+                                    pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
+                                )
+                            )
+                novel = df[~df["to_page_id"].isin(seen)]
+                comp_r = _find_snapshot(work, bucket, rnd)[1]
+                enq = None  # full set not loaded (the point of the bloom)
+            else:
+                enq, comp_r = _read_enqueued(work, bucket, rnd)
+                novel = df[~df["to_page_id"].isin(enq)]
+                bloom = BloomFilter.sized_for(max(4096, 2 * (len(enq) + len(novel))))
+                bloom.add_many(list(enq))
+
             if rnd - comp_r >= COMPACT_EVERY:
                 # fold the delta tail into a fresh snapshot (deterministic,
                 # derived data — safe to rewrite on crash-rerun)
+                if enq is None:
+                    enq, _ = _read_enqueued(work, bucket, rnd)
                 atomic_write_parquet(
                     pa.Table.from_pydict({"page_id": pa.array(sorted(enq))}),
                     os.path.join(work, "enqueued", f"bucket={bucket:04d}.through={rnd:06d}.parquet"),
                 )
+            # keep the bloom complete through round rnd+1 (this round's
+            # novel discoveries included); regrow from the exact set when
+            # past design fill
+            novel_ids = novel["to_page_id"].tolist()
+            bloom.add_many(novel_ids)
+            if bloom.overfull:
+                if enq is None:
+                    enq, _ = _read_enqueued(work, bucket, rnd)
+                bloom = BloomFilter.sized_for(2 * (len(enq) + len(novel_ids)))
+                bloom.add_many(list(enq) + novel_ids)
+            save_bloom(work, bucket, bloom, rnd + 1)
             if len(novel):
                 out = pd.DataFrame(
                     {
@@ -230,7 +300,9 @@ def make_prober(work: str, rnd: int):
                         "bucket": bucket,
                         "seq": novel["candidate_seq"].values,
                         "depth": novel["candidate_seq"].str.count("\\.").values,
-                        "priority": 0,
+                        "priority": _priority_of(
+                            novel["candidate_seq"].str.count("\\.").values, priority_mode
+                        ),
                         "discovered_from": novel["page_id"].values,
                     }
                 )
@@ -400,16 +472,17 @@ class CrawlEngine:
             by_bucket.setdefault(b, []).append(f)
         return [{"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())]
 
-    def _cap_boundary(self, parts: list[dict], remaining: int) -> str | None:
-        """seq value of the last row inside the crawl cap (None = no cap)."""
-        seqs = []
+    def _cap_boundary(self, parts: list[dict], remaining: int):
+        """(priority, seq) of the last row inside the crawl cap."""
+        keys = []
         for p in parts:
             for f in p["files"]:
-                seqs.extend(pq.read_table(f, columns=["seq"])["seq"].to_pylist())
-        if len(seqs) <= remaining:
+                t = pq.read_table(f, columns=["priority", "seq"])
+                keys.extend(zip(t["priority"].to_pylist(), t["seq"].to_pylist()))
+        if len(keys) <= remaining:
             return None
-        seqs.sort()
-        return seqs[remaining - 1] if remaining > 0 else ""
+        keys.sort()
+        return keys[remaining - 1] if remaining > 0 else (-(1 << 30), "")
 
     def run_round(self, rnd: int, processed_total: int) -> dict | None:
         rd = round_dir(self.work, rnd)
@@ -483,7 +556,7 @@ class CrawlEngine:
             # scalar result — plain Ray tasks, not a Dataset: there is no
             # stream to pipe anywhere, and the streaming executor's
             # per-execution startup would dominate at ~2 executions/round.
-            probe = make_prober(self.work, rnd)
+            probe = make_prober(self.work, rnd, self.cfg.priority_mode)
             futures = [
                 _PROBE_TASK.remote(probe, p["bucket"], p["dir"]) for p in link_parts
             ]
@@ -524,6 +597,7 @@ class CrawlEngine:
                     "num_buckets": self.cfg.num_buckets,
                     "politeness_budget": self.cfg.politeness_budget,
                     "respect_robots": self.cfg.respect_robots,
+                    "priority_mode": self.cfg.priority_mode,
                 },
             },
             manifest_path,
@@ -600,7 +674,7 @@ class CrawlEngine:
     def visits(self) -> "ray.data.Dataset":
         """Crawl records: one row per processed page; reference visit
         order = sort by (round, seq)."""
-        cols = ["round", "page_id", "url", "seq", "depth", "status", "bucket"]
+        cols = ["round", "page_id", "url", "seq", "depth", "priority", "status", "bucket"]
         return (
             ray.data.read_parquet(self._nonlink_files(), columns=cols + ["row_type"])
             .filter(expr="row_type == 'visit'")
@@ -638,14 +712,17 @@ class CrawlEngine:
         censored for targets already robots-denied at emission time)."""
         vd = self._visited_files()
         selfs = ray.data.read_parquet(
-            vd, columns=["page_id", "hostname", "path", "url", "seq", "round", "status"]
+            vd,
+            columns=["page_id", "hostname", "path", "url", "seq", "round", "status", "priority"],
         )
 
         def self_rows(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["status"], "admitted"))
             keys = [
-                emit_key_self(r, s)
-                for r, s in zip(t["round"].to_pylist(), t["seq"].to_pylist())
+                emit_key_self(r, s, p)
+                for r, s, p in zip(
+                    t["round"].to_pylist(), t["seq"].to_pylist(), t["priority"].to_pylist()
+                )
             ]
             return pa.Table.from_pydict(
                 {
@@ -662,13 +739,14 @@ class CrawlEngine:
         # denial keys: small (robots denials are rare) → broadcast dict
         denial: dict[str, str] = {}
         for f in vd:
-            t = pq.read_table(f, columns=["page_id", "seq", "round", "status"])
-            for pid, s, r, st in zip(
+            t = pq.read_table(f, columns=["page_id", "seq", "round", "status", "priority"])
+            for pid, s, r, st, p in zip(
                 t["page_id"].to_pylist(), t["seq"].to_pylist(),
                 t["round"].to_pylist(), t["status"].to_pylist(),
+                t["priority"].to_pylist(),
             ):
                 if st == "robots_denied":
-                    denial[pid] = emit_key_self(r, s)
+                    denial[pid] = emit_key_self(r, s, p)
 
         targets = ray.data.read_parquet(
             self._link_files(),

@@ -38,6 +38,7 @@ EMISSIONS_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("seq", pa.string()),
         ("depth", pa.int32()),
+        ("priority", pa.int32()),
         ("status", pa.string()),
         ("anchor_idx", pa.int32()),
         ("emit_key", pa.string()),
@@ -60,17 +61,25 @@ EMISSIONS_SCHEMA = pa.schema(
 )
 
 
-def emit_key_self(rnd: int, seq: str) -> str:
-    """Emission-order key of a page's own row (emitted at visit time)."""
-    return f"{rnd:06d}|{seq}"
+def _prio_enc(priority: int) -> str:
+    """Offset-encoded priority, fixed width, lexicographically ordered
+    (priorities can be negative under non-FIFO modes)."""
+    return f"{priority + (1 << 20):07d}"
 
 
-def emit_key_link(rnd: int, parent_seq: str, anchor_idx: int) -> str:
+def emit_key_self(rnd: int, seq: str, priority: int = 0) -> str:
+    """Emission-order key of a page's own row (emitted at visit time).
+    Sequential emission order within a round is ADMISSION order =
+    (priority, seq), so the key embeds both."""
+    return f"{rnd:06d}|{_prio_enc(priority)}|{seq}"
+
+
+def emit_key_link(rnd: int, parent_seq: str, anchor_idx: int, priority: int = 0) -> str:
     """Emission-order key of a link / target-page row.  Sorts after the
     parent's self key ('seq' < 'seq.NNNNNNN' lexicographically) and in
     anchor order within one page — reproducing the reference's exact
     sequential emission order for first-wins conflicts."""
-    return f"{rnd:06d}|{child_seq(parent_seq, anchor_idx)}"
+    return f"{rnd:06d}|{_prio_enc(priority)}|{child_seq(parent_seq, anchor_idx)}"
 
 
 def make_extract_emitter(
@@ -89,7 +98,8 @@ def make_extract_emitter(
     on to_bucket (links land pre-partitioned for the frontier probe).
     """
     base_names = (
-        "page_id", "url", "hostname", "host", "path", "bucket", "seq", "depth", "status"
+        "page_id", "url", "hostname", "host", "path", "bucket", "seq",
+        "depth", "priority", "status",
     )
     link_names = (
         "anchor_idx", "emit_key", "to_page_id", "to_url", "to_hostname",
@@ -120,6 +130,7 @@ def make_extract_emitter(
         statuses = batch["status"].to_pylist()
         urls = batch["url"].to_pylist()
         seqs = batch["seq"].to_pylist()
+        prios = batch["priority"].to_pylist()
         htmls = batch["html"].to_pylist() if "html" in batch.column_names else [None] * n
 
         visits = _part(batch, "visit", None, {"to_bucket": [-1] * n})
@@ -148,10 +159,11 @@ def make_extract_emitter(
                 feats["digit_ratio"].append(q["digit_ratio"])
                 feats["simhash"].append(simhash64(doc_text))
             seq = seqs[i]
+            prio = prios[i]
             for link in links:
                 link_parent.append(i)
                 lcols["anchor_idx"].append(link.anchor_index)
-                lcols["emit_key"].append(emit_key_link(rnd, seq, link.anchor_index))
+                lcols["emit_key"].append(emit_key_link(rnd, seq, link.anchor_index, prio))
                 lcols["to_page_id"].append(link.to_page_id)
                 lcols["to_url"].append(link.to_url)
                 lcols["to_hostname"].append(link.to_hostname)
