@@ -286,6 +286,16 @@ def minhash_pairs_documents(sf_dir: str):
     return _round_cols(out, {"est_jaccard": 6}).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def minhash_clusters_documents(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs → min-label propagation
+    connected components (iterative groupby, no driver union-find)."""
+    from web_graph_ray.stages.dedup import minhash_clusters, minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return minhash_clusters(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+
+
 def simhash_pairs_documents(sf_dir: str):
     from web_graph_ray.stages.dedup import simhash_pairs
 
@@ -458,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
+        "minhash_clusters_documents": minhash_clusters_documents,
         "simhash_pairs_documents": simhash_pairs_documents,
         "lsh_ann_topk": lsh_ann_topk,
         "multimodal_image_features": multimodal_image_features,

@@ -72,6 +72,35 @@ class TestHLL:
         assert np.array_equal(whole, np.maximum(a, b))
 
 
+class TestBloom:
+    def test_no_false_negatives_and_low_fp(self):
+        import hashlib
+
+        from web_graph_ray.state.seen import BloomFilter
+
+        ids = [hashlib.sha1(str(i).encode()).hexdigest() for i in range(30000)]
+        bf = BloomFilter.sized_for(15000)
+        bf.add_many(ids[:15000])
+        assert bf.contains_many(ids[:15000]).all()  # never a false negative
+        assert bf.contains_many(ids[15000:]).mean() < 0.01
+
+    def test_overfull_and_roundtrip(self, tmp_path):
+        import hashlib
+
+        from web_graph_ray.state.seen import BloomFilter, load_bloom, save_bloom
+
+        ids = [hashlib.sha1(str(i).encode()).hexdigest() for i in range(10000)]
+        bf = BloomFilter(1 << 16)
+        bf.add_many(ids)
+        assert bf.overfull  # 10k ids * 16 bits > 65536
+        save_bloom(str(tmp_path), 3, bf, through_round=7)
+        loaded, through = load_bloom(str(tmp_path), 3)
+        assert through == 7
+        assert loaded.contains_many(ids).all()
+        assert (loaded.bits == bf.bits).all()
+        assert load_bloom(str(tmp_path), 99) == (None, -1)
+
+
 class TestEnrichment:
     def test_extract_emitter_features(self):
         import pyarrow as pa
