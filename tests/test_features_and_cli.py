@@ -130,6 +130,46 @@ class TestEnrichment:
         assert t2["lang_pred"][0].as_py() is None
 
 
+class TestParallelismInvariance:
+    def test_outputs_identical_across_cpu_counts(self, tmp_path):
+        """SURVEY §5.3: byte-identical crawl outputs at different
+        parallelism (fresh Ray session per level via the CLI)."""
+        from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+
+        ccfg = CorpusConfig(n_pages=100, seed=3)
+        corpus = write_corpus(str(tmp_path / "corpus"), ccfg)
+        seeds_file = tmp_path / "seeds.txt"
+        seeds_file.write_text("\n".join(seed_urls(ccfg)))
+
+        results = {}
+        for ncpu in (2, 4):
+            out = subprocess.run(
+                [sys.executable, "-m", "web_graph_ray.pipelines",
+                 "--corpus", corpus, "--work", str(tmp_path / f"work{ncpu}"),
+                 "--seeds-file", str(seeds_file), "--num-cpus", str(ncpu),
+                 "--buckets", "4", "--budget", "3", "--robots"],
+                capture_output=True, text=True, timeout=300, cwd="/root/repo",
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            results[ncpu] = json.loads(out.stdout)
+
+        assert results[2]["counters"] == results[4]["counters"]
+        assert results[2]["pages"] == results[4]["pages"]
+        assert results[2]["links"] == results[4]["links"]
+        # visits byte-identical (sorted emissions content)
+        import duckdb
+
+        def visits(ncpu):
+            return duckdb.sql(
+                f"select page_id, round, seq, status from read_parquet("
+                f"'{tmp_path}/work{ncpu}/rounds/*/emissions/to_bucket=-1/*.parquet')"
+                f" where row_type='visit' order by round, priority, seq"
+            ).df()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(visits(2), visits(4))
+
+
 class TestCLI:
     def test_cli_crawl_and_resume(self, tmp_path):
         from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus

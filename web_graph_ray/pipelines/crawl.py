@@ -382,6 +382,15 @@ class CrawlEngine:
     def __init__(self, corpus_paths: str | list[str], cfg: CrawlConfig | None = None):
         self.corpus_paths = corpus_paths
         self.cfg = cfg or CrawlConfig()
+        if (
+            self.cfg.politeness_budget is not None
+            and self.cfg.resolved_bucket_mode() != "host"
+        ):
+            raise ValueError(
+                "per-host politeness budgets require host-hash partitioning "
+                "(bucket_mode='host' or 'auto'): admission must see a host's "
+                "frontier rows together"
+            )
         self.work = self.cfg.work_dir
         self.idx_dir = self.cfg.corpus_idx_dir or os.path.join(self.work, "corpus_idx")
         self._robots: dict[str, list[str]] | None = None
