@@ -374,7 +374,7 @@ def _crawl_engine(sf_dir: str):
     n_pages = {"0.001": 300, "0.01": 1000, "0.1": 3000}.get(sf, 300)
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf)
     # version tag invalidates caches when the emissions schema evolves
-    root = f"/tmp/wg_entry/v3_{tag}_{n_pages}"
+    root = f"/tmp/wg_entry/v4_{tag}_{n_pages}"
     ccfg = CorpusConfig(n_pages=n_pages, seed=42)
     corpus = os.path.join(root, "corpus", "pages.parquet")
     if not os.path.exists(corpus):

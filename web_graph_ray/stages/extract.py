@@ -106,23 +106,30 @@ def make_extract_emitter(
         "to_host", "to_path", "to_bucket", "candidate_seq", "text",
     )
 
+    # link rows only need the emitter's page_id + priority downstream
+    # (probe: to_*/candidate_seq/priority; links(): page_id/to_page_id/
+    # text/emit_key; pages(): to_*/emit_key) — the other parent columns
+    # are nulled to keep the round sink lean (~200 B/row × millions).
+    _LINK_BASE = frozenset({"page_id", "bucket", "priority"})
+
     def _part(batch: pa.Table, row_type: str, indices, extras: dict) -> pa.Table:
         src = batch.select(base_names) if indices is None else batch.select(base_names).take(indices)
         m = src.num_rows
-        arrays, fields = [], []
+        arrays = []
         for field in EMISSIONS_SCHEMA:
             if field.name == "row_type":
                 arr = pa.array([row_type] * m, type=pa.string())
             elif field.name == "round":
                 arr = pa.array([rnd] * m, type=pa.int32())
-            elif field.name in base_names:
+            elif field.name in base_names and (
+                row_type != "link" or field.name in _LINK_BASE
+            ):
                 arr = src[field.name].combine_chunks().cast(field.type)
             elif field.name in extras:
                 arr = pa.array(extras[field.name], type=field.type)
             else:
                 arr = pa.nulls(m, field.type)
             arrays.append(arr)
-            fields.append(field)
         return pa.Table.from_arrays(arrays, schema=EMISSIONS_SCHEMA)
 
     def extract_emit(batch: pa.Table) -> pa.Table:
