@@ -207,11 +207,12 @@ def exact_dedup_documents(sf_dir: str):
 
 def ngram_dedup_documents(sf_dir: str):
     """Exact char-5-gram Jaccard pairs ≥ 0.5 (blocking: ≥5 shared
-    shingles of doc-frequency ≤20 — mirrored in the SQL oracle)."""
+    shingles of doc-frequency ≤ max(20, n_docs/100) — mirrored in the
+    SQL oracle)."""
     from web_graph_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ngram_jaccard_pairs(ds, k=5, threshold=0.5, max_block=20, min_shared=5).to_pandas()
+    out = ngram_jaccard_pairs(ds, k=5, threshold=0.5, min_shared=5).to_pandas()
     return _round_cols(out, {"jaccard": 6})
 
 
@@ -569,7 +570,8 @@ def oracle_sql() -> dict[str, str]:
               from d cross join generate_series(1, 4000) g(i)
               where i <= length(t) - 4),
             sizes as (select doc_id, count(*) n from sh group by 1),
-            rare as (select sh from sh group by sh having count(*) <= 20),
+            rare as (select sh from sh group by sh
+                     having count(*) <= greatest(20, (select count(*) from documents) // 100)),
             cand as (select s1.doc_id a, s2.doc_id b
                      from sh s1 join sh s2 using (sh)
                      where s1.doc_id < s2.doc_id and sh in (select sh from rare)

@@ -101,7 +101,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
-    max_block: int = 20,
+    max_block: int | None = None,
     min_shared: int = 5,
 ) -> "ray.data.Dataset":
     """Exact character-k-gram Jaccard duplicate pairs.
@@ -121,6 +121,12 @@ def ngram_jaccard_pairs(
     MinHash-LSH below is the approximate scale path.
     """
     from .relational import bucketed_group_map
+
+    if max_block is None:
+        # adaptive df-cap: "rare" must scale with corpus size or the
+        # blocking finds nothing at larger corpora (near-identical pairs
+        # always share many df≈2 shingles, so recall is kept)
+        max_block = max(20, ds.count() // 100)
 
     explode = _shingle_rows(text_col, id_col, k)
     shingles = ds.map_batches(explode, batch_format="pyarrow").materialize()
@@ -147,7 +153,13 @@ def ngram_jaccard_pairs(
     )
     cand_df = cand.to_pandas()
     if not len(cand_df):
-        return ray.data.from_items([]).limit(0)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        )
     # candidate set is cap-bounded → broadcastable; at larger scale this
     # becomes a repartition join on (a,b) instead of a broadcast
     cand_ref = ray.put(cand_df)
