@@ -429,6 +429,12 @@ def crawl_top_hosts(sf_dir: str):
     return GraphQueries(_crawl_engine(sf_dir)).top_hosts(10)
 
 
+def crawl_counters(sf_dir: str):
+    """Per-round crawl metrics (fetched / deduped / deferred /
+    robots_denied / discovered — the north-rule checkpoint counters)."""
+    return pd.DataFrame(_crawl_engine(sf_dir).counters())
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -479,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_texts": crawl_texts,
         "crawl_text_features": crawl_text_features,
         "crawl_top_hosts": crawl_top_hosts,
+        "crawl_counters": crawl_counters,
     }
 
 

@@ -170,6 +170,31 @@ class TestParallelismInvariance:
         pd.testing.assert_frame_equal(visits(2), visits(4))
 
 
+class TestCorpusWithoutContentType:
+    def test_crawl_handles_missing_content_type(self, ray_session, tmp_path):
+        """input_hint's 5-column schema (no content_type) must work:
+        prepare() synthesizes text/html for every row."""
+        import pyarrow.parquet as pq2
+
+        from web_graph_ray.config import CrawlConfig
+        from web_graph_ray.pipelines.crawl import CrawlEngine
+        from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+
+        ccfg = CorpusConfig(n_pages=60, seed=5)
+        full = write_corpus(str(tmp_path / "c"), ccfg)
+        t = pq2.read_table(full).drop_columns(["content_type"])
+        bare = str(tmp_path / "bare.parquet")
+        pq2.write_table(t, bare)
+        cfg = CrawlConfig(num_buckets=4, work_dir=str(tmp_path / "w"), respect_robots=False)
+        eng = CrawlEngine(bare, cfg)
+        eng.run(seed_urls(ccfg))
+        counters = eng.counters()
+        assert sum(c["fetched"] for c in counters) > 20
+        # non-HTML pages become fetchable now (no gate input) — but dead
+        # links are still dead
+        assert sum(c["dead"] for c in counters) >= 1
+
+
 class TestCLI:
     def test_cli_crawl_and_resume(self, tmp_path):
         from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
