@@ -572,7 +572,13 @@ class CrawlEngine:
             summaries = ray.get(futures)
             discovered = int(sum(s["novel"] for s in summaries))
             link_rows = int(sum(s["link_rows"] for s in summaries))
+            bucket_stats = {
+                str(s["bucket"]): {"link_rows": s["link_rows"], "novel": s["novel"]}
+                for s in summaries
+            }
         lap("probe")
+        if not link_parts:
+            bucket_stats = {}
 
         # counters from committed artifacts (tiny column reads)
         nonlink = os.path.join(emis_dir, "to_bucket=-1")
@@ -600,6 +606,7 @@ class CrawlEngine:
                 "round": rnd,
                 "timing": timing,
                 "counters": counters,
+                "bucket_stats": bucket_stats,  # per-partition skew lineage
                 "processed_total": processed_total,
                 "frontier_buckets": [p["bucket"] for p in parts],
                 "config": {
