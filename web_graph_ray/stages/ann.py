@@ -33,7 +33,22 @@ ROUND = 6
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    return np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+    """Embedding column → (n, d) float64 matrix without a Python-object
+    round-trip: flatten the (FixedSize)List values buffer zero-copy and
+    reshape; the only copy is the float64 upcast the matmul needs."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(len(col), col.type.list_size)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(len(col), int(widths[0]))
+    return np.asarray(col.to_pylist(), dtype=np.float64)  # ragged fallback
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -58,16 +73,19 @@ def cosine_topk(
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         scores = m @ qm.T  # (batch, nq)
         out_q, out_id, out_s = [], [], []
         kk = min(k, len(ids))
         for qi in range(qm.shape[0]):
-            s = scores[:, qi]
-            idx = np.argpartition(-s, kk - 1)[:kk]
+            # deterministic partial top-k: order by (-rounded_score, id)
+            # so ties at the k boundary keep the same rows as the SQL
+            # oracle's (score desc, id asc) regardless of block layout
+            s = round_half_away(scores[:, qi], ROUND)
+            idx = np.lexsort((ids, -s))[:kk]
             out_q.extend([qi] * kk)
             out_id.extend(ids[idx].tolist())
-            out_s.extend(round_half_away(s[idx], ROUND).tolist())
+            out_s.extend(s[idx].tolist())
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),
@@ -124,7 +142,7 @@ def lsh_cosine_topk(
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm, probed_l, wanted_l, pl = ray.get(q_ref)
         m = _normalize(_batch_matrix(batch, vec_col))
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
         sigs = np.packbits((m @ pl.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
         keep = np.isin(sigs, list(wanted_l))
         m, ids, sigs = m[keep], ids[keep], sigs[keep]
@@ -135,13 +153,13 @@ def lsh_cosine_topk(
                 mask = np.isin(sigs, list(probed_l[qi]))
                 if not mask.any():
                     continue
-                s = scores[mask, qi]
+                s = round_half_away(scores[mask, qi], ROUND)
                 sel_ids = ids[mask]
                 kk = min(k, len(sel_ids))
-                idx = np.argpartition(-s, kk - 1)[:kk]
+                idx = np.lexsort((sel_ids, -s))[:kk]
                 out_q.extend([qi] * kk)
                 out_id.extend(sel_ids[idx].tolist())
-                out_s.extend(round_half_away(s[idx], ROUND).tolist())
+                out_s.extend(s[idx].tolist())
         return pa.Table.from_pydict(
             {
                 "query_id": pa.array(out_q, type=pa.int64()),

@@ -122,16 +122,25 @@ def ngram_jaccard_pairs(
     """
     from .relational import bucketed_group_map
 
+    n_docs = ds.count()
     if max_block is None:
         # adaptive df-cap: "rare" must scale with corpus size or the
         # blocking finds nothing at larger corpora (near-identical pairs
         # always share many df≈2 shingles, so recall is kept)
-        max_block = max(20, ds.count() // 100)
+        max_block = max(20, n_docs // 100)
 
+    # The exploded shingle table is the largest intermediate (≫ corpus
+    # size).  It is consumed by three passes; rather than pinning it in
+    # the object store with materialize(), each pass RECOMPUTES it from
+    # the (streaming) input — trading one extra scan per pass for zero
+    # resident state, the right trade at 100 TB where the object store
+    # must hold only in-flight blocks.
     explode = _shingle_rows(text_col, id_col, k)
-    shingles = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    sizes = shingles.groupby(id_col).count()  # distinct shingles per doc
+    def shingles() -> "ray.data.Dataset":
+        return ds.map_batches(explode, batch_format="pyarrow")
+
+    sizes = shingles().groupby(id_col).count()  # distinct shingles per doc
 
     def rare_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket: pairs per rare shingle (one row per co-occurrence)."""
@@ -141,7 +150,7 @@ def ngram_jaccard_pairs(
         return m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
 
     cand = (
-        bucketed_group_map(shingles, ["shingle"], rare_pairs)
+        bucketed_group_map(shingles(), ["shingle"], rare_pairs)
         .groupby(["a", "b"])
         .count()
         .map_batches(
@@ -150,9 +159,10 @@ def ngram_jaccard_pairs(
             ).select(["a", "b"]),
             batch_format="pyarrow",
         )
+        .materialize()  # candidate PAIRS only: df-cap-bounded, output-scale
     )
-    cand_df = cand.to_pandas()
-    if not len(cand_df):
+    n_cand = cand.count()
+    if n_cand == 0:
         return ray.data.from_arrow(
             pa.Table.from_pydict(
                 {"a": pa.array([], type=pa.int64()),
@@ -160,50 +170,130 @@ def ngram_jaccard_pairs(
                  "jaccard": pa.array([], type=pa.float64())}
             )
         )
-    # candidate set is cap-bounded → broadcastable; at larger scale this
-    # becomes a repartition join on (a,b) instead of a broadcast
-    cand_ref = ray.put(cand_df)
 
-    # second pass: intersection sizes over ALL shingles, candidate
-    # members only, via vectorized self-merge + inner join to candidates
-    def pair_hits(df: pd.DataFrame) -> pd.DataFrame:
-        cands = ray.get(cand_ref)
-        members = set(cands["a"]).union(cands["b"])
-        df = df[df[id_col].isin(members)]
-        if not len(df):
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
-            )
-        m = df.merge(df, on="shingle")
-        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-        m = m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
-        return m.merge(cands, on=["a", "b"])
-
-    inter = (
-        bucketed_group_map(shingles, ["shingle"], pair_hits)
-        .groupby(["a", "b"])
-        .count()
+    _empty_ab = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
     )
 
-    n_of = {r[id_col]: r["count()"] for r in sizes.take_all()}
-    n_ref = ray.put(n_of)
+    # second pass: intersection sizes over ALL shingles, candidate
+    # members only.  Size-gated like the minhash verifier: candidates
+    # below 64 MB ride one ray.put broadcast (zero shuffle); above that
+    # the 10^9-doc path is two partitioned hash joins — semi-join shingle
+    # rows to candidate members, then inner-join generated pairs to the
+    # candidate set.  No O(n_docs) driver state on either path.
+    if n_cand * 16 <= 64 << 20:
+        cand_ref = ray.put(cand.to_pandas())
 
-    def score(batch: pa.Table) -> pa.Table:
-        n = ray.get(n_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        inter_n = batch["count()"].to_pylist()
-        jac = [i / (n[x] + n[y] - i) for x, y, i in zip(a, b, inter_n)]
+        def pair_hits(df: pd.DataFrame) -> pd.DataFrame:
+            cands = ray.get(cand_ref)
+            members = set(cands["a"]).union(cands["b"])
+            df = df[df[id_col].isin(members)]
+            if not len(df):
+                return _empty_ab
+            m = df.merge(df, on="shingle")
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            m = m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
+            return m.merge(cands, on=["a", "b"])
+
+        inter = (
+            bucketed_group_map(shingles(), ["shingle"], pair_hits)
+            .groupby(["a", "b"])
+            .count()
+        )
+    else:
+        members = (
+            cand.map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        id_col: pa.concat_arrays(
+                            [
+                                t["a"].combine_chunks().cast(pa.int64()),
+                                t["b"].combine_chunks().cast(pa.int64()),
+                            ]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby(id_col)
+            .count()
+            .select_columns([id_col])
+        )
+        member_sh = shingles().join(
+            members, join_type="inner", num_partitions=32, on=(id_col,)
+        )
+
+        def member_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return _empty_ab
+            m = df.merge(df, on="shingle")
+            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+            return m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
+
+        inter = (
+            bucketed_group_map(member_sh, ["shingle"], member_pairs)
+            .groupby(["a", "b"])
+            .count()
+            .join(cand, join_type="inner", num_partitions=32, on=("a", "b"))
+        )
+
+    # scoring needs |shingles(a)|, |shingles(b)| — same size gate:
+    # broadcast the per-doc counts when small, else join them in.
+    if n_docs * 16 <= 64 << 20:
+        sz_df = sizes.to_pandas()
+        n_ref = ray.put(dict(zip(sz_df[id_col], sz_df["count()"])))
+
+        def score(batch: pa.Table) -> pa.Table:
+            n = ray.get(n_ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            inter_n = np.asarray(batch["count()"].to_pylist(), dtype=np.float64)
+            na = np.asarray([n[x] for x in a], dtype=np.float64)
+            nb = np.asarray([n[y] for y in b], dtype=np.float64)
+            jac = inter_n / (na + nb - inter_n)
+            t = pa.Table.from_pydict(
+                {
+                    "a": pa.array(a, type=pa.int64()),
+                    "b": pa.array(b, type=pa.int64()),
+                    "jaccard": pa.array(jac, type=pa.float64()),
+                }
+            )
+            return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
+
+        return inter.map_batches(score, batch_format="pyarrow")
+
+    size_a = sizes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"a": t[id_col].combine_chunks(), "n_a": t["count()"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    size_b = sizes.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"b": t[id_col].combine_chunks(), "n_b": t["count()"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = inter.join(
+        size_a, join_type="inner", num_partitions=32, on=("a",)
+    ).join(size_b, join_type="inner", num_partitions=32, on=("b",))
+
+    def score_j(batch: pa.Table) -> pa.Table:
+        inter_n = batch["count()"].cast(pa.float64())
+        na = batch["n_a"].cast(pa.float64())
+        nb = batch["n_b"].cast(pa.float64())
+        union = pa.compute.subtract(pa.compute.add(na, nb), inter_n)
+        jac = pa.compute.divide(inter_n, union)
         t = pa.Table.from_pydict(
             {
-                "a": pa.array(a, type=pa.int64()),
-                "b": pa.array(b, type=pa.int64()),
-                "jaccard": pa.array(jac, type=pa.float64()),
+                "a": batch["a"].combine_chunks().cast(pa.int64()),
+                "b": batch["b"].combine_chunks().cast(pa.int64()),
+                "jaccard": jac,
             }
         )
         return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
 
-    return inter.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score_j, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -391,26 +481,32 @@ def minhash_clusters(
         batch_format="pyarrow",
     ).materialize()
 
+    # label propagation via partitioned join (edges ⋈ labels on peer)
+    # → groupby(node).min — zero driver-side state at any node count.
+    # Every peer IS a labeled node (edges are symmetric), so the inner
+    # join is total; new_label(x) = min(x, min over peers label(peer)),
+    # identical to a broadcast-relabel formulation.
     for _ in range(rounds - 1):
-        lab = {r["node"]: r["label"] for r in labels.take_all()}
-        lab_ref = ray.put(lab)
-
-        def relabel(t: pa.Table) -> pa.Table:
-            m = ray.get(lab_ref)
-            peers = [m.get(p, p) for p in t["peer"].to_pylist()]
-            return pa.Table.from_pydict(
-                {"node": t["node"].combine_chunks(), "peer": pa.array(peers, type=pa.int64())}
-            )
-
+        peer_labels = labels.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "peer": t["node"].combine_chunks(),
+                    "peer_label": t["label"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         labels = (
-            edges.map_batches(relabel, batch_format="pyarrow")
+            edges.join(peer_labels, join_type="inner", num_partitions=16, on=("peer",))
             .groupby("node")
-            .min("peer")
+            .min("peer_label")
             .map_batches(
                 lambda t: pa.Table.from_pydict(
                     {
                         "node": t["node"].combine_chunks(),
-                        "label": pa.compute.min_element_wise(t["min(peer)"], t["node"]),
+                        "label": pa.compute.min_element_wise(
+                            t["min(peer_label)"], t["node"]
+                        ),
                     }
                 ),
                 batch_format="pyarrow",

@@ -189,11 +189,14 @@ def sessionize(
     n_events).  Ordering assumption: all events of one key fit one
     group (partition by key — the streaming-shaped pattern)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over a whole hash bucket of keys: sort by
+        # (key, ts); a session break is a key change OR a gap > gap_sec
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
         ts = df[ts_col].astype("int64") // 1_000_000
-        new_session = (ts - ts.shift(1)).fillna(gap_sec + 1) > gap_sec
-        sid = new_session.cumsum()
+        key_change = (df[key_col] != df[key_col].shift(1)).fillna(True)
+        gap = (ts - ts.shift(1)).fillna(gap_sec + 1) > gap_sec
+        sid = (key_change | gap).cumsum()
         out = df.assign(_sid=sid, _ts=ts).groupby("_sid").agg(
             **{
                 key_col: (key_col, "first"),
@@ -204,7 +207,17 @@ def sessionize(
         )
         return out.reset_index(drop=True)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    # bucketed_group_map, NOT groupby().map_groups: map_groups is one UDF
+    # call per distinct key — pathological at 10^5+ users.  The bucket
+    # kernel is key-local (each key hashes to one bucket) so semantics
+    # are identical; the batch_partial projection prunes the shuffle to
+    # the two needed columns.
+    return bucketed_group_map(
+        ds,
+        [key_col],
+        per_bucket,
+        batch_partial=lambda df: df[[key_col, ts_col]],
+    )
 
 
 def asof_join(

@@ -38,7 +38,9 @@ def _mix64(h: int) -> int:
     return h
 
 
-def _hll_add_batch(registers: np.ndarray, values, p: int) -> None:
+def _hll_add_batch_scalar(registers: np.ndarray, values, p: int) -> None:
+    """Reference implementation (per-row Python) — kept only as the
+    bit-parity oracle for the vectorized path below."""
     m = 1 << p
     for v in values:
         h = _mix64(_fnv1a(str(v).encode()))
@@ -48,6 +50,94 @@ def _hll_add_batch(registers: np.ndarray, values, p: int) -> None:
         rank = (64 - p) - w.bit_length() + 1 if w else (64 - p) + 1
         if rank > registers[idx]:
             registers[idx] = rank
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_buffers(data: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64 over variable-length byte strings laid out in
+    one flat buffer: column-wise over byte positions (max-length
+    iterations of O(n) vector ops) — bit-identical to
+    functions.text._fnv1a."""
+    h = np.full(len(starts), _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lengths.max(initial=0))):
+            active = lengths > j
+            b = data[np.where(active, starts + j, 0)].astype(np.uint64)
+            h = np.where(active, (h ^ b) * _FNV_PRIME, h)
+    return h
+
+
+def _utf8_layout(values) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data, starts, lengths) of str(v).encode() per value.  Arrow
+    arrays cast to string in C++ (zero per-row Python); the list
+    fallback joins encoded bytes once."""
+    arr = None
+    if isinstance(values, pa.ChunkedArray):
+        arr = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        arr = values
+    if (
+        arr is not None
+        and arr.null_count == 0
+        and (pa.types.is_integer(arr.type) or pa.types.is_string(arr.type)
+             or pa.types.is_large_string(arr.type))
+    ):
+        # int→string cast matches Python str() digits exactly; floats
+        # would NOT (str(1.0)='1.0' vs Arrow '1') so they take the
+        # fallback
+        s = pa.compute.cast(arr, pa.large_string())
+        if s is not None:
+            offsets = s.buffers()[1]
+            off = np.frombuffer(offsets, dtype=np.int64)[s.offset : s.offset + len(s) + 1]
+            data = np.frombuffer(s.buffers()[2], dtype=np.uint8)
+            return data, off[:-1].copy(), np.diff(off)
+        values = arr.to_pylist()
+    elif arr is not None:
+        values = arr.to_pylist()
+    bs = [str(v).encode() for v in values]
+    n = len(bs)
+    lengths = np.fromiter(map(len, bs), dtype=np.int64, count=n)
+    data = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n else np.zeros(0, np.int64)
+    return data, starts, lengths
+
+
+def _mix64_vec(h: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+def _bit_length_vec(w: np.ndarray) -> np.ndarray:
+    """Exact uint64 bit_length (no float round-trip)."""
+    bl = np.zeros(w.shape, dtype=np.uint64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        step = (v >= (np.uint64(1) << np.uint64(shift))).astype(np.uint64) * np.uint64(shift)
+        bl += step
+        v >>= step
+    return (bl + (w > 0)).astype(np.int64)
+
+
+def _hll_add_batch(registers: np.ndarray, values, p: int) -> None:
+    """Vectorized register update: values→utf8 via Arrow C++ cast (or a
+    single bytes join), then numpy hashing, rank extraction and
+    ``np.maximum.at``.  Bit-identical to the scalar reference."""
+    if len(values) == 0:
+        return
+    h = _mix64_vec(_fnv1a_buffers(*_utf8_layout(values)))
+    m = np.uint64((1 << p) - 1)
+    idx = (h & m).astype(np.int64)
+    w = h >> np.uint64(p)
+    rank = np.where(w > 0, (64 - p) - _bit_length_vec(w) + 1, (64 - p) + 1)
+    np.maximum.at(registers, idx, np.clip(rank, 0, 255).astype(np.uint8))
 
 
 def _hll_estimate(registers: np.ndarray) -> float:
@@ -68,7 +158,7 @@ def hll_distinct(
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         registers = np.zeros(1 << p, dtype=np.uint8)
-        _hll_add_batch(registers, batch[col].to_pylist(), p)
+        _hll_add_batch(registers, batch[col], p)
         return pa.Table.from_pydict({"sketch": pa.array([registers.tobytes()])})
 
     merged = np.zeros(1 << p, dtype=np.uint8)
