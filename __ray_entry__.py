@@ -301,7 +301,10 @@ def simhash_pairs_documents(sf_dir: str):
     from web_graph_ray.stages.dedup import simhash_pairs
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=6)
+    # bands=8 (8-bit bands): pigeonhole guarantees a band collision for
+    # any pair within Hamming distance bands-1=7 ≥ max_hamming — bands
+    # must exceed the advertised threshold or recall silently drops
+    return simhash_pairs(ds, max_hamming=6, bands=8)
 
 
 def lsh_ann_topk(sf_dir: str):

@@ -125,9 +125,7 @@ def make_admitter(
             processed = eligible[admit_mask].copy()
 
             if len(processed) and rules.by_host:
-                denied = processed.apply(
-                    lambda r: not rules.is_allowed(r["hostname"], r["path"]), axis=1
-                )
+                denied = rules.denied_mask(processed["hostname"], processed["path"])
             else:
                 denied = pd.Series(False, index=processed.index)
             processed["status"] = "admitted"
@@ -366,6 +364,56 @@ def _count_rows(files: list[str]) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+# -- distributed crawl-cap boundary (k-th order statistic) -------------------
+#
+# The crawl cap needs the k-th smallest (priority, seq) key across the
+# whole frontier.  At the 10^10-URL design point the frontier cannot be
+# read to the driver, so this is a 3-round distributed select over
+# per-bucket tasks: (1) local sorted samples, (2) exact count_le per
+# candidate pivot, (3) fetch only the (lo, hi] bracket around rank k.
+# Driver state is O(buckets × samples), never O(frontier).
+
+
+def _cap_read_keys(files: list[str]) -> list:
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["priority", "seq"]) for f in files]
+    )
+    return sorted(zip(t["priority"].to_pylist(), t["seq"].to_pylist()))
+
+
+def _cap_samples(files: list[str], per_bucket: int = 512):
+    keys = _cap_read_keys(files)
+    n = len(keys)
+    if not n:
+        return []
+    stride = max(1, n // per_bucket)
+    s = keys[stride - 1 :: stride]
+    if s[-1] != keys[-1]:
+        s.append(keys[-1])
+    return s
+
+
+def _cap_counts_le(files: list[str], pivots: list) -> list[int]:
+    import bisect
+
+    keys = _cap_read_keys(files)
+    return [bisect.bisect_right(keys, p) for p in pivots]
+
+
+def _cap_range(files: list[str], lo, hi) -> list:
+    import bisect
+
+    keys = _cap_read_keys(files)
+    a = bisect.bisect_right(keys, lo) if lo is not None else 0
+    b = bisect.bisect_right(keys, hi)
+    return keys[a:b]
+
+
+_CAP_SAMPLES = ray.remote(num_cpus=1)(_cap_samples)
+_CAP_COUNTS = ray.remote(num_cpus=1)(_cap_counts_le)
+_CAP_RANGE = ray.remote(num_cpus=1)(_cap_range)
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -482,16 +530,34 @@ class CrawlEngine:
         return [{"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())]
 
     def _cap_boundary(self, parts: list[dict], remaining: int):
-        """(priority, seq) of the last row inside the crawl cap."""
-        keys = []
-        for p in parts:
-            for f in p["files"]:
-                t = pq.read_table(f, columns=["priority", "seq"])
-                keys.extend(zip(t["priority"].to_pylist(), t["seq"].to_pylist()))
-        if len(keys) <= remaining:
+        """(priority, seq) of the last row inside the crawl cap —
+        distributed k-th select (see _cap_samples/_cap_counts_le/
+        _cap_range); frontier rows never land on the driver."""
+        import numpy as np
+
+        total = sum(_count_rows(p["files"]) for p in parts)
+        if total <= remaining:
             return None
-        keys.sort()
-        return keys[remaining - 1] if remaining > 0 else (-(1 << 30), "")
+        if remaining <= 0:
+            return (-(1 << 30), "")
+        file_lists = [p["files"] for p in parts]
+        samples = ray.get([_CAP_SAMPLES.remote(fs) for fs in file_lists])
+        pivots = sorted({k for s in samples for k in s})
+        counts = ray.get([_CAP_COUNTS.remote(fs, pivots) for fs in file_lists])
+        cum = np.asarray(counts, dtype=np.int64).sum(axis=0)
+        # the global max key is always sampled, so a bracketing pivot exists
+        j = int(np.searchsorted(cum, remaining, side="left"))
+        hi = pivots[j]
+        if int(cum[j]) == remaining:
+            return hi  # exactly `remaining` keys ≤ hi and hi is a real key
+        lo = pivots[j - 1] if j > 0 else None
+        lo_count = int(cum[j - 1]) if j > 0 else 0
+        bracket = sorted(
+            k
+            for part in ray.get([_CAP_RANGE.remote(fs, lo, hi) for fs in file_lists])
+            for k in part
+        )
+        return bracket[remaining - lo_count - 1]
 
     def run_round(self, rnd: int, processed_total: int) -> dict | None:
         rd = round_dir(self.work, rnd)
@@ -689,7 +755,9 @@ class CrawlEngine:
 
     def visits(self) -> "ray.data.Dataset":
         """Crawl records: one row per processed page; reference visit
-        order = sort by (round, seq)."""
+        order = sort by (round, priority, seq) — admission order within
+        a round is (priority, seq), so under shallow_first/deep_first
+        modes priority must come before seq."""
         cols = ["round", "page_id", "url", "seq", "depth", "priority", "status", "bucket"]
         return (
             ray.data.read_parquet(self._nonlink_files(), columns=cols + ["row_type"])
@@ -752,17 +820,22 @@ class CrawlEngine:
 
         selfs = selfs.map_batches(self_rows, batch_format="pyarrow")
 
-        # denial keys: small (robots denials are rare) → broadcast dict
+        # denial keys: small (robots denials are rare) → broadcast dict.
+        # The filter is pushed down into the Parquet read so row groups
+        # whose status stats exclude 'robots_denied' never leave disk —
+        # the scan is O(denials), not O(visits).
         denial: dict[str, str] = {}
         for f in vd:
-            t = pq.read_table(f, columns=["page_id", "seq", "round", "status", "priority"])
-            for pid, s, r, st, p in zip(
+            t = pq.read_table(
+                f,
+                columns=["page_id", "seq", "round", "priority"],
+                filters=pc.equal(pc.field("status"), "robots_denied"),
+            )
+            for pid, s, r, p in zip(
                 t["page_id"].to_pylist(), t["seq"].to_pylist(),
-                t["round"].to_pylist(), t["status"].to_pylist(),
-                t["priority"].to_pylist(),
+                t["round"].to_pylist(), t["priority"].to_pylist(),
             ):
-                if st == "robots_denied":
-                    denial[pid] = emit_key_self(r, s, p)
+                denial[pid] = emit_key_self(r, s, p)
 
         targets = ray.data.read_parquet(
             self._link_files(),

@@ -530,8 +530,12 @@ def simhash_pairs(
     bands: int = 4,
 ) -> "ray.data.Dataset":
     """Near-dup pairs via 64-bit SimHash: bucket on each of ``bands``
-    16-bit bands (a pair within Hamming distance ≤ bands-1 must collide
-    on ≥1 band — pigeonhole), verify Hamming ≤ max_hamming."""
+    (64/bands)-bit bands (a pair within Hamming distance ≤ bands-1 must
+    collide on ≥1 band — pigeonhole), verify Hamming ≤ max_hamming.
+
+    Recall is GUARANTEED only for max_hamming ≤ bands-1; beyond that,
+    pairs are found only via incidental band collisions.  Callers wanting
+    full recall at distance d must pass bands ≥ d+1."""
     from ..functions.text import simhash64
 
     def to_bands(batch: pa.Table) -> pa.Table:

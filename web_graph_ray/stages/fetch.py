@@ -133,7 +133,11 @@ class FetchSim:
                 out_status.append("dead")
                 out_html.append(None)
                 out_ct.append(None)
-            elif not happy_content_type(row[1] or "text/html", self.filters):
+            elif row[1] is None or not happy_content_type(row[1], self.filters):
+                # null/empty Content-Type is REJECTED, like the Go
+                # HappyResponse on a missing header (linkutils.go:53-63);
+                # corpora lacking the column get 'text/html' filled at
+                # prepare(), not here
                 out_status.append("bad_content_type")
                 out_html.append(None)
                 out_ct.append(row[1])

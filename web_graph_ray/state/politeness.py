@@ -66,3 +66,28 @@ class RobotsRules:
             return True
         path = escaped_path or "/"
         return not any(path.startswith(p) for p in prefixes)
+
+    def denied_mask(self, hostnames: "pd.Series", paths: "pd.Series") -> "pd.Series":
+        """Vectorized ¬is_allowed over aligned hostname/path Series:
+        group by the FEW hosts that have rules, str.startswith per
+        prefix — no per-row Python in the admission hot path."""
+        import pandas as pd
+
+        denied = pd.Series(False, index=hostnames.index)
+        if not self.by_host:
+            return denied
+        hosted = hostnames.isin(self.by_host.keys())
+        if not hosted.any():
+            return denied
+        sub_hosts = hostnames[hosted]
+        sub_paths = paths[hosted].fillna("").mask(paths[hosted].eq(""), "/")
+        for host, idx in sub_hosts.groupby(sub_hosts).groups.items():
+            prefixes = self.by_host.get(host)
+            if not prefixes:
+                continue
+            p = sub_paths.loc[idx]
+            d = pd.Series(False, index=idx)
+            for prefix in prefixes:
+                d |= p.str.startswith(prefix)
+            denied.loc[idx] = d
+        return denied
