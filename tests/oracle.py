@@ -142,14 +142,25 @@ def run_oracle(
     max_pages: int | None = None,
     filters: FilterConfig = DEFAULT_FILTERS,
     priority_mode: str = "fifo",
+    seen_ttl_rounds: int | None = None,
 ) -> OracleResult:
-    """Round-based canonical semantics (the engine's contract)."""
+    """Round-based canonical semantics (the engine's contract).
+
+    ``seen_ttl_rounds`` models the reference's 48 h LinkCache expiry
+    (``pkg/linkcache/linkcache.go:23``) in virtual time: a page is
+    *seen* iff its last frontier-membership round is within the last
+    ``ttl`` rounds; an expired page is re-enqueued and re-crawled.
+    Deviation from the reference (documented): frontier membership
+    (incl. deferral) refreshes the TTL, so a page can never appear
+    twice in one frontier — the reference's raw queue could.
+    """
     idx = corpus_index(pages)
     robots = robots_from_corpus(pages) if respect_robots else RobotsRules()
     res = OracleResult()
     sinks = _Sinks()
     visited: set[str] = set()
     enqueued: set[str] = set()
+    last_member: dict[str, int] = {}  # pid -> latest frontier round (TTL mode)
 
     # --- seed round (cmd/link-processor/main.go:55-101: ordered, deduped)
     frontier: list[dict] = []  # rows: url,page_id,hostname,host,path,seq
@@ -161,6 +172,7 @@ def run_oracle(
         if pid in enqueued:
             continue
         enqueued.add(pid)
+        last_member[pid] = 0
         frontier.append(
             {
                 "url": u.string(),
@@ -202,6 +214,7 @@ def run_oracle(
             if remaining is not None and rank >= remaining:
                 counters["deferred"] += 1
                 next_frontier.append(row)
+                last_member[row["page_id"]] = rnd + 1  # deferral refreshes TTL
                 continue
             # politeness budget (deterministic virtual time)
             if budget is not None:
@@ -209,6 +222,7 @@ def run_oracle(
                 if used >= budget:
                     counters["deferred"] += 1
                     next_frontier.append(row)
+                    last_member[row["page_id"]] = rnd + 1
                     continue
                 host_used[row["hostname"]] = used + 1
             processed_total += 1
@@ -258,27 +272,34 @@ def run_oracle(
             res.texts[row["url"]] = doc_text
             for link in links:
                 tid = link.to_page_id
-                if tid not in visited:
-                    if tid not in enqueued:
-                        enqueued.add(tid)
-                        counters["discovered"] += 1
-                        cseq = child_seq(row["seq"], link.anchor_index)
-                        next_frontier.append(
-                            {
-                                "url": link.to_url,
-                                "page_id": tid,
-                                "hostname": link.to_hostname,
-                                "host": link.to_host,
-                                "path": link.to_escaped_path,
-                                "seq": cseq,
-                                "priority": _priority(cseq.count("."), priority_mode),
-                            }
-                        )
-                    else:
-                        counters["deduped"] += 1
-                    sinks.put_page(tid, link.to_hostname, link.to_escaped_path, link.to_url)
+                if seen_ttl_rounds is not None:
+                    # TTL gate: seen iff last frontier membership is
+                    # within the horizon (LinkCache semantics — the
+                    # visited set does NOT block re-crawl after expiry)
+                    lm = last_member.get(tid)
+                    seen = lm is not None and lm > rnd - seen_ttl_rounds
+                else:
+                    seen = tid in visited or tid in enqueued
+                if not seen:
+                    enqueued.add(tid)
+                    last_member[tid] = rnd + 1
+                    counters["discovered"] += 1
+                    cseq = child_seq(row["seq"], link.anchor_index)
+                    next_frontier.append(
+                        {
+                            "url": link.to_url,
+                            "page_id": tid,
+                            "hostname": link.to_hostname,
+                            "host": link.to_host,
+                            "path": link.to_escaped_path,
+                            "seq": cseq,
+                            "priority": _priority(cseq.count("."), priority_mode),
+                        }
+                    )
                 else:
                     counters["deduped"] += 1
+                if tid not in visited or seen_ttl_rounds is not None:
+                    sinks.put_page(tid, link.to_hostname, link.to_escaped_path, link.to_url)
                 sinks.put_link(pid, tid, link.text)
 
         res.counters.append(counters)

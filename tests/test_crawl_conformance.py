@@ -222,3 +222,61 @@ class TestResume:
         c1 = eng.counters()
         eng.run()  # idempotent: nothing new to do
         assert eng.counters() == c1
+
+
+class TestSeenTTL:
+    """Re-crawl horizon (reference 48 h LinkCache TTL, linkcache.go:23,
+    set at linkprocessor.go:43) in virtual time: after seen_ttl_rounds
+    without frontier membership a page becomes re-crawlable."""
+
+    @staticmethod
+    def _ring_corpus(tmp_path, n=4):
+        """host ring p0 -> p1 -> ... -> p{n-1} -> p0."""
+        import pyarrow as pa
+
+        urls, htmls = [], []
+        for i in range(n):
+            urls.append(f"http://ring.test/p{i}.html")
+            nxt = (i + 1) % n
+            htmls.append(
+                f'<html><body>page {i} <a href="/p{nxt}.html">next</a></body></html>'.encode()
+            )
+        t = pa.Table.from_pydict(
+            {
+                "url": urls,
+                "warc_ts": pa.array([1700000000 + i for i in range(n)],
+                                    type=pa.timestamp("us")),
+                "html": pa.array(htmls, type=pa.binary()),
+                "content_type": ["text/html"] * n,
+            }
+        )
+        path = str(tmp_path / "ring.parquet")
+        pq.write_table(t, path)
+        return path, t
+
+    def test_page_reenters_after_horizon(self, ray_session, tmp_path_factory):
+        d = tmp_path_factory.mktemp("ttl")
+        path, table = self._ring_corpus(d)
+        seeds = ["http://ring.test/p0.html"]
+        eng = make_engine(path, d, respect_robots=False,
+                          seen_ttl_rounds=3, max_rounds=6)
+        eng.run(seeds)
+        res = run_oracle(table, seeds, seen_ttl_rounds=3, max_rounds=6)
+        assert_conformance(eng, res)
+        # p0 (visited round 0) must actually re-enter after the horizon
+        visits = engine_visits(eng)
+        from collections import Counter
+        revisits = Counter(pid for pid, *_ in visits)
+        assert max(revisits.values()) >= 2, "no re-crawl happened"
+
+    def test_infinite_horizon_unchanged(self, ray_session, tmp_path_factory):
+        """Default (None) keeps the exact one-visit-per-page semantics."""
+        d = tmp_path_factory.mktemp("ttl-inf")
+        path, table = self._ring_corpus(d)
+        seeds = ["http://ring.test/p0.html"]
+        eng = make_engine(path, d, respect_robots=False, max_rounds=8)
+        eng.run(seeds)
+        res = run_oracle(table, seeds, max_rounds=8)
+        assert_conformance(eng, res)
+        visits = engine_visits(eng)
+        assert len(visits) == len({pid for pid, *_ in visits}) == 4

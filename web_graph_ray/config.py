@@ -41,6 +41,12 @@ class CrawlConfig:
     #: politeness-deferred deep ones), "deep_first" (-depth).  Admission
     #: processes (priority, seq) lexicographically; deterministic.
     priority_mode: str = "fifo"
+    #: re-crawl horizon in rounds (virtual-time parity with the
+    #: reference's 48 h LinkCache TTL, pkg/linkcache/linkcache.go:23):
+    #: a page whose last frontier membership is more than this many
+    #: rounds old is treated as unseen and re-enqueued.  None = ∞
+    #: horizon (never re-crawl — the deterministic default).
+    seen_ttl_rounds: int | None = None
     #: compute per-page curation features (lang ID, quality metrics,
     #: simhash fingerprint) on extracted text — the training-data
     #: enrichment a 100 TB pipeline runs inline with the crawl

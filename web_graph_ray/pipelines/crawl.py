@@ -195,7 +195,10 @@ def _priority_of(depths, mode: str):
     return 0  # fifo
 
 
-def make_prober(work: str, rnd: int, priority_mode: str = "fifo"):
+def make_prober(
+    work: str, rnd: int, priority_mode: str = "fifo",
+    seen_ttl_rounds: int | None = None,
+):
     """Frontier-construction task for one target bucket: within-round
     first-wins dedup by candidate_seq, then exact anti-join against the
     bucket's all-time enqueued set (the union of its prior ``novel``
@@ -207,6 +210,32 @@ def make_prober(work: str, rnd: int, priority_mode: str = "fifo"):
     (10^10 ids / buckets ≈ manageable per task); compaction of old
     deltas is a follow-up optimization, not a correctness need."""
     novel_out = frontier_dirs(work, rnd + 1)[0]
+
+    def _emit_novel(novel, bucket: int, res: dict, link_rows: int) -> None:
+        import pandas as pd
+
+        if len(novel):
+            out = pd.DataFrame(
+                {
+                    "url": novel["to_url"].values,
+                    "page_id": novel["to_page_id"].values,
+                    "hostname": novel["to_hostname"].values,
+                    "host": novel["to_host"].values,
+                    "path": novel["to_path"].values,
+                    "bucket": bucket,
+                    "seq": novel["candidate_seq"].values,
+                    "depth": novel["candidate_seq"].str.count("\\.").values,
+                    "priority": _priority_of(
+                        novel["candidate_seq"].str.count("\\.").values, priority_mode
+                    ),
+                    "discovered_from": novel["page_id"].values,
+                }
+            )
+            tbl = pa.Table.from_pandas(out, schema=FRONTIER_SCHEMA, preserve_index=False)
+            atomic_write_parquet(tbl, bucket_file(novel_out, bucket), sort_by="seq")
+        res["bucket"].append(bucket)
+        res["link_rows"].append(link_rows)
+        res["novel"].append(int(len(novel)))
 
     def probe(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -230,6 +259,24 @@ def make_prober(work: str, rnd: int, priority_mode: str = "fifo"):
             cand_ids = df["to_page_id"].tolist()
 
             from ..state.seen import BloomFilter, load_bloom, save_bloom
+
+            if seen_ttl_rounds is not None:
+                # TTL horizon: seen = membership (novel ∪ deferred) in the
+                # last ``ttl`` rounds only.  The window bounds the read;
+                # all-time snapshots/blooms are bypassed (they encode an
+                # ∞ horizon).  Mirrors the oracle's last_member gate.
+                lo = max(0, rnd - seen_ttl_rounds + 1)
+                seen_ttl: set = set()
+                for x in range(lo, rnd + 1):
+                    for d in frontier_dirs(work, x):
+                        f = bucket_file(d, bucket)
+                        if os.path.exists(f):
+                            seen_ttl.update(
+                                pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
+                            )
+                novel = df[~df["to_page_id"].isin(seen_ttl)]
+                _emit_novel(novel, bucket, res, link_rows)
+                continue
 
             bloom, bloom_r = load_bloom(work, bucket)
             if bloom is not None and bloom_r >= rnd:
@@ -287,30 +334,7 @@ def make_prober(work: str, rnd: int, priority_mode: str = "fifo"):
                 bloom = BloomFilter.sized_for(2 * (len(enq) + len(novel_ids)))
                 bloom.add_many(list(enq) + novel_ids)
             save_bloom(work, bucket, bloom, rnd + 1)
-            if len(novel):
-                out = pd.DataFrame(
-                    {
-                        "url": novel["to_url"].values,
-                        "page_id": novel["to_page_id"].values,
-                        "hostname": novel["to_hostname"].values,
-                        "host": novel["to_host"].values,
-                        "path": novel["to_path"].values,
-                        "bucket": bucket,
-                        "seq": novel["candidate_seq"].values,
-                        "depth": novel["candidate_seq"].str.count("\\.").values,
-                        "priority": _priority_of(
-                            novel["candidate_seq"].str.count("\\.").values, priority_mode
-                        ),
-                        "discovered_from": novel["page_id"].values,
-                    }
-                )
-                tbl = pa.Table.from_pandas(
-                    out, schema=FRONTIER_SCHEMA, preserve_index=False
-                )
-                atomic_write_parquet(tbl, bucket_file(novel_out, bucket), sort_by="seq")
-            res["bucket"].append(bucket)
-            res["link_rows"].append(link_rows)
-            res["novel"].append(int(len(novel)))
+            _emit_novel(novel, bucket, res, link_rows)
         return pa.Table.from_pydict(res)
 
     return probe
@@ -631,7 +655,9 @@ class CrawlEngine:
             # scalar result — plain Ray tasks, not a Dataset: there is no
             # stream to pipe anywhere, and the streaming executor's
             # per-execution startup would dominate at ~2 executions/round.
-            probe = make_prober(self.work, rnd, self.cfg.priority_mode)
+            probe = make_prober(
+                self.work, rnd, self.cfg.priority_mode, self.cfg.seen_ttl_rounds
+            )
             futures = [
                 _PROBE_TASK.remote(probe, p["bucket"], p["dir"]) for p in link_parts
             ]
