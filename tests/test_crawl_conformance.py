@@ -280,3 +280,91 @@ class TestSeenTTL:
         assert_conformance(eng, res)
         visits = engine_visits(eng)
         assert len(visits) == len({pid for pid, *_ in visits}) == 4
+
+
+class TestMegaHostSalting:
+    """SURVEY §4.2 skew row: a bucket whose frontier exceeds
+    salt_threshold_rows is split across page_id-hashed sub-shards —
+    probe/emissions load spreads while admission still sees the whole
+    host group (politeness semantics unchanged, oracle-conformant)."""
+
+    @staticmethod
+    def _mega_corpus(tmp_path, n_mega=180, n_small=19):
+        import pyarrow as pa
+
+        urls, htmls = ["http://mega.test/hub.html"], []
+        hub_links = []
+        for i in range(n_mega):
+            urls.append(f"http://mega.test/p{i}.html")
+            hub_links.append(f'<a href="/p{i}.html">m{i}</a>')
+        for i in range(n_small):
+            urls.append(f"http://small{i}.test/index.html")
+            hub_links.append(f'<a href="http://small{i}.test/index.html">s{i}</a>')
+        htmls.append(("<html><body>" + "".join(hub_links) + "</body></html>").encode())
+        for i in range(n_mega):
+            ls = "".join(
+                f'<a href="/p{(i * 7 + k) % n_mega}.html">x</a>' for k in range(1, 6)
+            )
+            htmls.append(f"<html><body>mega {i} {ls}</body></html>".encode())
+        for i in range(n_small):
+            htmls.append(f"<html><body>small {i}</body></html>".encode())
+        t = pa.Table.from_pydict(
+            {
+                "url": urls,
+                "warc_ts": pa.array(range(len(urls)), type=pa.timestamp("us")),
+                "html": pa.array(htmls, type=pa.binary()),
+                "content_type": ["text/html"] * len(urls),
+            }
+        )
+        path = str(tmp_path / "mega.parquet")
+        pq.write_table(t, path)
+        return path, t
+
+    def test_split_spreads_load_and_conforms(self, ray_session, tmp_path_factory):
+        d = tmp_path_factory.mktemp("salt")
+        path, table = self._mega_corpus(d)
+        seeds = ["http://mega.test/hub.html"]
+        eng = make_engine(
+            path, d, respect_robots=False, politeness_budget=30,
+            salt_threshold_rows=60, salt_factor=4, max_rounds=6,
+        )
+        eng.run(seeds)
+        res = run_oracle(table, seeds, budget=30, max_rounds=6)
+        assert_conformance(eng, res)
+
+        # the mega bucket actually split
+        splits = eng._load_splits()
+        assert len(splits) == 1
+        (base, s), = splits.items()
+        assert s == 4
+
+        # per-shard link_rows spread within 4x in some committed round
+        from web_graph_ray.state.checkpoint import read_json, round_dir
+        import os
+        ok = False
+        for r in eng._committed_rounds():
+            m = read_json(os.path.join(round_dir(eng.work, r), "MANIFEST.json"))
+            shard_rows = [
+                st["link_rows"]
+                for b, st in m["bucket_stats"].items()
+                if int(b) >= eng.cfg.num_buckets and int(b) % eng.cfg.num_buckets == base
+            ]
+            if len(shard_rows) >= 3 and min(shard_rows) > 0:
+                assert max(shard_rows) <= 4 * min(shard_rows), (r, shard_rows)
+                ok = True
+        assert ok, "no round exercised multiple sub-shards"
+
+    def test_resume_across_split(self, ray_session, tmp_path_factory):
+        """A crawl interrupted after the split resumes identically."""
+        d = tmp_path_factory.mktemp("salt-resume")
+        path, table = self._mega_corpus(d)
+        seeds = ["http://mega.test/hub.html"]
+        kw = dict(respect_robots=False, politeness_budget=30,
+                  salt_threshold_rows=60, salt_factor=4)
+        eng1 = make_engine(path, d, max_rounds=2, **kw)
+        eng1.run(seeds)
+        assert eng1._load_splits(), "split should have happened by round 2"
+        eng2 = make_engine(path, d, max_rounds=6, **kw)
+        eng2.run()  # resume from checkpoints
+        res = run_oracle(table, seeds, budget=30, max_rounds=6)
+        assert_conformance(eng2, res)

@@ -61,6 +61,15 @@ class CrawlConfig:
     #: (per-host admission needs host locality), else "id" (page_id hash,
     #: immune to mega-host skew).  See hashing.bucket_for.
     bucket_mode: str = "auto"
+    #: mega-host frontier salting (SURVEY §4.2 skew row): when a
+    #: bucket's frontier exceeds this many rows at round start, its
+    #: state (frontier sidecars, enqueued set, emissions partition,
+    #: probe) is split across ``salt_factor`` page_id-hashed sub-shards;
+    #: admission still sees the whole host group together, so politeness
+    #: semantics are unchanged.  None = never split.
+    salt_threshold_rows: int | None = None
+    #: sub-shards per split bucket
+    salt_factor: int = 8
 
     def resolved_bucket_mode(self) -> str:
         if self.bucket_mode != "auto":

@@ -72,5 +72,22 @@ def bucket_for(hostname: str, page_id: str, num_buckets: int, mode: str) -> int:
     return hash64(page_id) % num_buckets
 
 
+def shard_for(
+    base: int, page_id: str, num_buckets: int, splits: dict[int, int] | None
+) -> int:
+    """Physical state shard of a frontier page.
+
+    Unsplit buckets: shard == base (id in [0, num_buckets)).  A split
+    (mega-host) bucket with salt factor S spreads its pages over S
+    sub-shards by page_id hash, encoded as
+    ``base + num_buckets * (1 + sub)`` so the base is always
+    ``shard % num_buckets``.  page_id→shard is deterministic given the
+    committed splits table, keeping bucket-local dedup exact."""
+    s = splits.get(base) if splits else None
+    if not s:
+        return base
+    return base + num_buckets * (1 + hash64(page_id) % s)
+
+
 def sha1_hex(s: str) -> str:
     return hashlib.sha1(s.encode("utf-8", "surrogateescape")).hexdigest()

@@ -88,15 +88,23 @@ def make_admitter(
     budget: int | None,
     robots_by_host: dict[str, list[str]],
     cap_boundary: str | None,
+    num_buckets: int = 0,
+    splits: dict[int, int] | None = None,
 ):
-    """Admission task: reads one bucket's frontier files (novel+deferred),
-    applies crawl-cap prefix, per-host politeness budget and robots gate
-    in seq order; writes the bucket's deferred + visited_delta sidecars
-    (atomic, deterministic → idempotent under task retry); returns the
-    processed rows (admitted | robots_denied) with a ``status`` column."""
+    """Admission task: reads one bucket GROUP's frontier files (the
+    bucket's novel+deferred sidecars — all sub-shards of a split
+    bucket), applies crawl-cap prefix, per-host politeness budget and
+    robots gate in seq order; writes the deferred + visited_delta
+    sidecars (atomic, deterministic → idempotent under task retry);
+    returns the processed rows (admitted | robots_denied) with a
+    ``status`` column.  Deferred rows of a split bucket are re-sharded
+    by page_id so sidecar files stay spread."""
+    from ..functions.hashing import shard_for
+
     deferred_dir = frontier_dirs(work, rnd + 1)[1]
     visited_dir = os.path.join(round_dir(work, rnd), "visited_delta")
     rules = RobotsRules(robots_by_host)
+    splits = splits or {}
 
     def admit(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -132,12 +140,23 @@ def make_admitter(
             processed.loc[denied, "status"] = "robots_denied"
 
             if len(deferred):
-                tbl = pa.Table.from_pandas(
-                    deferred.sort_values(["priority", "seq"]),
-                    schema=FRONTIER_SCHEMA,
-                    preserve_index=False,
-                )
-                atomic_write_parquet(tbl, bucket_file(deferred_dir, bucket))
+                deferred = deferred.sort_values(["priority", "seq"])
+                if splits.get(bucket):
+                    shards = deferred["page_id"].map(
+                        lambda p: shard_for(bucket, p, num_buckets, splits)
+                    )
+                    for sid, grp in deferred.groupby(shards):
+                        atomic_write_parquet(
+                            pa.Table.from_pandas(
+                                grp, schema=FRONTIER_SCHEMA, preserve_index=False
+                            ),
+                            bucket_file(deferred_dir, int(sid)),
+                        )
+                else:
+                    tbl = pa.Table.from_pandas(
+                        deferred, schema=FRONTIER_SCHEMA, preserve_index=False
+                    )
+                    atomic_write_parquet(tbl, bucket_file(deferred_dir, bucket))
             if len(processed):
                 ptbl = pa.Table.from_pandas(
                     processed, schema=PROCESSED_SCHEMA, preserve_index=False
@@ -198,6 +217,7 @@ def _priority_of(depths, mode: str):
 def make_prober(
     work: str, rnd: int, priority_mode: str = "fifo",
     seen_ttl_rounds: int | None = None,
+    num_buckets: int = 0,
 ):
     """Frontier-construction task for one target bucket: within-round
     first-wins dedup by candidate_seq, then exact anti-join against the
@@ -215,6 +235,10 @@ def make_prober(
         import pandas as pd
 
         if len(novel):
+            # the frontier "bucket" column is the CORPUS bucket (base):
+            # fetch keys its index lookups on it.  Sub-shard identity
+            # lives only in file placement (``bucket`` arg here).
+            base = bucket % num_buckets if num_buckets else bucket
             out = pd.DataFrame(
                 {
                     "url": novel["to_url"].values,
@@ -222,7 +246,7 @@ def make_prober(
                     "hostname": novel["to_hostname"].values,
                     "host": novel["to_host"].values,
                     "path": novel["to_path"].values,
-                    "bucket": bucket,
+                    "bucket": base,
                     "seq": novel["candidate_seq"].values,
                     "depth": novel["candidate_seq"].str.count("\\.").values,
                     "priority": _priority_of(
@@ -267,13 +291,20 @@ def make_prober(
                 # ∞ horizon).  Mirrors the oracle's last_member gate.
                 lo = max(0, rnd - seen_ttl_rounds + 1)
                 seen_ttl: set = set()
+                # a split shard also reads its base-named files (sidecars
+                # from rounds before the split) — a superset is harmless:
+                # ids of sibling shards are never candidates here
+                cand_files = {bucket}
+                if num_buckets and bucket >= num_buckets:
+                    cand_files.add(bucket % num_buckets)
                 for x in range(lo, rnd + 1):
                     for d in frontier_dirs(work, x):
-                        f = bucket_file(d, bucket)
-                        if os.path.exists(f):
-                            seen_ttl.update(
-                                pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
-                            )
+                        for bid in cand_files:
+                            f = bucket_file(d, bid)
+                            if os.path.exists(f):
+                                seen_ttl.update(
+                                    pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
+                                )
                 novel = df[~df["to_page_id"].isin(seen_ttl)]
                 _emit_novel(novel, bucket, res, link_rows)
                 continue
@@ -545,13 +576,103 @@ class CrawlEngine:
         return write_frontier_by_bucket(tbl, frontier_dirs(self.work, 0)[0])
 
     def _frontier_parts(self, rnd: int) -> list[dict]:
-        """Bucket descriptors: [{bucket, files:[novel?, deferred?]}]."""
+        """Bucket-GROUP descriptors: [{bucket, files:[...]}] — a split
+        bucket's sub-shard files are grouped under their base bucket so
+        admission sees every host's rows together (politeness)."""
         novel, deferred = frontier_dirs(self.work, rnd)
         by_bucket: dict[int, list[str]] = {}
         for f in list_bucket_files(novel) + list_bucket_files(deferred):
             b = int(os.path.basename(f).split("=")[1].split(".")[0])
-            by_bucket.setdefault(b, []).append(f)
-        return [{"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())]
+            by_bucket.setdefault(b % self.cfg.num_buckets, []).append(f)
+        return [{"bucket": b, "files": sorted(fs)} for b, fs in sorted(by_bucket.items())]
+
+    # -- mega-host frontier salting (SURVEY §4.2) ---------------------------
+
+    def _splits_path(self) -> str:
+        return os.path.join(self.work, "splits.json")
+
+    def _load_splits(self) -> dict[int, int]:
+        p = self._splits_path()
+        return {int(k): int(v) for k, v in read_json(p).items()} if os.path.exists(p) else {}
+
+    def _maybe_split(self, parts: list[dict], rnd: int, splits: dict[int, int]) -> bool:
+        """Deterministic split decision at round start: a (still-unsplit)
+        bucket whose committed frontier exceeds the threshold is migrated
+        to ``salt_factor`` page_id-hashed sub-shards.  Derived purely from
+        committed artifacts + splits.json → identical on crash-rerun."""
+        threshold = self.cfg.salt_threshold_rows
+        changed = False
+        for p in parts:
+            base = p["bucket"]
+            if base in splits:
+                continue
+            if _count_rows(p["files"]) > threshold:
+                self._split_bucket(base, rnd, self.cfg.salt_factor)
+                splits[base] = self.cfg.salt_factor
+                changed = True
+        if changed:
+            atomic_write_json(
+                {str(k): v for k, v in sorted(splits.items())}, self._splits_path()
+            )
+        return changed
+
+    def _split_bucket(self, base: int, rnd: int, s: int) -> None:
+        """Migrate bucket ``base``'s state into ``s`` sub-shards:
+        (1) a compacted per-shard enqueued snapshot through round rnd,
+        (2) the round-rnd frontier sidecars re-partitioned by shard.
+        Idempotent: re-reads both legacy and already-written shard files
+        (dedup by seq/page_id), legacy files removed last."""
+        from ..functions.hashing import shard_for
+
+        nb = self.cfg.num_buckets
+        shards = [base + nb * (1 + i) for i in range(s)]
+        splits_one = {base: s}
+
+        # (1) enqueued set: union of base-named and (crash-rerun) shard-
+        # named state, re-partitioned into per-shard snapshots
+        enq, _ = _read_enqueued(self.work, base, rnd)
+        for sid in shards:
+            e2, _ = _read_enqueued(self.work, sid, rnd)
+            enq.update(e2)
+        by_shard: dict[int, list[str]] = {sid: [] for sid in shards}
+        for pid in enq:
+            by_shard[shard_for(base, pid, nb, splits_one)].append(pid)
+        for sid in shards:
+            atomic_write_parquet(
+                pa.Table.from_pydict({"page_id": pa.array(sorted(by_shard[sid]))}),
+                os.path.join(
+                    self.work, "enqueued", f"bucket={sid:04d}.through={rnd:06d}.parquet"
+                ),
+            )
+
+        # (2) round-rnd frontier files (novel + deferred)
+        import pandas as pd
+
+        for d in frontier_dirs(self.work, rnd):
+            legacy = bucket_file(d, base)
+            tables = []
+            if os.path.exists(legacy):
+                tables.append(pq.read_table(legacy))
+            for sid in shards:
+                f = bucket_file(d, sid)
+                if os.path.exists(f):
+                    tables.append(pq.read_table(f))
+            if not tables:
+                continue
+            df = pa.concat_tables(tables).to_pandas().drop_duplicates("seq")
+            shard_of = df["page_id"].map(lambda p: shard_for(base, p, nb, splits_one))
+            for sid in shards:
+                grp = df[shard_of == sid]
+                if len(grp):
+                    atomic_write_parquet(
+                        pa.Table.from_pandas(
+                            grp, schema=FRONTIER_SCHEMA, preserve_index=False
+                        ),
+                        bucket_file(d, sid),
+                        sort_by="seq",
+                    )
+            if os.path.exists(legacy):
+                os.remove(legacy)
 
     def _cap_boundary(self, parts: list[dict], remaining: int):
         """(priority, seq) of the last row inside the crawl cap —
@@ -591,6 +712,10 @@ class CrawlEngine:
         parts = self._frontier_parts(rnd)
         if not parts:
             return None
+        splits = self._load_splits()
+        if self.cfg.salt_threshold_rows is not None:
+            if self._maybe_split(parts, rnd, splits):
+                parts = self._frontier_parts(rnd)
         emis_dir = os.path.join(rd, "emissions")
         if os.path.isdir(emis_dir):
             shutil.rmtree(emis_dir)  # crashed attempt: rebuild the sink
@@ -610,7 +735,8 @@ class CrawlEngine:
             cap_boundary = self._cap_boundary(parts, remaining)
 
         admit = make_admitter(
-            self.work, rnd, self.cfg.politeness_budget, self.robots, cap_boundary
+            self.work, rnd, self.cfg.politeness_budget, self.robots, cap_boundary,
+            self.cfg.num_buckets, splits,
         )
         (
             # one block per bucket descriptor → one admit task per bucket;
@@ -634,6 +760,7 @@ class CrawlEngine:
                 make_extract_emitter(
                     rnd, self.cfg.num_buckets, self.cfg.filters,
                     self.cfg.resolved_bucket_mode(), self.cfg.enrich_text,
+                    splits,
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
@@ -656,7 +783,8 @@ class CrawlEngine:
             # stream to pipe anywhere, and the streaming executor's
             # per-execution startup would dominate at ~2 executions/round.
             probe = make_prober(
-                self.work, rnd, self.cfg.priority_mode, self.cfg.seen_ttl_rounds
+                self.work, rnd, self.cfg.priority_mode, self.cfg.seen_ttl_rounds,
+                self.cfg.num_buckets,
             )
             futures = [
                 _PROBE_TASK.remote(probe, p["bucket"], p["dir"]) for p in link_parts

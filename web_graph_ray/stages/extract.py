@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..functions.filters import FilterConfig, DEFAULT_FILTERS
-from ..functions.hashing import bucket_for
+from ..functions.hashing import bucket_for, shard_for
 from ..functions.links import extract_links
 from ..functions.urlnorm import parse
 from .canonicalize import child_seq
@@ -88,6 +88,7 @@ def make_extract_emitter(
     filters: FilterConfig = DEFAULT_FILTERS,
     bucket_mode: str = "host",
     enrich: bool = False,
+    splits: dict[int, int] | None = None,
 ):
     """Build the per-round extract/emit batch UDF (stateless tasks).
 
@@ -176,8 +177,14 @@ def make_extract_emitter(
                 lcols["to_hostname"].append(link.to_hostname)
                 lcols["to_host"].append(link.to_host)
                 lcols["to_path"].append(link.to_escaped_path)
+                base = bucket_for(
+                    link.to_hostname, link.to_page_id, num_buckets, bucket_mode
+                )
+                # to_bucket is the PHYSICAL shard: split (mega-host)
+                # buckets spread their emissions/probe/state over
+                # page_id-hashed sub-shards (see hashing.shard_for)
                 lcols["to_bucket"].append(
-                    bucket_for(link.to_hostname, link.to_page_id, num_buckets, bucket_mode)
+                    shard_for(base, link.to_page_id, num_buckets, splits)
                 )
                 lcols["candidate_seq"].append(child_seq(seq, link.anchor_index))
                 lcols["text"].append(link.text)
