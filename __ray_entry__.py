@@ -624,6 +624,61 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, vec_id, score from r where rn <= 10
         """,
+        "langid_documents": """
+            -- stopword-hit-count argmax, mirroring functions.text.detect_lang
+            -- (first language in code order achieving the max wins; no
+            -- hits or no words -> 'und')
+            with w as (
+              select doc_id,
+                     lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) w
+              from documents),
+            sc as (select doc_id,
+                   count(*) filter (w in ('das', 'der', 'die', 'ein', 'für', 'ich', 'ist', 'mit', 'nicht', 'und', 'von', 'zu')) s_de,
+                   count(*) filter (w in ('a', 'and', 'for', 'in', 'is', 'it', 'of', 'on', 'that', 'the', 'to', 'was', 'with')) s_en,
+                   count(*) filter (w in ('del', 'el', 'en', 'es', 'la', 'las', 'los', 'por', 'que', 'un', 'una', 'y')) s_es,
+                   count(*) filter (w in ('dans', 'des', 'du', 'est', 'et', 'la', 'le', 'les', 'pour', 'que', 'un', 'une')) s_fr,
+                   count(*) filter (w in ('che', 'con', 'del', 'di', 'e', 'il', 'la', 'non', 'per', 'sono', 'un', 'una')) s_it
+                   from w group by doc_id),
+            scm as (select *, greatest(s_de, s_en, s_es, s_fr, s_it) m from sc)
+            select d.doc_id, coalesce(case when m = 0 then 'und'
+                        when s_de = m then 'de'
+                        when s_en = m then 'en'
+                        when s_es = m then 'es'
+                        when s_fr = m then 'fr'
+                        when s_it = m then 'it' end, 'und') as lang_pred
+            from documents d left join scm using (doc_id)
+        """,
+        "simhash_pairs_documents": """
+            -- exact 64-bit SimHash per doc (FNV-1a over lowercased byte
+            -- 5-grams, distinct hashes, per-bit majority) re-derived in
+            -- SQL; with bands=8 the engine's banding recall is COMPLETE
+            -- for hamming <= 7, so its output equals the exhaustive
+            -- hamming <= 6 pair set below.  Precondition: ASCII text
+            -- (byte == code point) with length >= 5, which the synthetic
+            -- documents table satisfies.
+            with d as (select doc_id, lower(text) t from documents),
+            win as (select doc_id,
+                           (((((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+3, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+3, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - ((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor(((((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) - (((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256) + xor((((((14695981039346656037::hugeint) - ((14695981039346656037::hugeint) % 256) + xor(((14695981039346656037::hugeint) % 256)::bigint, ascii(substr(t, i+0, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+1, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+2, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+3, 1)))::hugeint) * 1099511628211) % 18446744073709551616) % 256)::bigint, ascii(substr(t, i+4, 1)))::hugeint) * 1099511628211) % 18446744073709551616 as h
+                    from d cross join generate_series(1, 4000) g(i)
+                    where i <= length(t) - 4),
+            dh as (select distinct doc_id, h from win),
+            bits as (select doc_id, k,
+                            case when 2 * sum(((h // (1::hugeint << k)) % 2)::bigint)
+                                      > count(*) then 1 else 0 end bv
+                     from dh cross join generate_series(0, 63) g(k)
+                     group by doc_id, k),
+            sh as (select doc_id, sum(bv * (1::hugeint << k))::hugeint raw
+                   from bits group by doc_id),
+            sim as (select doc_id,
+                           (case when raw >= (1::hugeint << 63)
+                                 then raw - 18446744073709551616
+                                 else raw end)::bigint s
+                    from sh)
+            select s1.doc_id a, s2.doc_id b,
+                   bit_count(xor(s1.s, s2.s))::bigint hamming
+            from sim s1 join sim s2 on s1.doc_id < s2.doc_id
+            where bit_count(xor(s1.s, s2.s)) <= 6
+        """,
         "cosine_near_dup_pairs": """
             select e1.vec_id a, e2.vec_id b,
                    round(list_cosine_similarity(cast(e1.embedding as double[]),
