@@ -229,3 +229,86 @@ class TestCLI:
         )
         assert out.returncode != 0
         assert "seeds" in out.stderr
+
+
+class TestServeAPI:
+    """HTTP layer e2e: the 7 reference routes (cmd/link-api/main.go:87-191)
+    served from a crawled work dir, shapes matching the gin handlers."""
+
+    @pytest.fixture(scope="class")
+    def served(self, ray_session, tmp_path_factory):
+        import threading
+        from web_graph_ray.config import CrawlConfig
+        from web_graph_ray.pipelines.crawl import CrawlEngine
+        from web_graph_ray.pipelines.queries import GraphQueries
+        from web_graph_ray.pipelines.serve import make_server
+        from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+
+        d = tmp_path_factory.mktemp("serve")
+        ccfg = CorpusConfig(n_pages=80, seed=3)
+        corpus = write_corpus(str(d / "corpus"), ccfg)
+        eng = CrawlEngine(
+            corpus,
+            CrawlConfig(num_buckets=4, work_dir=str(d / "work"), respect_robots=False),
+        )
+        eng.run(seed_urls(ccfg))
+        gq = GraphQueries(eng)
+        srv = make_server(gq, "127.0.0.1", 0)  # ephemeral port
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield gq, f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    @staticmethod
+    def _get(url):
+        import json as _json
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=30) as r:
+            body = r.read().decode()
+        try:
+            return r.status, _json.loads(body)
+        except _json.JSONDecodeError:
+            return r.status, body
+
+    def test_counts(self, served):
+        gq, base = served
+        assert self._get(base + "/countPages")[1] == {"countPages": gq.count_pages()}
+        assert self._get(base + "/countLinks")[1] == {"countLinks": gq.count_links()}
+
+    def test_page_composite(self, served):
+        gq, base = served
+        row = gq.pages.take(1)[0]
+        pid = row["page_id"]
+        status, out = self._get(f"{base}/page/{pid}")
+        assert status == 200
+        assert out["node"] == {"id": pid, "group": row["host"], "url": row["url"]}
+        exp = gq.page_with_links(pid)
+        assert out["links"] == [l["to_page_id"] for l in exp["links"]]
+
+    def test_page_missing_404(self, served):
+        import urllib.error
+
+        _, base = served
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._get(base + "/page/doesnotexist")
+        assert ei.value.code == 404
+
+    def test_list_routes(self, served):
+        gq, base = served
+        row = gq.pages.take(1)[0]
+        host, pid = row["host"], row["page_id"]
+        assert self._get(f"{base}/pages/{host}")[1] == list(
+            gq.pages_by_host(host).to_pandas()["page_id"]
+        )
+        assert self._get(f"{base}/linksFrom/{pid}")[1] == list(
+            gq.links_from(pid).to_pandas()["to_page_id"]
+        )
+        assert self._get(f"{base}/linksTo/{pid}")[1] == list(
+            gq.links_to(pid).to_pandas()["from_page_id"]
+        )
+
+    def test_welcome(self, served):
+        _, base = served
+        status, body = self._get(base + "/")
+        assert status == 200 and "web-graph" in body

@@ -13,7 +13,53 @@ import json
 import sys
 
 
+def serve_main(argv: list[str]) -> int:
+    """``python -m web_graph_ray.pipelines serve``: HTTP layer over a
+    crawled work dir — the reference's link-api routes
+    (cmd/link-api/main.go:87-191)."""
+    p = argparse.ArgumentParser(description="web_graph_ray API server")
+    p.add_argument("--corpus", required=True, help="pages parquet file/dir")
+    p.add_argument("--work", required=True, help="crawled work dir to serve")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import logging
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ..config import CrawlConfig
+    from .crawl import CrawlEngine
+    from .queries import GraphQueries
+    from .serve import make_server
+
+    eng = CrawlEngine(args.corpus, CrawlConfig(work_dir=args.work))
+    srv = make_server(GraphQueries(eng), args.host, args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{srv.server_address[1]}/"}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "serve":
+        return serve_main(argv[1:])
     p = argparse.ArgumentParser(description="web_graph_ray crawl runner")
     p.add_argument("--corpus", required=True, help="pages parquet file/dir")
     p.add_argument("--work", required=True, help="work/checkpoint dir")
