@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from web_graph_ray.functions.filters import FilterConfig, DEFAULT_FILTERS, happy_content_type, parse_url
-from web_graph_ray.functions.links import extract_links
+from web_graph_ray.functions.links import extract_links, extract_links_full
 from web_graph_ray.functions.urlnorm import page_id_from_parts
 from web_graph_ray.state.politeness import RobotsRules, parse_robots
 
@@ -202,6 +202,7 @@ def run_oracle(
             "deferred": 0,
             "discovered": 0,
             "deduped": 0,
+            "rejected": 0,
         }
         next_frontier: list[dict] = []
         host_used: dict[str, int] = {}
@@ -268,7 +269,8 @@ def run_oracle(
             from web_graph_ray.functions.urlnorm import parse as go_parse
 
             base = go_parse(row["url"])
-            links, doc_text = extract_links(base, page["html"], filters)
+            links, doc_text, rejects = extract_links_full(base, page["html"], filters)
+            counters["rejected"] += len(rejects)
             res.texts[row["url"]] = doc_text
             for link in links:
                 tid = link.to_page_id

@@ -368,3 +368,41 @@ class TestMegaHostSalting:
         eng2.run()  # resume from checkpoints
         res = run_oracle(table, seeds, budget=30, max_rounds=6)
         assert_conformance(eng2, res)
+
+
+class TestRejectsSideOutput:
+    """S6 rejects channel: unparseable hrefs produce reject rows +
+    a 'rejected' counter instead of the reference's silent skip
+    (pkg/linkprocessor/linkprocessor.go:141-144)."""
+
+    def test_rejects_surface_and_conform(self, ray_session, tmp_path_factory):
+        import pyarrow as pa
+
+        d = tmp_path_factory.mktemp("rejects")
+        html = (
+            b'<html><body>'
+            b'<a href="/ok.html">fine</a>'
+            b'<a href="/%zz">poison1</a>'
+            b'<a href="ht tp://x/">poison2</a>'
+            b'</body></html>'
+        )
+        t = pa.Table.from_pydict(
+            {
+                "url": ["http://r.test/index.html", "http://r.test/ok.html"],
+                "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+                "html": pa.array([html, b"<html><body>leaf</body></html>"], type=pa.binary()),
+                "content_type": ["text/html", "text/html"],
+            }
+        )
+        path = str(d / "c.parquet")
+        pq.write_table(t, path)
+        seeds = ["http://r.test/index.html"]
+        eng = make_engine(path, d, respect_robots=False)
+        eng.run(seeds)
+        res = run_oracle(pq.read_table(path), seeds)
+        assert_conformance(eng, res)
+        assert res.counters[0]["rejected"] == 2
+        rej = eng.rejects().to_pandas().sort_values("anchor_idx")
+        assert list(rej["to_url"]) == ["/%zz", "ht tp://x/"]
+        assert set(rej["status"]) == {"unparseable_href"}
+        assert list(rej["round"]) == [0, 0]

@@ -361,3 +361,33 @@ def test_string_roundtrip_idempotent():
         once = parse(s).string()
         twice = parse(once).string()
         assert once == twice, s
+
+
+class TestOmitHost:
+    """Go 1.19+ OmitHost: 'http:/foo.html' (scheme + path-absolute, no
+    authority) must round-trip WITHOUT gaining '//' — net/url sets
+    URL.OmitHost at parse and String() honors it."""
+
+    def test_roundtrip(self):
+        from web_graph_ray.functions.urlnorm import parse
+
+        for raw in ["http:/foo.html", "https:/a/b?q=1", "http:/a#f"]:
+            assert parse(raw).string() == raw
+
+    def test_authority_forms_unaffected(self):
+        from web_graph_ray.functions.urlnorm import parse
+
+        assert parse("http://h/x.html").string() == "http://h/x.html"
+        assert parse("http://h").string() == "http://h"
+        # scheme-relative and plain-relative refs never set omit_host
+        assert parse("//h/x").omit_host is False
+        assert parse("/x").omit_host is False
+
+    def test_resolve_copies_omit_host(self):
+        from web_graph_ray.functions.urlnorm import parse
+
+        base = parse("http://example.com/dir/page.html")
+        out = base.resolve_reference(parse("http:/foo.html"))
+        # Go: url := *ref copies OmitHost; absoluteURI branch keeps it
+        assert out.string() == "http:/foo.html"
+        assert out.host == ""

@@ -263,6 +263,10 @@ class GoURL:
     raw_query: str = ""
     fragment: str = ""
     raw_fragment: str = ""
+    # Go 1.19+ OmitHost: set when a rootless-absolute URL like
+    # 'http:/foo.html' is parsed (scheme present, path-absolute, no
+    # authority); String() then skips the '//' so the round-trip is exact
+    omit_host: bool = False
 
     # -- accessors ---------------------------------------------------------
 
@@ -323,13 +327,16 @@ class GoURL:
             buf.append(self.opaque)
         else:
             if self.scheme != "" or self.host != "" or self.user is not None:
-                if self.host != "" or self.path != "" or self.user is not None:
-                    buf.append("//")
-                if self.user is not None:
-                    buf.append(self.user.string())
-                    buf.append("@")
-                if self.host != "":
-                    buf.append(_escape(self.host, ENC_HOST))
+                if self.omit_host and self.host == "" and self.user is None:
+                    pass  # Go 1.19 OmitHost: no '//' for http:/path URLs
+                else:
+                    if self.host != "" or self.path != "" or self.user is not None:
+                        buf.append("//")
+                    if self.user is not None:
+                        buf.append(self.user.string())
+                        buf.append("@")
+                    if self.host != "":
+                        buf.append(_escape(self.host, ENC_HOST))
             path = self.escaped_path()
             if path != "" and not path.startswith("/") and self.host != "":
                 buf.append("/")
@@ -362,6 +369,7 @@ class GoURL:
             raw_query=ref.raw_query,
             fragment=ref.fragment,
             raw_fragment=ref.raw_fragment,
+            omit_host=ref.omit_host,  # Go: url := *ref copies OmitHost
         )
         if ref.scheme == "":
             url.scheme = self.scheme
@@ -504,6 +512,8 @@ def _parse_no_frag(raw_url: str) -> GoURL:
         else:
             rest = ""
         url.user, url.host = _parse_authority(authority)
+    elif url.scheme != "" and rest.startswith("/"):
+        url.omit_host = True  # Go 1.19+: 'http:/foo.html' keeps no '//'
     url._set_path(rest)
     return url
 

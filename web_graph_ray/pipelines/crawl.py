@@ -802,10 +802,16 @@ class CrawlEngine:
 
         # counters from committed artifacts (tiny column reads)
         nonlink = os.path.join(emis_dir, "to_bucket=-1")
-        visit_status = (
-            pads.dataset(nonlink)
-            .to_table(columns=["status"], filter=pads.field("row_type") == "visit")
-        )["status"].to_pylist() if os.path.isdir(nonlink) else []
+        if os.path.isdir(nonlink):
+            nl_types = pads.dataset(nonlink).to_table(columns=["row_type", "status"])
+            visit_status = nl_types.filter(
+                pc.equal(nl_types["row_type"], "visit")
+            )["status"].to_pylist()
+            rejected = int(
+                pc.sum(pc.equal(nl_types["row_type"], "reject").cast(pa.int64())).as_py() or 0
+            )
+        else:
+            visit_status, rejected = [], 0
         from collections import Counter
 
         by_status = Counter(visit_status)
@@ -818,6 +824,7 @@ class CrawlEngine:
             "deferred": _count_rows(list_bucket_files(frontier_dirs(self.work, rnd + 1)[1])),
             "discovered": discovered,
             "deduped": link_rows - discovered,
+            "rejected": rejected,
         }
         lap("counters")
         processed_total += counters["admitted"] + counters["robots_denied"]
@@ -916,6 +923,17 @@ class CrawlEngine:
         return (
             ray.data.read_parquet(self._nonlink_files(), columns=cols + ["row_type"])
             .filter(expr="row_type == 'visit'")
+            .drop_columns(["row_type"])
+        )
+
+    def rejects(self) -> "ray.data.Dataset":
+        """Rejects side output: one row per unparseable href (S6's
+        poison-row analogue) — parent page_id, anchor_idx, the raw href
+        (``to_url``) and the reason (``status``)."""
+        cols = ["round", "page_id", "anchor_idx", "to_url", "status"]
+        return (
+            ray.data.read_parquet(self._nonlink_files(), columns=cols + ["row_type"])
+            .filter(expr="row_type == 'reject'")
             .drop_columns(["row_type"])
         )
 

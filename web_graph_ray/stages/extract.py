@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from ..functions.filters import FilterConfig, DEFAULT_FILTERS
 from ..functions.hashing import bucket_for, shard_for
-from ..functions.links import extract_links
+from ..functions.links import extract_links_full
 from ..functions.urlnorm import parse
 from .canonicalize import child_seq
 
@@ -107,10 +107,11 @@ def make_extract_emitter(
         "to_host", "to_path", "to_bucket", "candidate_seq", "text",
     )
 
-    # link rows only need the emitter's page_id + priority downstream
-    # (probe: to_*/candidate_seq/priority; links(): page_id/to_page_id/
-    # text/emit_key; pages(): to_*/emit_key) — the other parent columns
-    # are nulled to keep the round sink lean (~200 B/row × millions).
+    # link/reject rows only need the emitter's page_id + priority
+    # downstream (probe: to_*/candidate_seq/priority; links():
+    # page_id/to_page_id/text/emit_key; pages(): to_*/emit_key) — the
+    # other parent columns are nulled to keep the round sink lean
+    # (~200 B/row × millions).
     _LINK_BASE = frozenset({"page_id", "bucket", "priority"})
 
     def _part(batch: pa.Table, row_type: str, indices, extras: dict) -> pa.Table:
@@ -122,8 +123,10 @@ def make_extract_emitter(
                 arr = pa.array([row_type] * m, type=pa.string())
             elif field.name == "round":
                 arr = pa.array([rnd] * m, type=pa.int32())
-            elif field.name in base_names and (
-                row_type != "link" or field.name in _LINK_BASE
+            elif (
+                field.name in base_names
+                and field.name not in extras
+                and (row_type not in ("link", "reject") or field.name in _LINK_BASE)
             ):
                 arr = src[field.name].combine_chunks().cast(field.type)
             elif field.name in extras:
@@ -151,8 +154,18 @@ def make_extract_emitter(
         }
         link_parent: list[int] = []
         lcols: dict[str, list] = {name: [] for name in link_names}
+        rej_parent: list[int] = []
+        rcols: dict[str, list] = {"anchor_idx": [], "to_url": [], "status": []}
         for i in ok_idx:
-            links, doc_text = extract_links(parse(urls[i]), htmls[i], filters)
+            links, doc_text, rejects = extract_links_full(parse(urls[i]), htmls[i], filters)
+            for rej in rejects:
+                # rejects side output (SURVEY S6): unparseable hrefs get a
+                # row_type='reject' row (href sample in to_url, reason in
+                # status) instead of the reference's silent skip
+                rej_parent.append(i)
+                rcols["anchor_idx"].append(rej.anchor_index)
+                rcols["to_url"].append(rej.href)
+                rcols["status"].append("unparseable_href")
             doc_texts.append(doc_text)
             if enrich:
                 # training-data curation features per fetched page —
@@ -200,6 +213,11 @@ def make_extract_emitter(
         if link_parent:
             parts.append(
                 _part(batch, "link", pa.array(link_parent, type=pa.int64()), lcols)
+            )
+        if rej_parent:
+            rcols["to_bucket"] = [-1] * len(rej_parent)
+            parts.append(
+                _part(batch, "reject", pa.array(rej_parent, type=pa.int64()), rcols)
             )
         return pa.concat_tables(parts)
 
