@@ -25,6 +25,19 @@ import ray.data
 
 from ..functions.text import char_shingles, minhash_signature
 
+# broadcast-vs-partitioned-join gate: small sides below this ride one
+# ray.put; above it the code switches to Dataset.join (the 10^9-doc
+# path).  Module-level so tests can force the join path by patching.
+BROADCAST_BYTES = 64 << 20
+
+
+# NOTE on joins: the partitioned paths below use bucket_semi_join /
+# bucket_hash_join (relational.py) — union + bucketed group map — NOT
+# ray.data.Dataset.join.  In Ray 2.49 the JoinOperator deadlocks when
+# composed with upstream map / downstream sort operators in one
+# streaming execution (aggregator-owned output blocks get lost), which
+# these dedup DAGs always do.
+
 __all__ = [
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -77,19 +90,26 @@ def exact_dedup(
 
 
 def _shingle_rows(text_col: str, id_col: str, k: int):
+    """Explode distinct HASHED k-gram shingles (int64 FNV of the
+    lowercased gram, via char_shingles — same shingling the minhash
+    path uses).  Hashing at the source keeps every downstream shuffle
+    payload fixed-width ints instead of strings (~3× cheaper); Jaccard
+    over hashed sets equals Jaccard over raw grams up to 64-bit hash
+    collisions (negligible, and shared with the minhash path)."""
+
     def explode(batch: pa.Table) -> pa.Table:
         ids, shingles = [], []
         for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            tl = t.lower()
-            grams = (
-                {tl[j : j + k] for j in range(len(tl) - k + 1)}
-                if len(tl) >= k
-                else ({tl} if tl else set())
-            )
+            grams = char_shingles(t, k)
             ids.extend([i] * len(grams))
-            shingles.extend(grams)
+            shingles.extend(
+                h - (1 << 64) if h >= 1 << 63 else h for h in grams
+            )
         return pa.Table.from_pydict(
-            {id_col: pa.array(ids, type=pa.int64()), "shingle": pa.array(shingles)}
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "shingle": pa.array(shingles, type=pa.int64()),
+            }
         )
 
     return explode
@@ -140,7 +160,9 @@ def ngram_jaccard_pairs(
     def shingles() -> "ray.data.Dataset":
         return ds.map_batches(explode, batch_format="pyarrow")
 
-    sizes = shingles().groupby(id_col).count()  # distinct shingles per doc
+    from .relational import bucketed_agg
+
+    sizes = bucketed_agg(shingles(), [id_col])  # distinct shingles per doc
 
     def rare_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket: pairs per rare shingle (one row per co-occurrence)."""
@@ -150,9 +172,7 @@ def ngram_jaccard_pairs(
         return m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
 
     cand = (
-        bucketed_group_map(shingles(), ["shingle"], rare_pairs)
-        .groupby(["a", "b"])
-        .count()
+        bucketed_agg(bucketed_group_map(shingles(), ["shingle"], rare_pairs), ["a", "b"])
         .map_batches(
             lambda t: t.filter(
                 pa.compute.greater_equal(t["count()"], min_shared)
@@ -181,7 +201,7 @@ def ngram_jaccard_pairs(
     # the 10^9-doc path is two partitioned hash joins — semi-join shingle
     # rows to candidate members, then inner-join generated pairs to the
     # candidate set.  No O(n_docs) driver state on either path.
-    if n_cand * 16 <= 64 << 20:
+    if n_cand * 16 <= BROADCAST_BYTES:
         cand_ref = ray.put(cand.to_pandas())
 
         def pair_hits(df: pd.DataFrame) -> pd.DataFrame:
@@ -195,51 +215,39 @@ def ngram_jaccard_pairs(
             m = m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
             return m.merge(cands, on=["a", "b"])
 
-        inter = (
-            bucketed_group_map(shingles(), ["shingle"], pair_hits)
-            .groupby(["a", "b"])
-            .count()
+        inter = bucketed_agg(
+            bucketed_group_map(shingles(), ["shingle"], pair_hits), ["a", "b"]
         )
     else:
-        members = (
-            cand.map_batches(
-                lambda t: pa.Table.from_pydict(
-                    {
-                        id_col: pa.concat_arrays(
-                            [
-                                t["a"].combine_chunks().cast(pa.int64()),
-                                t["b"].combine_chunks().cast(pa.int64()),
-                            ]
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby(id_col)
-            .count()
-            .select_columns([id_col])
-        )
-        member_sh = shingles().join(
-            members, join_type="inner", num_partitions=32, on=(id_col,)
-        )
+        # Join path: intersections computed per CANDIDATE PAIR, not per
+        # shingle — (cand ⋈ shingles-of-a) gives (a, b, shingle) rows,
+        # a semi join against (b, shingle) keeps exactly the shared
+        # shingles, and a bucketed count yields |sh(a) ∩ sh(b)|.  Work
+        # is Σ_pairs |sh(a)| — LINEAR in candidates, immune to the
+        # hot-shingle quadratic a per-shingle self-merge would hit when
+        # the candidate member set approaches the corpus.
+        from .relational import bucket_hash_join, bucket_semi_join
 
-        def member_pairs(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return _empty_ab
-            m = df.merge(df, on="shingle")
-            m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
-            return m.rename(columns={f"{id_col}_x": "a", f"{id_col}_y": "b"})[["a", "b"]]
-
-        inter = (
-            bucketed_group_map(member_sh, ["shingle"], member_pairs)
-            .groupby(["a", "b"])
-            .count()
-            .join(cand, join_type="inner", num_partitions=32, on=("a", "b"))
+        sh_a = shingles().map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"a": t[id_col].combine_chunks(), "shingle": t["shingle"].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        )
+        sh_b_keys = shingles().map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"b": t[id_col].combine_chunks(), "shingle": t["shingle"].combine_chunks()}
+            ),
+            batch_format="pyarrow",
+        )
+        pair_sh = bucket_hash_join(cand, sh_a, ["a"])
+        inter = bucketed_agg(
+            bucket_semi_join(pair_sh, sh_b_keys, ["b", "shingle"]), ["a", "b"]
         )
 
     # scoring needs |shingles(a)|, |shingles(b)| — same size gate:
     # broadcast the per-doc counts when small, else join them in.
-    if n_docs * 16 <= 64 << 20:
+    if n_docs * 16 <= BROADCAST_BYTES:
         sz_df = sizes.to_pandas()
         n_ref = ray.put(dict(zip(sz_df[id_col], sz_df["count()"])))
 
@@ -274,9 +282,11 @@ def ngram_jaccard_pairs(
         ),
         batch_format="pyarrow",
     )
-    joined = inter.join(
-        size_a, join_type="inner", num_partitions=32, on=("a",)
-    ).join(size_b, join_type="inner", num_partitions=32, on=("b",))
+    from .relational import bucket_hash_join
+
+    joined = bucket_hash_join(
+        bucket_hash_join(inter, size_a, ["a"]), size_b, ["b"]
+    )
 
     def score_j(batch: pa.Table) -> pa.Table:
         inter_n = batch["count()"].cast(pa.float64())
@@ -400,7 +410,7 @@ def minhash_lsh_pairs(
     # joins (the 10^9-doc path).
     sigs = _signatures(ds, text_col, id_col, k, num_perm)
     n_docs = ds.count()
-    if n_docs * num_perm * 8 <= 64 << 20:
+    if n_docs * num_perm * 8 <= BROADCAST_BYTES:
         sig_df = sigs.to_pandas()
         sig_ref = ray.put(dict(zip(sig_df[id_col], sig_df["sig"])))
 
@@ -424,11 +434,23 @@ def minhash_lsh_pairs(
 
         return cand.map_batches(score_bc, batch_format="pyarrow")
 
-    joined = cand.join(
-        sigs, join_type="inner", num_partitions=8, on=("a",), right_on=(id_col,)
-    ).rename_columns({"sig": "sig_a"}).join(
-        sigs, join_type="inner", num_partitions=8, on=("b",), right_on=(id_col,)
-    ).rename_columns({"sig": "sig_b"})
+    from .relational import bucket_hash_join
+
+    sig_a = sigs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"a": t[id_col].combine_chunks(), "sig_a": t["sig"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    sig_b = sigs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"b": t[id_col].combine_chunks(), "sig_b": t["sig"].combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(
+        bucket_hash_join(cand, sig_a, ["a"]), sig_b, ["b"]
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_pylist()
@@ -471,7 +493,9 @@ def minhash_clusters(
         batch_format="pyarrow",
     ).materialize()
 
-    labels = edges.groupby("node").min("peer").map_batches(
+    from .relational import bucketed_agg
+
+    labels = bucketed_agg(edges, ["node"], "peer", how="min").map_batches(
         lambda t: pa.Table.from_pydict(
             {
                 "node": t["node"].combine_chunks(),
@@ -496,10 +520,13 @@ def minhash_clusters(
             ),
             batch_format="pyarrow",
         )
+        from .relational import bucket_hash_join
+
         labels = (
-            edges.join(peer_labels, join_type="inner", num_partitions=16, on=("peer",))
-            .groupby("node")
-            .min("peer_label")
+            bucketed_agg(
+                bucket_hash_join(edges, peer_labels, ["peer"]),
+                ["node"], "peer_label", how="min",
+            )
             .map_batches(
                 lambda t: pa.Table.from_pydict(
                     {
