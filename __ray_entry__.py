@@ -378,7 +378,7 @@ def _crawl_engine(sf_dir: str):
     n_pages = {"0.001": 300, "0.01": 1000, "0.1": 3000}.get(sf, 300)
     tag = re.sub(r"[^A-Za-z0-9.]", "_", sf)
     # version tag invalidates caches when the emissions schema evolves
-    root = f"/tmp/wg_entry/v4_{tag}_{n_pages}"
+    root = f"/tmp/wg_entry/v5_{tag}_{n_pages}"  # v5: rejects side output
     ccfg = CorpusConfig(n_pages=n_pages, seed=42)
     corpus = os.path.join(root, "corpus", "pages.parquet")
     if not os.path.exists(corpus):
@@ -438,6 +438,41 @@ def crawl_counters(sf_dir: str):
     return pd.DataFrame(_crawl_engine(sf_dir).counters())
 
 
+def crawl_rejects(sf_dir: str):
+    """Rejects side output (S6): one row per unparseable href met
+    during extraction — the observable replacement for the reference's
+    silent skip (linkprocessor.go:141-144)."""
+    return (
+        _crawl_engine(sf_dir)
+        .rejects()
+        .to_pandas()
+        .sort_values(["round", "page_id", "anchor_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def bucket_join_orders_customers(sf_dir: str):
+    """Same query as join_orders_customers but through the engine's OWN
+    partitioned join (bucket_hash_join: union + hash-bucketed
+    co-partition) + bucketed_agg — puts the scale-path join primitive
+    under the driver's SQL oracle gate."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "o_custkey": t["c_custkey"].combine_chunks(),
+                "c_mktsegment": t["c_mktsegment"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(orders, cust, ["o_custkey"])
+    out = bucketed_agg(joined, ["c_mktsegment"], out_col="order_count").to_pandas()
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -457,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": filter_events,
         "topk_users_by_events": topk_users_by_events,
         "join_orders_customers": join_orders_customers,
+        "bucket_join_orders_customers": bucket_join_orders_customers,
         "broadcast_join_nation_region": broadcast_join_nation_region,
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
@@ -489,7 +525,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_text_features": crawl_text_features,
         "crawl_top_hosts": crawl_top_hosts,
         "crawl_counters": crawl_counters,
+        "crawl_rejects": crawl_rejects,
     }
+
+
+
+
+# --- generated SQL twins (constants derived from the same code the Ray
+# pipelines use, so oracle and engine can never drift) ----------------------
+
+_FNV_SQL_STEP = (
+    "((h - h % 256 + xor((h % 256)::bigint, b)::hugeint) * 1099511628211)"
+    " % 18446744073709551616"
+)
+
+
+def _sql_xor64(a: str, b: str) -> str:
+    """Full 64-bit xor of two hugeint-encoded uint64s via the signed
+    bigint bit pattern (DuckDB xor() is bigint-only)."""
+    sx = lambda v: (
+        f"(case when ({v}) >= (1::hugeint << 63) then ({v}) - 18446744073709551616"
+        f" else ({v}) end)::bigint"
+    )
+    x = f"xor({sx(a)}, {sx(b)})"
+    return f"(case when {x} < 0 then {x}::hugeint + 18446744073709551616 else {x}::hugeint end)"
+
+
+def _sql_modmul(a: str, c: int) -> str:
+    """(a * c) mod 2^64 without int128 overflow: the multiplier is split
+    into 32-bit halves (a*cl ≤ 2^96 fits hugeint)."""
+    cl, ch = c % (1 << 32), c >> 32
+    return (
+        f"(((({a}) * {cl}) % 18446744073709551616 + "
+        f"(((({a}) * {ch}) % 4294967296) * 4294967296)) % 18446744073709551616)"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """Karp-Rabin fingerprint re-derived in SQL: nested list_reduce —
+    FNV-1a per word token (char-by-char), then the rolling
+    (acc*base + fnv(tok)) mod 2^64 fold over tokens."""
+    return f"""
+            with fp as (
+              select doc_id,
+                list_reduce(
+                  list_prepend(0::hugeint,
+                    list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                      tok -> list_reduce(
+                               list_prepend(14695981039346656037::hugeint,
+                                 list_transform(regexp_extract_all(tok, '.'),
+                                                c -> ascii(c)::bigint)),
+                               (h, b) -> {_FNV_SQL_STEP}))),
+                  (acc, f) -> (acc * 1000003 + f) % 18446744073709551616) raw
+              from documents)
+            select doc_id,
+                   (case when raw >= (1::hugeint << 63)
+                         then raw - 18446744073709551616 else raw end)::bigint
+                     as fingerprint
+            from fp
+        """
+
+
+def _hll_sql() -> str:
+    """HyperLogLog estimate re-derived in SQL: FNV-1a over the decimal
+    digits of user_id, murmur3 finalizer (modmul + 64-bit xor), exact
+    bit_length via bin(), register max per index, the standard
+    alpha*m^2/sum(2^-reg) estimator with the linear-counting fix."""
+    h = "fnv"
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
+    h = _sql_xor64(h, f"(({h}) >> 33)")
+    return f"""
+            with v as (
+              select list_reduce(
+                       list_prepend(14695981039346656037::hugeint,
+                         list_transform(regexp_extract_all(user_id::varchar, '.'),
+                                        c -> ascii(c)::bigint)),
+                       (h, b) -> {_FNV_SQL_STEP}) fnv
+              from events),
+            hx as (select {h} as h from v),
+            rk as (select (h % 4096)::bigint idx,
+                          case when (h >> 12) > 0
+                               then 52 - length(bin((h >> 12)::bigint)) + 1
+                               else 53 end rank
+                   from hx),
+            reg as (select idx, max(rank) r from rk group by idx),
+            s as (select sum(pow(2.0, -r)) sp, count(*) used from reg),
+            est as (select (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 /
+                           (sp + (4096 - used) * 1.0) e,
+                           (4096 - used) zeros from s)
+            select round(case when e <= 2.5 * 4096 and zeros > 0
+                         then 4096 * ln(4096.0 / zeros) else e end, 1) as estimate,
+                   12 as p
+            from est
+        """
+
+
+def _lsh_ann_sql() -> str:
+    """LSH ANN top-k re-derived in SQL: the hyperplanes are embedded as
+    literals from the SAME deterministic generator the Ray stage uses
+    (ann._hyperplanes), buckets = sign-bit packing, probe set = base
+    bucket + 1-bit flips (probes=2), rank by (score desc, vec_id)."""
+    from web_graph_ray.stages.ann import _hyperplanes
+
+    pl = _hyperplanes(64, 8)
+    rows = ",\n                   ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in pl[j]))
+        for j in range(8)
+    )
+    return f"""
+            with planes(j, w) as (values {rows}),
+            q as (select (row_number() over (order by vec_id)) - 1 qid,
+                         cast(embedding as double[]) qe
+                  from embeddings where vec_id < 5),
+            vs as (select e.vec_id, cast(e.embedding as double[]) ve
+                   from embeddings e),
+            vsig as (select vec_id, ve,
+                            sum(case when list_inner_product(ve, p.w) > 0
+                                then (1::bigint << p.j) else 0 end)::bigint bucket
+                     from vs cross join planes p group by vec_id, ve),
+            qsig as (select qid, qe,
+                            sum(case when list_inner_product(qe, p.w) > 0
+                                then (1::bigint << p.j) else 0 end)::bigint qb
+                     from q cross join planes p group by qid, qe),
+            probed as (
+              select qid, qb b from qsig
+              union all
+              select qid, xor(qb, (1::bigint << g.j))
+              from qsig cross join generate_series(0, 7) g(j)),
+            cand as (select qs.qid, v.vec_id,
+                            round(list_cosine_similarity(qs.qe, v.ve), 6) score
+                     from qsig qs join probed pr on pr.qid = qs.qid
+                     join vsig v on v.bucket = pr.b),
+            r as (select qid as query_id, vec_id, score,
+                         row_number() over (partition by qid
+                                            order by score desc, vec_id asc) rn
+                  from cand)
+            select query_id, vec_id, score from r where rn <= 10
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -514,6 +687,11 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": """
             select c_mktsegment, count(*) as order_count
             from orders join customer on o_custkey = c_custkey group by 1
+        """,
+        "bucket_join_orders_customers": """
+            select c_mktsegment, count(*) as order_count
+            from orders join customer on o_custkey = c_custkey group by 1
+            order by c_mktsegment
         """,
         "broadcast_join_nation_region": """
             select r_name, count(*) as nation_count
@@ -624,6 +802,9 @@ def oracle_sql() -> dict[str, str]:
                   from s)
             select query_id, vec_id, score from r where rn <= 10
         """,
+        "fingerprint_documents": _fingerprint_sql(),
+        "hll_distinct_users": _hll_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
         "langid_documents": """
             -- stopword-hit-count argmax, mirroring functions.text.detect_lang
             -- (first language in code order achieving the max wins; no
