@@ -665,6 +665,96 @@ def _lsh_ann_sql() -> str:
         """
 
 
+
+
+def _minhash_cte() -> str:
+    """Shared CTE text re-deriving the FULL MinHash-LSH pipeline in SQL:
+    hashed shingles (FNV over lowercased 5-gram windows, as the engine's
+    char_shingles), the 128 permutation params embedded as literals from
+    functions.text._perm_params (uint64-wraparound multiply via 32-bit
+    split, then mod 2^61-1), signature mins, 32-band FNV band hashes via
+    list_reduce (an unrolled expression would grow 3^32), bucket pairs
+    with the max_block=200 cap, and est_jaccard = matching signature
+    fraction.  Precondition: ASCII text, length >= 5 (synthetic
+    documents table)."""
+    from web_graph_ray.functions.text import _perm_params
+
+    a, b = _perm_params(128)
+    perm_rows = ",".join(
+        "(%d, %d, %d, %d)" % (j, int(a[j]) % (1 << 32), int(a[j]) >> 32, int(b[j]))
+        for j in range(128)
+    )
+    h = "14695981039346656037::hugeint"
+    for j in range(5):
+        bb = f"ascii(substr(t, i+{j}, 1))"
+        h = (
+            f"((({h}) - (({h}) % 256) + xor((({h}) % 256)::bigint, {bb})::hugeint)"
+            f" * 1099511628211) % 18446744073709551616"
+        )
+    byte_list = ", ".join(
+        f"((v{vi} >> {8 * k}) % 256)::bigint" for vi in range(4) for k in range(8)
+    )
+    return f"""
+            with d as (select doc_id, lower(text) t from documents),
+            win as (select doc_id, {h} as x
+                    from d cross join generate_series(1, 4000) g(i)
+                    where i <= length(t) - 4),
+            sh as (select distinct doc_id, x from win),
+            perms(j, al, ah, b) as (values {perm_rows}),
+            vals as (select doc_id, j,
+                            ((( (x * al) % 18446744073709551616
+                              + ((x * ah) % 4294967296) * 4294967296) % 18446744073709551616
+                              + b) % 18446744073709551616) % 2305843009213693951 v
+                     from sh cross join perms),
+            sig as (select doc_id, j, min(v) v from vals group by doc_id, j),
+            chunks as (select doc_id, (j // 4)::int band,
+                              max(case when j % 4 = 0 then v end) v0,
+                              max(case when j % 4 = 1 then v end) v1,
+                              max(case when j % 4 = 2 then v end) v2,
+                              max(case when j % 4 = 3 then v end) v3
+                       from sig group by doc_id, j // 4),
+            bandh as (select doc_id, band,
+                             list_reduce(
+                               list_prepend(14695981039346656037::hugeint, [{byte_list}]),
+                               (h, b) -> {_FNV_SQL_STEP}) % 9223372036854775808 bh
+                      from chunks),
+            bsize as (select band, bh, count(*) n from bandh group by band, bh),
+            cand as (select distinct b1.doc_id a, b2.doc_id b
+                     from bandh b1 join bandh b2 on b1.band = b2.band and b1.bh = b2.bh
+                                   and b1.doc_id < b2.doc_id
+                     join bsize s on s.band = b1.band and s.bh = b1.bh
+                     where s.n between 2 and 200),
+            p as (select c.a, c.b,
+                         sum(case when sa.v = sb.v then 1 else 0 end) / 128.0 e
+                  from cand c join sig sa on sa.doc_id = c.a
+                              join sig sb on sb.doc_id = c.b and sb.j = sa.j
+                  group by c.a, c.b
+                  having sum(case when sa.v = sb.v then 1 else 0 end) / 128.0 >= 0.5)"""
+
+
+def _minhash_pairs_sql() -> str:
+    return _minhash_cte() + """
+            select a, b, round(e, 6) as est_jaccard from p
+        """
+
+
+def _minhash_clusters_sql() -> str:
+    """4-round min-label propagation (the engine's minhash_clusters
+    semantics: l_{k+1}(x) = min(x, min over peers of l_k(peer)))
+    unrolled as chained CTEs over the pair set."""
+    rounds = """,
+            edges as (select a node, b peer from p union all select b, a from p),
+            l0 as (select node, least(node, min(peer)) as lbl from edges group by node)"""
+    for k in range(1, 4):
+        rounds += f""",
+            l{k} as (select e.node, least(e.node, min(l{k-1}.lbl)) as lbl
+                   from edges e join l{k-1} on l{k-1}.node = e.peer
+                   group by e.node)"""
+    return _minhash_cte() + rounds + """
+            select node, lbl as label from l3 order by node
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_lineitem_agg": """
@@ -805,6 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": _fingerprint_sql(),
         "hll_distinct_users": _hll_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "minhash_pairs_documents": _minhash_pairs_sql(),
+        "minhash_clusters_documents": _minhash_clusters_sql(),
         "langid_documents": """
             -- stopword-hit-count argmax, mirroring functions.text.detect_lang
             -- (first language in code order achieving the max wins; no
