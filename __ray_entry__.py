@@ -342,6 +342,34 @@ def multimodal_image_features(sf_dir: str):
     return _round_cols(out.to_pandas(), {"mean_intensity": 6})
 
 
+def multimodal_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing: 1→N flat map through the
+    actor-pool VideoFrameSample stage (fake decoder; real codecs
+    stubbed).  One row per (item, sampled frame)."""
+    from web_graph_ray.stages.multimodal import VideoFrameSample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "item_id": t["doc_id"].combine_chunks(),
+                "payload": pc.cast(t["text"], pa.binary()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"n_frames": 4, "height": 8, "width": 8, "decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).select_columns(["item_id", "frame_idx", "ts_sec"])
+    return _round_cols(
+        out.to_pandas().sort_values(["item_id", "frame_idx"]).reset_index(drop=True),
+        {"ts_sec": 6},
+    )
+
+
 def distinct_user_count(sf_dir: str):
     """Exact distinct count (set op, SQL-checked twin of the sketch)."""
     n = _t(sf_dir, "events", ["user_id"]).unique("user_id")
@@ -518,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_documents": simhash_pairs_documents,
         "lsh_ann_topk": lsh_ann_topk,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_video_frames": multimodal_video_frames,
         "crawl_pages": crawl_pages,
         "crawl_links": crawl_links,
         "crawl_visits": crawl_visits,

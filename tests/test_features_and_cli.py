@@ -312,3 +312,77 @@ class TestServeAPI:
         _, base = served
         status, body = self._get(base + "/")
         assert status == 200 and "web-graph" in body
+
+
+class TestMultimodalStages:
+    """Ray-side plumbing of the image/audio/video actor-pool stages —
+    schemas, 1->N frame flat-map, determinism, strict-stub honesty."""
+
+    @staticmethod
+    def _payload_ds(n=12):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "item_id": pa.array(range(n), type=pa.int64()),
+                    "payload": pa.array(
+                        [b"payload-%d" % i for i in range(n)], type=pa.binary()
+                    ),
+                }
+            )
+        )
+
+    def test_video_frame_sample(self, ray_session):
+        from web_graph_ray.stages.multimodal import VideoFrameSample
+
+        ds = self._payload_ds()
+        out = ds.map_batches(
+            VideoFrameSample,
+            fn_constructor_kwargs={"n_frames": 4, "height": 8, "width": 8, "decoder": "fake"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 12 * 4  # 1->N flat map
+        assert set(out.columns) == {"item_id", "frame_idx", "ts_sec", "pixels"}
+        g = out[out.item_id == 3].sort_values("frame_idx")
+        # uniform mid-point sampling is monotone in time
+        assert list(g["frame_idx"]) == [0, 1, 2, 3]
+        assert g["ts_sec"].is_monotonic_increasing
+        assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+        # deterministic: same payload -> same frames
+        out2 = ds.map_batches(
+            VideoFrameSample,
+            fn_constructor_kwargs={"n_frames": 4, "height": 8, "width": 8, "decoder": "fake"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        ).to_pandas()
+        a = out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+        b = out2.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+        assert (a["ts_sec"] == b["ts_sec"]).all()
+        assert all(list(x) == list(y) for x, y in zip(a["pixels"], b["pixels"]))
+
+    def test_strict_stub_raises(self, ray_session):
+        import pytest as _pytest
+
+        from web_graph_ray.stages.multimodal import VideoFrameSample
+
+        stage = VideoFrameSample()  # strict by default
+        import pyarrow as pa
+
+        batch = pa.Table.from_pydict(
+            {"item_id": pa.array([1], type=pa.int64()),
+             "payload": pa.array([b"x"], type=pa.binary())}
+        )
+        with _pytest.raises(NotImplementedError):
+            stage(batch)
+
+    def test_audio_features_shape(self, ray_session):
+        from web_graph_ray.stages.multimodal import AudioFeatures
+
+        out = self._payload_ds().map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"frames": 4, "feat_dim": 5, "decoder": "fake"},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 12
+        assert all(len(f) == 4 * 5 for f in out["features"])

@@ -23,7 +23,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["ImageDecode", "AudioFeatures", "image_batch_schema"]
+__all__ = ["ImageDecode", "AudioFeatures", "VideoFrameSample", "image_batch_schema"]
 
 
 def image_batch_schema() -> pa.Schema:
@@ -77,6 +77,66 @@ class ImageDecode:
                 ),
                 "mean_intensity": pa.array(
                     flat.mean(axis=1, dtype=np.float64), type=pa.float64()
+                ),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: binary video payload → ``n_frames`` uniformly
+    sampled RGB frames + their timestamps.
+
+    The frame-sample shape of a training-data video pipeline: rows are
+    LARGE (MBs-GBs of encoded video), so this stage is meant to run as
+    ``map_batches(VideoFrameSample, concurrency=N, batch_size=1..4,
+    num_cpus=c)`` with output one row per (item, frame) — the 1→N
+    flat-map keeps frame tensors individually addressable downstream.
+    In production ``_decode_meta``/``_decode_frame`` wrap a
+    decord/ffmpeg handle opened once per actor in ``__init__``; here
+    they are stubbed (strict raises, fake derives a deterministic
+    duration + frames from the payload bytes)."""
+
+    def __init__(
+        self,
+        n_frames: int = 8,
+        height: int = 32,
+        width: int = 32,
+        decoder: str = "strict",
+    ):
+        self.n, self.h, self.w = n_frames, height, width
+        self.decoder = decoder
+
+    def _duration_sec(self, payload: bytes) -> float:
+        if self.decoder != "fake":
+            raise NotImplementedError(
+                "video codecs are not available in this environment; "
+                "run with decoder='fake' for plumbing tests"
+            )
+        seed = int.from_bytes(hashlib.sha1(payload).digest()[:8], "big")
+        return 1.0 + (seed % 600_000) / 1000.0  # 1..601 s, deterministic
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        item_ids, frame_idx, ts, tensors = [], [], [], []
+        for item, p in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
+            dur = self._duration_sec(p)
+            for k in range(self.n):
+                # uniform mid-point sampling: frame k at (k+0.5)/n of dur
+                t = (k + 0.5) / self.n * dur
+                item_ids.append(item)
+                frame_idx.append(k)
+                ts.append(t)
+                tensors.append(
+                    _fake_pixels(p + k.to_bytes(4, "big"), self.h, self.w)
+                )
+        flat = np.stack(tensors).reshape(len(tensors), -1) if tensors else np.zeros((0, self.h * self.w * 3), np.uint8)
+        return pa.Table.from_pydict(
+            {
+                "item_id": pa.array(item_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "ts_sec": pa.array(ts, type=pa.float64()),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.reshape(-1), type=pa.uint8()),
+                    self.h * self.w * 3,
                 ),
             }
         )
