@@ -73,3 +73,70 @@ class TestParseURL:
 
     def test_rejects_unparseable(self):
         assert parse_url("http://x .com/") is None
+
+
+class TestRobotsGroupsAndAllow:
+    """Robots parser: per-agent groups + Allow rules with Google-REP
+    longest-prefix-match semantics (exceeds the reference, which has no
+    robots at all)."""
+
+    BODY = """
+# comment
+User-agent: specialbot
+Disallow: /private/
+
+User-agent: *
+Disallow: /docs/
+Allow: /docs/public/
+Disallow:
+"""
+
+    def test_star_group_allow_overrides(self):
+        from web_graph_ray.state.politeness import RobotsRules, parse_robots
+
+        r = RobotsRules({"h": parse_robots(self.BODY)})
+        assert not r.is_allowed("h", "/docs/secret.html")
+        assert r.is_allowed("h", "/docs/public/x.html")  # longer Allow wins
+        assert r.is_allowed("h", "/other/")
+        assert r.is_allowed("h", "")  # empty path -> "/"
+
+    def test_specific_agent_group(self):
+        from web_graph_ray.state.politeness import RobotsRules, parse_robots
+
+        r = RobotsRules({"h": parse_robots(self.BODY, user_agent="SpecialBot")})
+        assert not r.is_allowed("h", "/private/x")
+        assert r.is_allowed("h", "/docs/secret.html")  # * group not applied
+
+    def test_shared_agent_lines(self):
+        from web_graph_ray.state.politeness import parse_robots
+
+        body = "User-agent: a\nUser-agent: b\nDisallow: /x/\n"
+        assert parse_robots(body, "a") == [[False, "/x/"]]
+        assert parse_robots(body, "b") == [[False, "/x/"]]
+        assert parse_robots(body, "c") == []  # no * group
+
+    def test_tie_prefers_allow(self):
+        from web_graph_ray.state.politeness import RobotsRules
+
+        r = RobotsRules({"h": [[False, "/a/"], [True, "/a/"]]})
+        assert r.is_allowed("h", "/a/x")
+
+    def test_denied_mask_matches_scalar(self):
+        import pandas as pd
+
+        from web_graph_ray.state.politeness import RobotsRules, parse_robots
+
+        r = RobotsRules({"h": parse_robots(self.BODY), "h2": [[False, "/"]]})
+        hosts = pd.Series(["h", "h", "h", "h2", "free", "h"])
+        paths = pd.Series(["/docs/a", "/docs/public/a", "/ok", "/anything", "/x", ""])
+        mask = r.denied_mask(hosts, paths)
+        exp = [not r.is_allowed(h, p) for h, p in zip(hosts, paths)]
+        assert list(mask) == exp
+
+    def test_legacy_prefix_list_form(self):
+        from web_graph_ray.state.politeness import RobotsRules
+
+        # old robots.json files stored plain Disallow prefixes
+        r = RobotsRules({"h": ["/a/", "/b/"]})
+        assert not r.is_allowed("h", "/a/x")
+        assert r.is_allowed("h", "/c/")

@@ -7,9 +7,13 @@ The reference has NO politeness (only a UA string at
 north_rule extension, defined in *virtual time* (per-round budgets)
 so results are bit-reproducible at any parallelism:
 
-- robots.txt: corpus rows whose path is ``/robots.txt`` are parsed for
-  ``User-agent: *`` ``Disallow:`` prefixes; a disallowed URL is dropped
-  at frontier admission (counted ``robots_denied``, never fetched).
+- robots.txt: corpus rows whose path is ``/robots.txt`` are parsed into
+  per-agent groups of ``Allow``/``Disallow`` path-prefix rules; a URL is
+  allowed per the standard longest-prefix-match rule (Google REP: the
+  most specific matching rule wins, ties prefer Allow, no matching rule
+  means allow).  Group selection: the configured user agent's group if
+  present, else the ``*`` group.  A disallowed URL is dropped at
+  frontier admission (counted ``robots_denied``, never fetched).
 - budget: at most ``politeness_budget`` pages fetched per hostname per
   round, admitted in deterministic ``(priority, seq)`` order; the rest
   are deferred to the next round (counted ``deferred``).
@@ -19,18 +23,22 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-__all__ = ["parse_robots", "RobotsRules"]
+__all__ = ["parse_robots", "parse_robots_groups", "RobotsRules"]
 
 
-def parse_robots(body: str) -> list[str]:
-    """Parse a robots.txt body → Disallow path-prefixes for User-agent: *.
+def parse_robots_groups(body: str) -> dict[str, list[list]]:
+    """Parse a robots.txt body → {agent(lowercase): [[allow, prefix]]}.
 
-    Minimal, deterministic subset: group lines by User-agent; collect
-    Disallow values of the ``*`` group; empty Disallow means allow-all.
+    Standard group semantics: consecutive ``User-agent`` lines share the
+    following rule block; a later group for the same agent token appends
+    (the REP treats groups for one agent as merged).  Rules are
+    ``[allow: bool, prefix: str]`` lists (JSON-serializable — groups are
+    persisted in robots.json).  Empty-value Disallow ("allow all") adds
+    no rule.  Comments (#) stripped; unknown directives ignored.
     """
-    prefixes: list[str] = []
-    applies = False
-    seen_agent = False
+    groups: dict[str, list[list]] = {}
+    current: list[str] = []
+    last_was_agent = False
     for raw_line in body.splitlines():
         line = raw_line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -39,38 +47,76 @@ def parse_robots(body: str) -> list[str]:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            if seen_agent and applies and prefixes:
-                # already collected the * group and a new group starts
-                pass
-            applies = value == "*"
-            seen_agent = True
-        elif key == "disallow" and applies:
+            if not last_was_agent:
+                current = []
+            current.append(value.lower())
+            for agent in current:
+                groups.setdefault(agent, [])
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
             if value:
-                prefixes.append(value)
-    return prefixes
+                for agent in current:
+                    groups[agent].append([key == "allow", value])
+            # empty Disallow = allow-all: no rule needed; empty Allow is
+            # meaningless — both skipped
+        else:
+            last_was_agent = False
+    return groups
+
+
+def parse_robots(body: str, user_agent: str = "*") -> list[list]:
+    """Robots body → the rule list for ``user_agent``: the agent's own
+    group when present, else the ``*`` group.  Rules are
+    ``[allow, prefix]`` in file order; matching is longest-prefix-wins
+    (see RobotsRules.is_allowed)."""
+    groups = parse_robots_groups(body)
+    ua = user_agent.lower()
+    if ua in groups:
+        return groups[ua]
+    return groups.get("*", [])
+
+
+def _norm_rule(rule) -> tuple[bool, str]:
+    """Accept both the v2 [allow, prefix] form and the legacy plain
+    'prefix' string form (old robots.json files = Disallow only)."""
+    if isinstance(rule, str):
+        return False, rule
+    return bool(rule[0]), rule[1]
 
 
 @dataclass
 class RobotsRules:
-    """Per-host Disallow prefix tables."""
+    """Per-host Allow/Disallow prefix rule tables."""
 
-    by_host: dict[str, list[str]] = field(default_factory=dict)
+    by_host: dict[str, list] = field(default_factory=dict)
 
     @classmethod
-    def from_bodies(cls, bodies: dict[str, str]) -> "RobotsRules":
-        return cls({host: parse_robots(body) for host, body in bodies.items()})
+    def from_bodies(cls, bodies: dict[str, str], user_agent: str = "*") -> "RobotsRules":
+        return cls({host: parse_robots(body, user_agent) for host, body in bodies.items()})
 
     def is_allowed(self, hostname: str, escaped_path: str) -> bool:
-        prefixes = self.by_host.get(hostname)
-        if not prefixes:
+        """Longest-prefix-match (Google REP): among matching rules the
+        longest prefix wins; ties prefer Allow; no match ⇒ allowed."""
+        rules = self.by_host.get(hostname)
+        if not rules:
             return True
         path = escaped_path or "/"
-        return not any(path.startswith(p) for p in prefixes)
+        best_len, best_allow = -1, True
+        for rule in rules:
+            allow, prefix = _norm_rule(rule)
+            if path.startswith(prefix):
+                n = len(prefix)
+                if n > best_len or (n == best_len and allow and not best_allow):
+                    best_len, best_allow = n, allow
+        return best_allow
 
     def denied_mask(self, hostnames: "pd.Series", paths: "pd.Series") -> "pd.Series":
         """Vectorized ¬is_allowed over aligned hostname/path Series:
-        group by the FEW hosts that have rules, str.startswith per
-        prefix — no per-row Python in the admission hot path."""
+        group by the FEW hosts that have rules; per rule one vectorized
+        str.startswith, tracking the longest-match winner — no per-row
+        Python in the admission hot path."""
+        import numpy as np
         import pandas as pd
 
         denied = pd.Series(False, index=hostnames.index)
@@ -82,12 +128,20 @@ class RobotsRules:
         sub_hosts = hostnames[hosted]
         sub_paths = paths[hosted].fillna("").mask(paths[hosted].eq(""), "/")
         for host, idx in sub_hosts.groupby(sub_hosts).groups.items():
-            prefixes = self.by_host.get(host)
-            if not prefixes:
+            rules = self.by_host.get(host)
+            if not rules:
                 continue
             p = sub_paths.loc[idx]
-            d = pd.Series(False, index=idx)
-            for prefix in prefixes:
-                d |= p.str.startswith(prefix)
-            denied.loc[idx] = d
+            best_len = np.full(len(p), -1, dtype=np.int64)
+            best_allow = np.ones(len(p), dtype=bool)
+            for rule in rules:
+                allow, prefix = _norm_rule(rule)
+                m = p.str.startswith(prefix).to_numpy()
+                n = len(prefix)
+                better = m & (
+                    (n > best_len) | ((n == best_len) & allow & ~best_allow)
+                )
+                best_len[better] = n
+                best_allow[better] = allow
+            denied.loc[idx] = ~best_allow
         return denied
