@@ -370,6 +370,30 @@ def multimodal_video_frames(sf_dir: str):
     )
 
 
+def hash_sample_lineitem(sf_dir: str):
+    """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
+    whose FNV-1a of the composite key string is < 5% of the 64-bit
+    space.  Unlike random_sample this is reproducible at any
+    parallelism and exactly SQL-mirrorable."""
+    from web_graph_ray.functions.hashing import hash64
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{o}|{l}|{p}"
+            for o, l, p in zip(
+                t["l_orderkey"].to_pylist(),
+                t["l_linenumber"].to_pylist(),
+                t["l_partkey"].to_pylist(),
+            )
+        ]
+        mask = pa.array([hash64(k) % 100 < 5 for k in keys], type=pa.bool_())
+        return t.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def distinct_user_count(sf_dir: str):
     """Exact distinct count (set op, SQL-checked twin of the sketch)."""
     n = _t(sf_dir, "events", ["user_id"]).unique("user_id")
@@ -525,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_customers": semi_join_customers,
         "anti_join_customers": anti_join_customers,
         "first_wins_lineitem": first_wins_lineitem,
+        "hash_sample_lineitem": hash_sample_lineitem,
         "unique_flag_status": unique_flag_status,
         "window_tumbling_events": window_tumbling_events,
         "sessionize_events": sessionize_events,
@@ -830,6 +855,22 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by l_orderkey order by l_linenumber, l_partkey) rn
               from lineitem) where rn = 1
         """,
+        "hash_sample_lineitem": """
+            -- same FNV-1a over the composite key string as hashing.hash64
+            select l_orderkey, l_linenumber, l_partkey from (
+              select *,
+                list_reduce(
+                  list_prepend(14695981039346656037::hugeint,
+                    list_transform(
+                      regexp_extract_all(
+                        l_orderkey::varchar || '|' || l_linenumber::varchar
+                          || '|' || l_partkey::varchar, '.'),
+                      c -> ascii(c)::bigint)),
+                  (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                             * 1099511628211) %% 18446744073709551616) %% 100 hs
+              from lineitem)
+            where hs < 5
+        """.replace('%%', '%'),
         "unique_flag_status": """
             select distinct l_returnflag, l_linestatus from lineitem
         """,
