@@ -74,7 +74,7 @@ class TestDedupJoinPathScale:
     ):
         import web_graph_ray.stages.dedup as dd
 
-        ds = _dup_corpus(50_000, 2_500)
+        ds = _dup_corpus(50_000, 1_500)
         driver_probe.clear()
         old = dd.BROADCAST_BYTES
         dd.BROADCAST_BYTES = 0  # force the partitioned-join path
@@ -82,7 +82,7 @@ class TestDedupJoinPathScale:
             pairs = dd.ngram_jaccard_pairs(
                 ds, threshold=0.6, min_shared=3
             ).materialize()
-            assert pairs.count() == 2_500
+            assert pairs.count() == 1_500
             labels = dd.minhash_clusters(pairs).materialize()
         finally:
             dd.BROADCAST_BYTES = old
@@ -95,8 +95,8 @@ class TestDedupJoinPathScale:
         )
         driver_probe.pop()  # the two assertion to_pandas calls above
         driver_probe.pop()
-        assert len(lab) == 5_000
-        assert all(lab[2 * i] == 2 * i and lab[2 * i + 1] == 2 * i for i in range(2_500))
+        assert len(lab) == 3_000
+        assert all(lab[2 * i] == 2 * i and lab[2 * i + 1] == 2 * i for i in range(1_500))
         # the core guarantee: NOTHING was pulled to the driver inside the
         # operators (gated broadcasts are off; label prop is a join)
         assert driver_probe == [], f"driver materializations: {driver_probe}"
