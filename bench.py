@@ -166,17 +166,31 @@ def run_scaling() -> dict:
     # single-process extraction scales 4→16 procs at ~1.0 efficiency
     # here but degrades ~0.73 beyond 16 (host/bandwidth limit), so
     # 4 vs 16 isolates the ENGINE's scaling from the box's ceiling.
+    #
+    # Each level runs REPEATS fresh processes and keeps the fastest:
+    # this shared VM shows ±25% wall-time swings at 16 procs from
+    # co-tenant interference (the 4-cpu level is stable ±5%), and
+    # min-of-k is the standard way to benchmark the code rather than
+    # the neighbors.
     lo_cpus, hi_cpus = 4, 16
+    repeats = int(os.environ.get("WG_SCALING_REPEATS", "2"))
     run(32, ["--gen-only"])  # build corpus + index at full parallelism,
-    lo = run(lo_cpus)        # so both timed levels start warm
-    hi = run(hi_cpus)
+    #                          so both timed levels start warm
+    lo_runs = [run(lo_cpus) for _ in range(repeats)]
+    hi_runs = [run(hi_cpus) for _ in range(repeats)]
+    lo = min(lo_runs, key=lambda r: r["crawl"]["crawl_sec"])
+    hi = min(hi_runs, key=lambda r: r["crawl"]["crawl_sec"])
     ratio = hi_cpus / lo_cpus
     speedup = lo["crawl"]["crawl_sec"] / hi["crawl"]["crawl_sec"]
     eff = speedup / ratio
     summary = {
-        "metric": "crawl scaling efficiency (N→4N cpus, fresh processes)",
+        "metric": "crawl scaling efficiency (N→4N cpus, fresh processes, best of %d)" % repeats,
         "cpus": [lo_cpus, hi_cpus],
         "crawl_sec": [lo["crawl"]["crawl_sec"], hi["crawl"]["crawl_sec"]],
+        "crawl_sec_all_runs": {
+            "lo": [r["crawl"]["crawl_sec"] for r in lo_runs],
+            "hi": [r["crawl"]["crawl_sec"] for r in hi_runs],
+        },
         "pages_per_sec": [lo["crawl"]["pages_per_sec"], hi["crawl"]["pages_per_sec"]],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
@@ -200,7 +214,10 @@ def _update_baseline_md(s: dict) -> None:
 
 Scaling efficiency {s['cpus'][0]}→{s['cpus'][1]} cpus: **{s['scaling_efficiency']}**
 (speedup {s['speedup']}× over a {s['cpus'][1] // s['cpus'][0]}× cpu ratio; corpus:
-{BENCH_PAGES} synthetic pages, identical input both levels, page cache warm).
+{BENCH_PAGES} synthetic pages, identical input both levels, page cache warm;
+best of {len(s.get('crawl_sec_all_runs', {}).get('lo', [1]))} fresh runs per
+level — this shared VM shows ±25% co-tenant swings at 16 procs; all runs:
+lo={s.get('crawl_sec_all_runs', {}).get('lo')} hi={s.get('crawl_sec_all_runs', {}).get('hi')}).
 Operator pipeline seconds at {s['cpus'][1]} cpus: {json.dumps(s['hi']['queries'])}
 {end}"""
     with open(path) as f:

@@ -28,6 +28,7 @@ __all__ = [
     "bpe_piece_count",
     "quality_metrics",
     "detect_lang",
+    "enrich_features",
     "fingerprint",
     "char_shingles",
     "minhash_signature",
@@ -62,16 +63,20 @@ def bpe_piece_count(text: str) -> int:
     return len(BPE_RE.findall(text))
 
 
-def quality_metrics(text: str) -> dict:
-    """Deterministic quality features (DuckDB-expressible subset).
+# single-pass ASCII class counters: byte-level counting equals
+# char-level for ASCII classes (UTF-8 continuation bytes are >= 0x80,
+# never in [A-Za-z0-9]); translate(None, delete_table) is one C pass
+_ALPHA_BYTES = bytes(range(65, 91)) + bytes(range(97, 123))
+_DIGIT_BYTES = bytes(range(48, 58))
+_NON_ALPHA = bytes(b for b in range(256) if b not in _ALPHA_BYTES)
+_NON_DIGIT = bytes(b for b in range(256) if b not in _DIGIT_BYTES)
 
-    Ratios use max(len,1) denominators; all divisions are float64 over
-    small ints, so SQL `cast(x as double)/y` reproduces them exactly.
-    """
+
+def _quality_from_tokens(text: str, toks: list[str]) -> dict:
     n = len(text)
-    toks = WORD_RE.findall(text)
-    alpha = sum(1 for c in text if c.isascii() and c.isalpha())
-    digit = sum(1 for c in text if c.isascii() and c.isdigit())
+    b = text.encode("utf-8", "surrogateescape")
+    alpha = len(b.translate(None, _NON_ALPHA))
+    digit = len(b.translate(None, _NON_DIGIT))
     denom = max(n, 1)
     return {
         "n_chars": n,
@@ -80,6 +85,15 @@ def quality_metrics(text: str) -> dict:
         "digit_ratio": digit / denom,
         "mean_token_len": (sum(map(len, toks)) / len(toks)) if toks else 0.0,
     }
+
+
+def quality_metrics(text: str) -> dict:
+    """Deterministic quality features (DuckDB-expressible subset).
+
+    Ratios use max(len,1) denominators; all divisions are float64 over
+    small ints, so SQL `cast(x as double)/y` reproduces them exactly.
+    """
+    return _quality_from_tokens(text, WORD_RE.findall(text))
 
 
 # --- language ID (stopword-profile heuristic) ------------------------------
@@ -94,18 +108,44 @@ _STOPWORDS = {
 _LANG_ORDER = tuple(sorted(_STOPWORDS))  # deterministic tie-break order
 
 
+# word(lowercased) -> per-language hit index, for the single-pass scorer
+_WORD_LANGS: dict[str, list[int]] = {}
+for _li, _lang in enumerate(_LANG_ORDER):
+    for _w in _STOPWORDS[_lang]:
+        _WORD_LANGS.setdefault(_w, []).append(_li)
+
+
+def _lang_from_tokens(toks: list[str], default: str = "und") -> str:
+    if not toks:
+        return default
+    scores = [0] * len(_LANG_ORDER)
+    get = _WORD_LANGS.get
+    for w in toks:
+        hit = get(w.lower())
+        if hit is not None:
+            for li in hit:
+                scores[li] += 1
+    best_lang, best_score = default, 0
+    for li, lang in enumerate(_LANG_ORDER):
+        if scores[li] > best_score:
+            best_lang, best_score = lang, scores[li]
+    return best_lang
+
+
 def detect_lang(text: str, default: str = "und") -> str:
     """Stopword-hit-rate argmax; 'und' (undetermined) when no hits.
     Ties break by language code order — fully deterministic."""
-    words = [w.lower() for w in WORD_RE.findall(text)]
-    if not words:
-        return default
-    best_lang, best_score = default, 0
-    for lang in _LANG_ORDER:
-        score = sum(1 for w in words if w in _STOPWORDS[lang])
-        if score > best_score:
-            best_lang, best_score = lang, score
-    return best_lang
+    return _lang_from_tokens(WORD_RE.findall(text), default)
+
+
+def enrich_features(text: str) -> dict:
+    """lang + quality metrics with ONE tokenization pass — the inline
+    crawl-enrichment hot path (identical outputs to detect_lang +
+    quality_metrics called separately)."""
+    toks = WORD_RE.findall(text)
+    out = _quality_from_tokens(text, toks)
+    out["lang_pred"] = _lang_from_tokens(toks)
+    return out
 
 
 # --- fingerprint -----------------------------------------------------------
@@ -191,8 +231,8 @@ def simhash64(text: str, k: int = 5) -> int:
         hashes = np.unique(h)
     bits = np.unpackbits(
         hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-    ).astype(np.int64)
-    ones = bits.sum(axis=0)
+    )
+    ones = bits.sum(axis=0, dtype=np.int64)  # no 8-byte bit-matrix copy
     sign = ones * 2 > len(hashes)  # majority (+1/-1 vote > 0)
     out = 0
     for i in range(64):

@@ -170,10 +170,12 @@ def make_extract_emitter(
             if enrich:
                 # training-data curation features per fetched page —
                 # language ID, quality metrics, near-dup fingerprint
-                from ..functions.text import detect_lang, quality_metrics, simhash64
+                # (one shared tokenization pass — this is the crawl's
+                # enrichment hot path)
+                from ..functions.text import enrich_features, simhash64
 
-                q = quality_metrics(doc_text)
-                feats["lang_pred"].append(detect_lang(doc_text))
+                q = enrich_features(doc_text)
+                feats["lang_pred"].append(q["lang_pred"])
                 feats["n_chars"].append(q["n_chars"])
                 feats["n_tokens"].append(q["n_tokens"])
                 feats["alpha_ratio"].append(q["alpha_ratio"])

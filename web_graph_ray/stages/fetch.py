@@ -11,9 +11,9 @@ Scale design: the corpus is pre-partitioned into per-host-bucket
 Parquet files sorted by page_id (see CrawlEngine.prepare).  Each actor
 resolves a batch by selective, predicate-pushdown reads of only the
 needed bucket files (row-group pruning via the sorted page_id column)
-— no broadcast of the corpus, no per-batch reshipping.  Small bucket
-files are cached whole in the actor (bounded LRU), which at sandbox
-scale makes repeat rounds memory-speed.
+— no broadcast of the corpus, no per-batch reshipping; file bytes ride
+the OS page cache across rounds (a per-worker whole-bucket dict cache
+was measured to be anti-scaling: cold builds multiply with workers).
 
 Outcome semantics (per reference):
 - id absent from corpus        → status "dead"   (fetch error: logged &
@@ -27,8 +27,6 @@ Rows already robots_denied pass through untouched.
 from __future__ import annotations
 
 import os
-from collections import OrderedDict
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -50,44 +48,25 @@ class FetchSim:
         self,
         corpus_idx_dir: str,
         filters: FilterConfig = DEFAULT_FILTERS,
-        cache_bytes: int = 1 << 30,
     ) -> None:
         self.dir = corpus_idx_dir
         self.filters = filters
-        self.cache_bytes = cache_bytes
-        # bucket -> ({id: (html, ct)}, approx_bytes)
-        self._cache: OrderedDict[int, tuple[dict, int]] = OrderedDict()
-        self._cache_size = 0
 
     # -- corpus access ------------------------------------------------------
 
     def _bucket_index(self, bucket: int, ids: list[str]) -> dict:
-        """id → (html, content_type) for the requested ids of one bucket."""
-        cached = self._cache.get(bucket)
-        if cached is not None:
-            self._cache.move_to_end(bucket)
-            return cached[0]
+        """id → (html, content_type) for EXACTLY the requested ids of
+        one bucket: predicate-pushdown read (the file is page_id-sorted
+        → row-group pruning), bulk-materialized once.
+
+        Deliberately NO per-worker whole-bucket dict cache: building a
+        bucket-sized Python dict per (worker, bucket) first touch is an
+        ANTI-scaling cost (more workers ⇒ more cold builds ⇒ more
+        memory-bandwidth churn), while the selective read scales with
+        the admitted pages and rides the OS page cache for file bytes."""
         path = bucket_file(self.dir, bucket)
         if not os.path.exists(path):
             return {}
-        size = os.path.getsize(path)
-        if size <= self.cache_bytes // 4:
-            # small bucket: load whole file once, keep in the actor (LRU)
-            tbl = pq.read_table(path, columns=["page_id", "html", "content_type"])
-            idx = dict(
-                zip(
-                    tbl["page_id"].to_pylist(),
-                    zip(tbl["html"].to_pylist(), tbl["content_type"].to_pylist()),
-                )
-            )
-            while self._cache and self._cache_size + size > self.cache_bytes:
-                _, (_, s) = self._cache.popitem(last=False)
-                self._cache_size -= s
-            self._cache[bucket] = (idx, size)
-            self._cache_size += size
-            return idx
-        # big bucket: selective read with predicate pushdown (file is
-        # page_id-sorted → row-group pruning keeps this O(matching groups))
         tbl = pq.read_table(
             path,
             columns=["page_id", "html", "content_type"],
