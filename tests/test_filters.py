@@ -133,6 +133,20 @@ Disallow:
         exp = [not r.is_allowed(h, p) for h, p in zip(hosts, paths)]
         assert list(mask) == exp
 
+    def test_denied_mask_null_and_empty_paths(self):
+        # None/NaN paths must normalize to "/" exactly like is_allowed
+        # does (a 'Disallow: /' host denies them on BOTH code paths)
+        import pandas as pd
+
+        from web_graph_ray.state.politeness import RobotsRules
+
+        r = RobotsRules({"h2": [[False, "/"]], "ok": [[False, "/x/"]]})
+        hosts = pd.Series(["h2", "h2", "h2", "ok"])
+        paths = pd.Series([None, "", "/y", None])
+        mask = r.denied_mask(hosts, paths)
+        exp = [not r.is_allowed(h, p) for h, p in zip(hosts, paths)]
+        assert list(mask) == exp == [True, True, True, False]
+
     def test_legacy_prefix_list_form(self):
         from web_graph_ray.state.politeness import RobotsRules
 

@@ -123,6 +123,58 @@ class TestDedupJoinPathScale:
         assert bc_mh == jn_mh and len(bc_mh) >= 60
 
 
+class TestRobotsBucketAffine:
+    def test_admit_closure_o1_bytes_and_affine_loads(self, tmp_path):
+        """VERDICT r2 item 1: robots state must NOT ride task closures.
+        The admit closure serializes to O(1) bytes regardless of host
+        count; each bucket's rules come from ITS sidecar only."""
+        import ray.cloudpickle as cpickle
+
+        from web_graph_ray.functions.hashing import bucket_for
+        from web_graph_ray.pipelines.crawl import make_admitter
+        from web_graph_ray.state import politeness
+        from web_graph_ray.state.checkpoint import atomic_write_parquet, bucket_file
+
+        nb, n_hosts = 8, 2_000
+        robots_dir = str(tmp_path / "robots_parts")
+        by_bucket: dict[int, list[str]] = {}
+        for i in range(n_hosts):
+            host = f"h{i}.example"
+            by_bucket.setdefault(bucket_for(host, "", nb, "host"), []).append(host)
+        body = b"User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+        for b, hosts in by_bucket.items():
+            atomic_write_parquet(
+                pa.Table.from_pydict(
+                    {
+                        "hostname": pa.array(hosts),
+                        "html": pa.array([body] * len(hosts), type=pa.binary()),
+                    }
+                ),
+                bucket_file(robots_dir, b),
+            )
+
+        admit = make_admitter(
+            str(tmp_path / "w"), 0, None, robots_dir, None, nb, None,
+            robots_affine=True,
+        )
+        n_bytes = len(cpickle.dumps(admit))
+        assert n_bytes < 8_000, f"admit closure is {n_bytes} B — robots leaked in?"
+
+        politeness._RULES_CACHE.clear()
+        some_b = min(by_bucket)
+        rules = politeness.load_robots_rules(robots_dir, some_b, True)
+        assert set(rules.by_host) == set(by_bucket[some_b])  # ONLY its bucket
+        h0 = by_bucket[some_b][0]
+        assert not rules.is_allowed(h0, "/private/x")
+        assert rules.is_allowed(h0, "/private/pub/x")  # Allow longest-match
+        # missing sidecar -> empty rules, not an error
+        empty = politeness.load_robots_rules(str(tmp_path / "nowhere"), 0, True)
+        assert empty.by_host == {}
+        # non-affine fallback (id bucketing) folds every sidecar once
+        all_rules = politeness.load_robots_rules(robots_dir, 3, False)
+        assert len(all_rules.by_host) == n_hosts
+
+
 class TestSessionizeManyKeys:
     def test_100k_keys_vectorized(self, ray_session):
         """10^5 distinct users: one vectorized kernel per bucket, NOT one

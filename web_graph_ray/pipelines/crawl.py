@@ -62,7 +62,9 @@ from ..state.checkpoint import (
     read_json,
     round_dir,
 )
-from ..state.politeness import RobotsRules, parse_robots
+from ..state.politeness import RobotsRules, load_robots_rules
+
+_NO_ROBOTS = RobotsRules({})
 from ..stages.canonicalize import (
     FRONTIER_SCHEMA,
     make_corpus_canonicalizer,
@@ -86,10 +88,11 @@ def make_admitter(
     work: str,
     rnd: int,
     budget: int | None,
-    robots_by_host: dict[str, list[str]],
+    robots_dir: str | None,
     cap_boundary: str | None,
     num_buckets: int = 0,
     splits: dict[int, int] | None = None,
+    robots_affine: bool = True,
 ):
     """Admission task: reads one bucket GROUP's frontier files (the
     bucket's novel+deferred sidecars — all sub-shards of a split
@@ -98,12 +101,17 @@ def make_admitter(
     sidecars (atomic, deterministic → idempotent under task retry);
     returns the processed rows (admitted | robots_denied) with a
     ``status`` column.  Deferred rows of a split bucket are re-sharded
-    by page_id so sidecar files stay spread."""
+    by page_id so sidecar files stay spread.
+
+    Robots state is BUCKET-AFFINE: the closure carries only the sidecar
+    directory path (O(1) bytes per task at any host count); each task
+    loads its own bucket's ``robots_parts/bucket=NNNN.parquet`` and the
+    parsed rules are cached per worker process (state/politeness.py
+    load_robots_rules).  ``robots_dir=None`` disables the gate."""
     from ..functions.hashing import shard_for
 
     deferred_dir = frontier_dirs(work, rnd + 1)[1]
     visited_dir = os.path.join(round_dir(work, rnd), "visited_delta")
-    rules = RobotsRules(robots_by_host)
     splits = splits or {}
 
     def admit(batch: pa.Table) -> pa.Table:
@@ -113,6 +121,11 @@ def make_admitter(
         for i in range(batch.num_rows):
             bucket = batch["bucket"][i].as_py()
             files = batch["files"][i].as_py()
+            rules = (
+                load_robots_rules(robots_dir, bucket, robots_affine)
+                if robots_dir is not None
+                else _NO_ROBOTS
+            )
             df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
             df = df.sort_values(["priority", "seq"], kind="mergesort").reset_index(drop=True)
 
@@ -496,7 +509,6 @@ class CrawlEngine:
             )
         self.work = self.cfg.work_dir
         self.idx_dir = self.cfg.corpus_idx_dir or os.path.join(self.work, "corpus_idx")
-        self._robots: dict[str, list[str]] | None = None
 
     # -- one-time corpus preparation ---------------------------------------
 
@@ -510,7 +522,6 @@ class CrawlEngine:
             assert m.get("bucket_mode", "host") == self.cfg.resolved_bucket_mode(), (
                 "work dir was prepared with a different bucket mode"
             )
-            self._load_robots()
             return
         schema = pads.dataset(self.corpus_paths).schema
         columns = ["url", "warc_ts", "html"]
@@ -534,7 +545,6 @@ class CrawlEngine:
             _corpus_bucket_writer(self.idx_dir, robots_dir), batch_format="pyarrow"
         )
         total = int(sum(r["rows"] for r in summary.take_all()))
-        self._collect_robots(robots_dir)
         atomic_write_json(
             {
                 "num_buckets": self.cfg.num_buckets,
@@ -545,25 +555,13 @@ class CrawlEngine:
             manifest_path,
         )
 
-    def _collect_robots(self, robots_dir: str) -> None:
-        bodies: dict[str, str] = {}
-        for f in list_bucket_files(robots_dir):
-            t = pq.read_table(f)
-            for host, body in zip(t["hostname"].to_pylist(), t["html"].to_pylist()):
-                bodies.setdefault(host, body.decode("utf-8", "replace"))
-        rules = {h: parse_robots(b) for h, b in bodies.items()}
-        atomic_write_json(rules, os.path.join(self.idx_dir, "robots.json"))
-        self._robots = rules
-
-    def _load_robots(self) -> None:
-        path = os.path.join(self.idx_dir, "robots.json")
-        self._robots = read_json(path) if os.path.exists(path) else {}
-
     @property
-    def robots(self) -> dict[str, list[str]]:
-        if self._robots is None:
-            self._load_robots()
-        return self._robots if self.cfg.respect_robots else {}
+    def robots_dir(self) -> str | None:
+        """Per-bucket robots sidecar dir (the ONLY robots state — loaded
+        bucket-affinely inside admit tasks), or None when disabled."""
+        if not self.cfg.respect_robots:
+            return None
+        return os.path.join(self.idx_dir, "robots_parts")
 
     # -- rounds -------------------------------------------------------------
 
@@ -742,8 +740,9 @@ class CrawlEngine:
         nblocks = len(parts)
 
         admit = make_admitter(
-            self.work, rnd, self.cfg.politeness_budget, self.robots, cap_boundary,
+            self.work, rnd, self.cfg.politeness_budget, self.robots_dir, cap_boundary,
             self.cfg.num_buckets, splits,
+            robots_affine=self.cfg.resolved_bucket_mode() == "host",
         )
         (
             # one block per bucket descriptor → one admit task per bucket;

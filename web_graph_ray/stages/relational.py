@@ -201,6 +201,12 @@ def bucket_hash_join(
     rf = {n: t for n, t in zip(rs.names, rs.types)}
     l_extra = [n for n in ls.names if n not in on]
     r_extra = [n for n in rs.names if n not in on]
+    overlap = set(l_extra) & set(r_extra)
+    if overlap:
+        raise ValueError(
+            "bucket_hash_join: non-key columns must be disjoint "
+            f"(shared: {sorted(overlap)}) — rename one side first"
+        )
     all_cols = on + l_extra + r_extra
 
     def pad(side: int, have: dict):

@@ -8,7 +8,12 @@ Work-dir layout (all Parquet unless noted):
                                           partitioned, page_id-sorted (enables
                                           row-group-pruned "fetch" reads)
       corpus_idx/MANIFEST.json
-      robots.json                         host → Disallow prefixes
+      corpus_idx/robots_parts/bucket=NNNN.parquet
+                                          per-bucket robots.txt bodies
+                                          (hostname, html) — parsed into
+                                          [allow, prefix] rule groups
+                                          inside admit tasks, cached per
+                                          worker (no driver-side dict)
       rounds/round=RRRRRR/
         frontier/novel/bucket=NNNN.parquet      ← written by round R-1's probe
         frontier/deferred/bucket=NNNN.parquet   ← written by round R-1's admit

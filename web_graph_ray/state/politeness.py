@@ -21,9 +21,10 @@ so results are bit-reproducible at any parallelism:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
-__all__ = ["parse_robots", "parse_robots_groups", "RobotsRules"]
+__all__ = ["parse_robots", "parse_robots_groups", "RobotsRules", "load_robots_rules"]
 
 
 def parse_robots_groups(body: str) -> dict[str, list[list]]:
@@ -126,7 +127,11 @@ class RobotsRules:
         if not hosted.any():
             return denied
         sub_hosts = hostnames[hosted]
-        sub_paths = paths[hosted].fillna("").mask(paths[hosted].eq(""), "/")
+        # null/empty paths normalize to "/" — must agree with is_allowed
+        # (fillna BEFORE the empty-string mask, or NaN becomes "" =
+        # allowed while the scalar path denies it under 'Disallow: /')
+        p0 = paths[hosted].fillna("/")
+        sub_paths = p0.mask(p0.eq(""), "/")
         for host, idx in sub_hosts.groupby(sub_hosts).groups.items():
             rules = self.by_host.get(host)
             if not rules:
@@ -145,3 +150,61 @@ class RobotsRules:
                 best_allow[better] = allow
             denied.loc[idx] = ~best_allow
         return denied
+
+
+# -- per-worker robots state (bucket-affine sidecar loads) -------------------
+#
+# Robots rules live ONLY in the per-bucket
+# ``robots_parts/bucket=NNNN.parquet`` sidecars written by
+# CrawlEngine.prepare() — no driver-side dict, and nothing robots-sized
+# is captured in task closures (a robots_by_host dict re-pickled into
+# every admit task is GBs of per-task serialization at 10^8 hosts).
+# Each admit task loads its OWN bucket's sidecar on first touch and
+# caches the parsed rules per worker PROCESS (same long-lived-worker
+# pattern as stages/fetch._SIMS; the files are immutable corpus
+# derivatives, so the cache is retry-safe).
+#
+# Bucket affinity: with bucket_mode="host" a host's /robots.txt row and
+# all of that host's frontier rows hash to the same bucket, so one task
+# needs exactly one sidecar = O(hosts/bucket) state.  With
+# bucket_mode="id" hosts spread across buckets, so the worker loads all
+# sidecars once per process instead (still zero driver state and O(1)
+# closure bytes — the documented non-affine fallback).
+
+_RULES_CACHE: dict[tuple, "RobotsRules"] = {}
+
+
+def load_robots_rules(
+    robots_dir: str,
+    bucket: int,
+    bucket_affine: bool,
+    user_agent: str = "*",
+) -> "RobotsRules":
+    """Parsed robots rules for one frontier bucket, cached per worker.
+
+    ``bucket_affine=True`` (host bucketing) reads only
+    ``bucket=NNNN.parquet``; otherwise every sidecar is folded once per
+    process.  First capture of a host wins (matches the corpus index's
+    first-by-warc_ts dedup)."""
+    from .checkpoint import bucket_file, list_bucket_files
+
+    key = (robots_dir, bucket if bucket_affine else -1, user_agent)
+    rules = _RULES_CACHE.get(key)
+    if rules is None:
+        import pyarrow.parquet as pq
+
+        if bucket_affine:
+            f = bucket_file(robots_dir, bucket)
+            files = [f] if os.path.exists(f) else []
+        else:
+            files = list_bucket_files(robots_dir)
+        by_host: dict[str, list] = {}
+        for f in files:
+            t = pq.read_table(f)
+            for host, body in zip(t["hostname"].to_pylist(), t["html"].to_pylist()):
+                if host not in by_host:
+                    by_host[host] = parse_robots(
+                        body.decode("utf-8", "replace"), user_agent
+                    )
+        rules = _RULES_CACHE[key] = RobotsRules(by_host)
+    return rules
