@@ -372,23 +372,24 @@ def multimodal_video_frames(sf_dir: str):
 
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
-    whose FNV-1a of the composite key string is < 5% of the 64-bit
-    space.  Unlike random_sample this is reproducible at any
-    parallelism and exactly SQL-mirrorable."""
-    from web_graph_ray.functions.hashing import hash64
+    with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
+    bucketing).  Unlike random_sample this is reproducible at any
+    parallelism and exactly SQL-mirrorable.  Fully vectorized: key
+    concat in Arrow C++ (`binary_join_element_wise` over int→string
+    casts, byte-identical to the Python f-string for ints) + the
+    shared numpy FNV kernel."""
+    from web_graph_ray.stages.sketch import fnv1a64
 
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
 
     def keep(t: pa.Table) -> pa.Table:
-        keys = [
-            f"{o}|{l}|{p}"
-            for o, l, p in zip(
-                t["l_orderkey"].to_pylist(),
-                t["l_linenumber"].to_pylist(),
-                t["l_partkey"].to_pylist(),
-            )
-        ]
-        mask = pa.array([hash64(k) % 100 < 5 for k in keys], type=pa.bool_())
+        keys = pc.binary_join_element_wise(
+            pc.cast(t["l_orderkey"], pa.string()),
+            pc.cast(t["l_linenumber"], pa.string()),
+            pc.cast(t["l_partkey"], pa.string()),
+            "|",
+        )
+        mask = pa.array(fnv1a64(keys) % np.uint64(100) < 5)
         return t.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -919,7 +920,7 @@ def oracle_sql() -> dict[str, str]:
               where i <= length(t) - 4),
             sizes as (select doc_id, count(*) n from sh group by 1),
             rare as (select sh from sh group by sh
-                     having count(*) <= greatest(20, (select count(*) from documents) // 100)),
+                     having count(*) <= greatest(20, (select count(*) from sizes) // 100)),
             cand as (select s1.doc_id a, s2.doc_id b
                      from sh s1 join sh s2 using (sh)
                      where s1.doc_id < s2.doc_id and sh in (select sh from rare)

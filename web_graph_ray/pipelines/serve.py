@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
 
 from .queries import QUERY_LIMIT, GraphQueries
 
@@ -64,7 +65,9 @@ def _make_handler(gq: GraphQueries):
             self._send(200, "", is_json=False)
 
         def do_GET(self):
-            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            # gin's c.Param percent-decodes path segments (router.go);
+            # mirror that so encoded hostnames resolve identically
+            parts = [unquote(p) for p in self.path.split("?")[0].split("/") if p]
             try:
                 if not parts:
                     return self._send(200, WELCOME, is_json=False)

@@ -140,29 +140,33 @@ def ngram_jaccard_pairs(
     shingles, so the pruning does not cost recall on actual duplicates;
     MinHash-LSH below is the approximate scale path.
     """
-    from .relational import bucketed_group_map
-
-    n_docs = ds.count()
-    if max_block is None:
-        # adaptive df-cap: "rare" must scale with corpus size or the
-        # blocking finds nothing at larger corpora (near-identical pairs
-        # always share many df≈2 shingles, so recall is kept)
-        max_block = max(20, n_docs // 100)
+    from .relational import bucketed_agg, bucketed_group_map
 
     # The exploded shingle table is the largest intermediate (≫ corpus
     # size).  It is consumed by three passes; rather than pinning it in
     # the object store with materialize(), each pass RECOMPUTES it from
     # the (streaming) input — trading one extra scan per pass for zero
     # resident state, the right trade at 100 TB where the object store
-    # must hold only in-flight blocks.
+    # must hold only in-flight blocks.  The exception is ``sizes``
+    # (one row per doc, ≪ shingle table): it is needed twice (df-cap +
+    # scoring) and also yields n_docs, so materializing it folds the
+    # former separate ds.count() scan into the first shingle pass.
     explode = _shingle_rows(text_col, id_col, k)
 
     def shingles() -> "ray.data.Dataset":
         return ds.map_batches(explode, batch_format="pyarrow")
 
-    from .relational import bucketed_agg
+    sizes = bucketed_agg(shingles(), [id_col]).materialize()  # distinct shingles per doc
+    # n_docs = docs with ≥1 shingle (docs shorter than k chars cannot
+    # pair anyway); counting via the materialized sizes folds the former
+    # separate ds.count() input scan into the first shingle pass.
+    n_docs = sizes.count()
 
-    sizes = bucketed_agg(shingles(), [id_col])  # distinct shingles per doc
+    if max_block is None:
+        # adaptive df-cap: "rare" must scale with corpus size or the
+        # blocking finds nothing at larger corpora (near-identical pairs
+        # always share many df≈2 shingles, so recall is kept)
+        max_block = max(20, n_docs // 100)
 
     def rare_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket: pairs per rare shingle (one row per co-occurrence)."""

@@ -324,17 +324,17 @@ def tumbling_window_agg(
             pc.floor(pc.divide(pc.cast(epoch, pa.float64()), window_sec)),
             float(window_sec),
         )
-        df = pd.DataFrame(
+        tbl = pa.table(
             {
-                key_col: t[key_col].to_pylist(),
-                "window_start": pc.cast(win, pa.int64()).to_pylist(),
-                "_sum": t[value_col].to_pylist(),
+                key_col: t[key_col],
+                "window_start": pc.cast(win, pa.int64()),
+                "_v": t[value_col],
             }
         )
-        g = df.groupby([key_col, "window_start"], as_index=False).agg(
-            _sum=("_sum", "sum"), _n=("_sum", "size")
+        g = pa.TableGroupBy(tbl, [key_col, "window_start"]).aggregate(
+            [("_v", "sum"), ("_v", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns([key_col, "window_start", "_sum", "_n"])
 
     def finalize(t: pa.Table) -> pa.Table:
         t = t.append_column(

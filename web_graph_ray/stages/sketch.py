@@ -21,7 +21,7 @@ import ray.data
 
 from ..functions.text import _fnv1a
 
-__all__ = ["hll_distinct"]
+__all__ = ["hll_distinct", "fnv1a64"]
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF
@@ -103,6 +103,14 @@ def _utf8_layout(values) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     data = np.frombuffer(b"".join(bs), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1])) if n else np.zeros(0, np.int64)
     return data, starts, lengths
+
+
+def fnv1a64(values) -> np.ndarray:
+    """Vectorized stable FNV-1a 64 over str(v) per value — bit-identical
+    to ``functions.hashing.hash64`` for ints and strings.  Accepts a
+    pyarrow (Chunked)Array or a Python sequence; returns uint64."""
+    data, starts, lengths = _utf8_layout(values)
+    return _fnv1a_buffers(data, starts, lengths)
 
 
 def _mix64_vec(h: np.ndarray) -> np.ndarray:
