@@ -386,3 +386,83 @@ class TestMultimodalStages:
         ).to_pandas()
         assert len(out) == 12
         assert all(len(f) == 4 * 5 for f in out["features"])
+
+    def test_image_strict_without_codec_raises(self):
+        """PIL is absent from this container, so strict mode must stay an
+        honest stub (codec selection ran in __init__ and found nothing)."""
+        import pytest as _pytest
+
+        import pyarrow as pa
+
+        from web_graph_ray.stages.multimodal import ImageDecode
+
+        stage = ImageDecode(decoder="strict")
+        assert stage.codec is None
+        batch = pa.Table.from_pydict(
+            {"item_id": pa.array([1], type=pa.int64()),
+             "payload": pa.array([b"x"], type=pa.binary())}
+        )
+        with _pytest.raises(NotImplementedError):
+            stage(batch)
+
+    def test_image_strict_uses_real_codec_when_importable(self, monkeypatch):
+        """Opportunistic codec selection: when a PIL-shaped module is
+        importable, strict mode decodes through it instead of raising."""
+        import sys
+        import types
+
+        import numpy as np
+        import pyarrow as pa
+
+        class _FakeImg:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return self
+
+            def resize(self, wh):
+                w, h = wh
+                return np.full((h, w, 3), 7, dtype=np.uint8)
+
+        pil = types.ModuleType("PIL")
+        pil.Image = types.SimpleNamespace(open=lambda bio: _FakeImg())
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+
+        from web_graph_ray.stages.multimodal import ImageDecode
+
+        stage = ImageDecode(height=4, width=6, decoder="strict")
+        assert stage.codec is not None
+        out = stage(
+            pa.Table.from_pydict(
+                {"item_id": pa.array([1], type=pa.int64()),
+                 "payload": pa.array([b"x"], type=pa.binary())}
+            )
+        )
+        assert len(out["pixels"][0].as_py()) == 4 * 6 * 3
+        assert out["mean_intensity"][0].as_py() == 7.0
+
+    def test_audio_strict_uses_real_codec_when_importable(self, monkeypatch):
+        import sys
+        import types
+
+        import numpy as np
+        import pyarrow as pa
+
+        sf = types.ModuleType("soundfile")
+        sf.read = lambda bio, dtype: (
+            np.sin(np.linspace(0, 80, 4000)).astype(np.float32), 16000
+        )
+        monkeypatch.setitem(sys.modules, "soundfile", sf)
+
+        from web_graph_ray.stages.multimodal import AudioFeatures
+
+        stage = AudioFeatures(frames=4, feat_dim=5, decoder="strict")
+        assert stage.codec is not None
+        out = stage(
+            pa.Table.from_pydict(
+                {"item_id": pa.array([1], type=pa.int64()),
+                 "payload": pa.array([b"x"], type=pa.binary())}
+            )
+        )
+        feats = np.asarray(out["features"][0].as_py())
+        assert feats.shape == (4 * 5,)
+        assert np.isfinite(feats).all() and (feats != 0).any()
