@@ -182,12 +182,13 @@ def asof_join_events_orders(sf_dir: str):
     from web_graph_ray.stages.relational import asof_join
 
     events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]).to_pandas()
-    orders = orders.rename(columns={"o_custkey": "user_id"})
-    orders = orders.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
     out = asof_join(
         events, orders, key_col="user_id", left_ts="ts", right_ts="o_orderdate",
-        right_cols=["o_orderkey"],
+        right_cols=["o_orderkey"], right_order=["o_orderkey"],
     ).to_pandas()
     out = out[["event_id", "o_orderkey"]]
     out["o_orderkey"] = out["o_orderkey"].astype("Int64")

@@ -36,6 +36,7 @@ __all__ = [
     "tumbling_window_agg",
     "sessionize",
     "asof_join",
+    "asof_join_partitioned",
 ]
 
 
@@ -392,26 +393,48 @@ def sessionize(
     )
 
 
+# right sides below this estimated size ride one ray.put broadcast (zero
+# shuffle); above it the co-partitioned union path runs.  Module-level so
+# scale-guard tests can force the partitioned path (same pattern as
+# stages/dedup.py BROADCAST_BYTES).
+ASOF_BROADCAST_BYTES = 64 << 20
+
+
 def asof_join(
     left: "ray.data.Dataset",
-    right_df: pd.DataFrame,
+    right,
     key_col: str,
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    right_order: list[str] | None = None,
+    num_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """As-of (backward) join: for each left row, the latest right row of
-    the same key with right_ts <= left_ts.
+    the same key with right_ts <= left_ts.  Ties on right_ts are broken
+    by ``right_order`` (last wins — pass it whenever ties are possible,
+    or the winner depends on arrival order).
 
-    Broadcast form: the right side (dimension-sized — e.g. orders per
-    customer) is shipped once via ``ray.put``; each left batch runs a
-    vectorized ``pd.merge_asof``.  Zero shuffle.  When BOTH sides are
-    large, the scale path is co-partitioning by key hash (pad the two
-    schemas to a union schema, tag a side column, union → groupby
-    bucket → merge_asof per bucket) — same per-bucket kernel, one
-    shuffle; not needed at the driver-testdata scales."""
-    r = right_df[[key_col, right_ts] + right_cols].sort_values(
-        right_ts, kind="mergesort"
+    ``right`` may be a pandas DataFrame (always broadcast) or a Dataset:
+    small Datasets (estimated < ASOF_BROADCAST_BYTES) are collected and
+    broadcast once via ``ray.put`` — zero shuffle, the dimension-table
+    shape; large ones take the co-partitioned path
+    (``asof_join_partitioned``) — pad both schemas to a union schema,
+    tag a side column, union → one key-hash-bucketed shuffle →
+    vectorized ``pd.merge_asof`` per bucket.  Partitioning assumption:
+    all rows of a key hash to one bucket, so per-bucket merge_asof is
+    exact."""
+    if not isinstance(right, pd.DataFrame):
+        n_right = right.count()
+        est = n_right * 16 * (len(right_cols) + 2)
+        if est > ASOF_BROADCAST_BYTES:
+            return asof_join_partitioned(
+                left, right, key_col, left_ts, right_ts, right_cols,
+                right_order=right_order, num_buckets=num_buckets,
+            )
+        right = right.to_pandas()
+    r = right[[key_col, right_ts] + right_cols].sort_values(
+        [right_ts] + (right_order or []), kind="mergesort"
     )
     ref = ray.put(r)
 
@@ -428,3 +451,84 @@ def asof_join(
         return out
 
     return left.map_batches(per_batch, batch_format="pandas")
+
+
+def asof_join_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_order: list[str] | None = None,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Both-sides-large as-of join: same union + bucketed-group-map
+    kernel shape as ``bucket_hash_join``, with ``pd.merge_asof`` as the
+    per-bucket kernel.  One shuffle, no broadcast, no driver state.
+    Output columns = left's, then ``right_cols`` (broadcast-path
+    layout)."""
+    left = _as_arrow(left)
+    right = _as_arrow(right)
+    ls, rs = left.schema(), right.schema()
+    lf = dict(zip(ls.names, ls.types))
+    rf = dict(zip(rs.names, rs.types))
+    ts_type = lf[left_ts]
+    l_cols = list(ls.names)
+    l_extra = [c for c in l_cols if c not in (key_col, left_ts)]
+    r_keep = list(dict.fromkeys(list(right_cols) + list(right_order or [])))
+    overlap = set(l_extra) & set(r_keep)
+    if overlap:
+        raise ValueError(
+            "asof_join_partitioned: non-key right columns must not collide "
+            f"with left columns (shared: {sorted(overlap)}) — rename first"
+        )
+    all_cols = [key_col, left_ts] + l_extra + r_keep
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        arrays = [t[key_col].combine_chunks(), t[left_ts].combine_chunks()]
+        arrays += [t[c].combine_chunks() for c in l_extra]
+        arrays += [_pad_array(t.num_rows, rf[c]) for c in r_keep]
+        arrays.append(pa.array([0] * t.num_rows, type=pa.int8()))
+        return pa.Table.from_arrays(arrays, names=all_cols + ["_side"])
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        arrays = [
+            t[key_col].combine_chunks().cast(lf[key_col]),
+            t[right_ts].combine_chunks().cast(ts_type),
+        ]
+        arrays += [_pad_array(t.num_rows, lf[c]) for c in l_extra]
+        arrays += [t[c].combine_chunks() for c in r_keep]
+        arrays.append(pa.array([1] * t.num_rows, type=pa.int8()))
+        return pa.Table.from_arrays(arrays, names=all_cols + ["_side"])
+
+    lds = left.map_batches(pad_left, batch_format="pyarrow")
+    rds = right.map_batches(pad_right, batch_format="pyarrow")
+
+    l_dtypes = {c: lf[c].to_pandas_dtype() for c in l_extra}
+    r_dtypes = {c: rf[c].to_pandas_dtype() for c in r_keep}
+    out_cols = l_cols + list(right_cols)
+    order_tail = list(right_order or [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][[key_col, left_ts] + l_extra].copy()
+        r = df[df["_side"] == 1][[key_col, left_ts] + r_keep].copy()
+        # null padding from the opposite side upcasts ints to float in
+        # the unified bucket frame; each side's own rows have no nulls
+        for c, dt in l_dtypes.items():
+            l[c] = l[c].astype(dt, copy=False)
+        for c, dt in r_dtypes.items():
+            r[c] = r[c].astype(dt, copy=False)
+        out = pd.merge_asof(
+            l.sort_values(left_ts, kind="mergesort"),
+            r.sort_values([left_ts] + order_tail, kind="mergesort"),
+            on=left_ts,
+            by=key_col,
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        return out[out_cols]
+
+    return bucketed_group_map(
+        lds.union(rds), [key_col], per_bucket, num_buckets=num_buckets
+    )
