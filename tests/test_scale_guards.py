@@ -231,6 +231,95 @@ class TestAsofJoinPartitioned:
         assert 0 < len(matched) <= n_l
 
 
+class TestTtlRollingSidecar:
+    def test_o1_file_reads_per_round(self, tmp_path, monkeypatch):
+        """VERDICT r2 item 8: the TTL-probe must not re-read every
+        frontier file in the window each round — after the first probe,
+        a round reads the rolling last-member sidecar plus ONLY the
+        current round's frontier files."""
+        import pyarrow.parquet as _pq
+
+        import web_graph_ray.pipelines.crawl as cr
+        from web_graph_ray.state.checkpoint import (
+            atomic_write_parquet,
+            bucket_file,
+            frontier_dirs,
+        )
+
+        work = str(tmp_path / "w")
+        bucket, ttl = 0, 3
+
+        def write_frontier(rnd, ids):
+            tbl = pa.Table.from_pydict({"page_id": pa.array(ids, type=pa.string())})
+            atomic_write_parquet(tbl, bucket_file(frontier_dirs(work, rnd)[0], bucket))
+
+        for r in range(6):
+            write_frontier(r, [f"id{r}", "idX"])
+
+        def cand_dir(rnd):
+            d = str(tmp_path / f"cand{rnd}")
+            # candidates: one id from an old round (expired), one recent,
+            # one novel — exercises the horizon cut
+            atomic_write_parquet(
+                pa.Table.from_pydict(
+                    {
+                        "page_id": pa.array(["parent"] * 3),
+                        "to_page_id": pa.array(["id0", f"id{rnd - 1}", f"new{rnd}"]),
+                        "to_url": pa.array(["u"] * 3),
+                        "to_hostname": pa.array(["h"] * 3),
+                        "to_host": pa.array(["h"] * 3),
+                        "to_path": pa.array(["/"] * 3),
+                        "candidate_seq": pa.array(["0.1", "0.2", "0.3"]),
+                        "priority": pa.array([0, 0, 0], type=pa.int64()),
+                    }
+                ),
+                d + "/part.parquet",
+            )
+            return d
+
+        reads: list[str] = []
+        orig = _pq.read_table
+
+        def counting(path, *a, **k):
+            if isinstance(path, str):
+                reads.append(path)
+            return orig(path, *a, **k)
+
+        monkeypatch.setattr(cr.pq, "read_table", counting)
+
+        # round 5 probe, no sidecar yet: catch-up reads the whole window
+        probe5 = cr.make_prober(work, 5, seen_ttl_rounds=ttl, num_buckets=1)
+        out5 = cr._probe_one(probe5, bucket, cand_dir(5))
+        assert out5["novel"] == 2  # id0 expired (last member round 0 < lo=3)
+        import os as _os
+
+        assert _os.path.isdir(_os.path.join(work, "ttl_member"))
+
+        # round 6 probe: sidecar through=5 exists -> reads are sidecar +
+        # round-6 frontier files only (novel written by probe5 + none
+        # deferred), NOT the whole window again
+        write_frontier(6, ["id6", "idX"])
+        reads.clear()
+        probe6 = cr.make_prober(work, 6, seen_ttl_rounds=ttl, num_buckets=1)
+        out6 = cr._probe_one(probe6, bucket, cand_dir(6))
+        frontier_reads = [p for p in reads if "/frontier/" in p]
+        assert len(frontier_reads) <= 2, frontier_reads  # round-6 files only
+        assert any("ttl_member" in p for p in reads)
+        assert out6["novel"] == 2  # id0 expired again; id5, new6 novel... id5 is in window
+
+        # equivalence: a fresh prober with the sidecars REMOVED (full
+        # window re-read) yields the same novel count
+        import shutil
+
+        shutil.rmtree(_os.path.join(work, "ttl_member"))
+        # drop probe6's novel output so the rerun is byte-comparable
+        f7 = bucket_file(frontier_dirs(work, 7)[0], bucket)
+        _os.remove(f7)
+        probe6b = cr.make_prober(work, 6, seen_ttl_rounds=ttl, num_buckets=1)
+        out6b = cr._probe_one(probe6b, bucket, cand_dir(6))
+        assert out6b["novel"] == out6["novel"]
+
+
 class TestSessionizeManyKeys:
     def test_100k_keys_vectorized(self, ray_session):
         """10^5 distinct users: one vectorized kernel per bucket, NOT one

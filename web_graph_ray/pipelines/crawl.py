@@ -190,18 +190,24 @@ def make_admitter(
 COMPACT_EVERY = 8  # rounds between per-bucket enqueued-set compactions
 
 
-def _find_snapshot(work: str, bucket: int, rnd: int) -> tuple[str | None, int]:
-    """Latest compacted enqueued-set snapshot ≤ rnd: (path, through_round)."""
-    comp_dir = os.path.join(work, "enqueued")
+def _find_through(dir_path: str, bucket: int, rnd: int) -> tuple[str | None, int]:
+    """Latest ``bucket=N.through=R.parquet`` sidecar with R ≤ rnd:
+    (path, through_round).  The ≤ rnd guard makes resume-from-an-earlier
+    round ignore sidecars written by a crashed later round."""
     prefix = f"bucket={bucket:04d}.through="
     best_r, best_f = -1, None
-    if os.path.isdir(comp_dir):
-        for f in os.listdir(comp_dir):
+    if os.path.isdir(dir_path):
+        for f in os.listdir(dir_path):
             if f.startswith(prefix) and f.endswith(".parquet"):
                 r = int(f[len(prefix):].split(".")[0])
                 if best_r < r <= rnd:
-                    best_r, best_f = r, os.path.join(comp_dir, f)
+                    best_r, best_f = r, os.path.join(dir_path, f)
     return best_f, best_r
+
+
+def _find_snapshot(work: str, bucket: int, rnd: int) -> tuple[str | None, int]:
+    """Latest compacted enqueued-set snapshot ≤ rnd: (path, through_round)."""
+    return _find_through(os.path.join(work, "enqueued"), bucket, rnd)
 
 
 def _read_enqueued(work: str, bucket: int, rnd: int) -> tuple[set, int]:
@@ -299,26 +305,61 @@ def make_prober(
 
             if seen_ttl_rounds is not None:
                 # TTL horizon: seen = membership (novel ∪ deferred) in the
-                # last ``ttl`` rounds only.  The window bounds the read;
-                # all-time snapshots/blooms are bypassed (they encode an
-                # ∞ horizon).  Mirrors the oracle's last_member gate.
+                # last ``ttl`` rounds only.  A rolling per-bucket
+                # ``last-member-round`` sidecar makes this O(1) files per
+                # round: load the latest sidecar, fold in ONLY the rounds
+                # it hasn't seen (normally just this round's two files),
+                # prune entries older than the horizon, persist.  The
+                # sidecar is a deterministic function of committed
+                # frontier files, so a crash-rerun overwrites an
+                # identical file.  Mirrors the oracle's last_member gate.
                 lo = max(0, rnd - seen_ttl_rounds + 1)
-                seen_ttl: set = set()
                 # a split shard also reads its base-named files (sidecars
                 # from rounds before the split) — a superset is harmless:
                 # ids of sibling shards are never candidates here
                 cand_files = {bucket}
                 if num_buckets and bucket >= num_buckets:
                     cand_files.add(bucket % num_buckets)
-                for x in range(lo, rnd + 1):
+                ttl_dir = os.path.join(work, "ttl_member")
+                state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                last: dict = {}
+                if state_f is not None:
+                    t = pq.read_table(state_f)
+                    last = dict(
+                        zip(t["page_id"].to_pylist(), t["last_round"].to_pylist())
+                    )
+                for x in range(state_r + 1, rnd + 1):
                     for d in frontier_dirs(work, x):
                         for bid in cand_files:
                             f = bucket_file(d, bid)
                             if os.path.exists(f):
-                                seen_ttl.update(
-                                    pq.read_table(f, columns=["page_id"])["page_id"].to_pylist()
-                                )
-                novel = df[~df["to_page_id"].isin(seen_ttl)]
+                                for pid in pq.read_table(
+                                    f, columns=["page_id"]
+                                )["page_id"].to_pylist():
+                                    last[pid] = x  # x ascends: latest wins
+                last = {p: r for p, r in last.items() if r >= lo}
+                atomic_write_parquet(
+                    pa.Table.from_pydict(
+                        {
+                            "page_id": pa.array(list(last), type=pa.string()),
+                            "last_round": pa.array(
+                                list(last.values()), type=pa.int64()
+                            ),
+                        }
+                    ),
+                    os.path.join(
+                        ttl_dir, f"bucket={bucket:04d}.through={rnd:06d}.parquet"
+                    ),
+                )
+                if state_f is not None and state_r < rnd:
+                    # superseded sidecar: safe to drop — any rerun that
+                    # can't find a sidecar rebuilds from the window files
+                    try:
+                        os.remove(state_f)
+                    except OSError:
+                        pass
+                # after pruning, membership within the window IS the map
+                novel = df[~df["to_page_id"].isin(last.keys())]
                 _emit_novel(novel, bucket, res, link_rows)
                 continue
 
