@@ -232,6 +232,93 @@ Operator pipeline seconds at {s['cpus'][1]} cpus: {json.dumps(s['hi']['queries']
         f.write(text)
 
 
+def run_index_micro() -> dict:
+    """Repeated-query serving micro-bench: point lookups from the
+    compact() adjacency indexes vs the materialized-scan fallback.
+    Updates the INDEXMICRO block of BASELINE.md."""
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR", log_to_driver=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from web_graph_ray.config import CrawlConfig
+    from web_graph_ray.pipelines.crawl import CrawlEngine
+    from web_graph_ray.pipelines.queries import GraphQueries
+    from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus_ray
+
+    ccfg = CorpusConfig(n_pages=100_000, seed=42, n_hosts=200, chain_len=0,
+                        avg_links=10, filler_words=100)
+    corpus = "/tmp/wg_bench/idx_micro_corpus"
+    work = "/tmp/wg_bench/idx_micro_work"
+    write_corpus_ray(corpus, ccfg)
+    eng = CrawlEngine(corpus, CrawlConfig(num_buckets=64, work_dir=work))
+    t0 = time.perf_counter()
+    eng.run(seed_urls(ccfg))  # resumes/no-ops if the cached crawl exists
+    crawl_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    man = eng.compact()
+    compact_sec = time.perf_counter() - t0
+
+    idx = GraphQueries(eng, use_index=True)
+    scan = GraphQueries(eng, use_index=False)
+    sample = eng.pages().limit(300).to_pandas()
+    ids = sorted(sample["page_id"])[:50]
+    hosts = sorted(sample["host"].unique())[:10]
+    scan.pages, scan.links  # noqa: B018 — warm (serving-startup cost, untimed)
+    idx.page(ids[0])  # warm one file read
+
+    def drive(q) -> float:
+        t0 = time.perf_counter()
+        for pid in ids:
+            q.page(pid)
+            q.links_from(pid).to_pandas()
+            q.links_to(pid).to_pandas()
+        for h in hosts:
+            q.pages_by_host(h).to_pandas()
+        return time.perf_counter() - t0
+
+    n_queries = 3 * len(ids) + len(hosts)
+    idx_sec, scan_sec = drive(idx), drive(scan)
+    result = {
+        "metric": "indexed vs scan point-query serving",
+        "n_pages": man["n_pages"], "n_links": man["n_links"],
+        "n_queries": n_queries,
+        "crawl_sec": round(crawl_sec, 2),
+        "compact_sec": round(compact_sec, 2),
+        "idx_sec": round(idx_sec, 3), "scan_sec": round(scan_sec, 3),
+        "idx_qps": round(n_queries / idx_sec, 1),
+        "scan_qps": round(n_queries / scan_sec, 1),
+        "speedup": round(scan_sec / idx_sec, 1),
+    }
+    begin, end = "<!-- INDEXMICRO:BEGIN -->", "<!-- INDEXMICRO:END -->"
+    block = f"""{begin}
+## Serving micro-bench (bench.py --index-micro)
+
+{n_queries} point queries (page / linksFrom / linksTo / pages-by-host) over a
+{man['n_pages']:,}-page / {man['n_links']:,}-link crawl, num_cpus={NUM_CPUS}:
+materialized-scan fallback {result['scan_qps']} q/s vs compact() adjacency
+indexes **{result['idx_qps']} q/s** — **{result['speedup']}× faster**
+(compact() itself: {result['compact_sec']} s, incremental on re-run).
+{end}"""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    if begin in text:
+        text = text.split(begin)[0] + block + text.split(end)[1]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+    ray.shutdown()
+    return result
+
+
 def run_gen_only() -> None:
     import ray
 
@@ -260,6 +347,8 @@ if __name__ == "__main__":
     if "--gen-only" in sys.argv:
         run_gen_only()
         print("{}")
+    elif "--index-micro" in sys.argv:
+        print(json.dumps(run_index_micro()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -944,17 +944,17 @@ class CrawlEngine:
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
-    def _nonlink_files(self) -> list[str]:
+    def _nonlink_files(self, rounds: list[int] | None = None) -> list[str]:
         out = []
-        for r in self._committed_rounds():
+        for r in rounds if rounds is not None else self._committed_rounds():
             d = os.path.join(round_dir(self.work, r), "emissions", "to_bucket=-1")
             if os.path.isdir(d):
                 out += self._parquet_files(d)
         return out
 
-    def _link_files(self) -> list[str]:
+    def _link_files(self, rounds: list[int] | None = None) -> list[str]:
         out = []
-        for r in self._committed_rounds():
+        for r in rounds if rounds is not None else self._committed_rounds():
             emis = os.path.join(round_dir(self.work, r), "emissions")
             if not os.path.isdir(emis):
                 continue
@@ -963,9 +963,9 @@ class CrawlEngine:
                     out += self._parquet_files(os.path.join(emis, name))
         return out
 
-    def _visited_files(self) -> list[str]:
+    def _visited_files(self, rounds: list[int] | None = None) -> list[str]:
         out = []
-        for r in self._committed_rounds():
+        for r in rounds if rounds is not None else self._committed_rounds():
             out += list_bucket_files(os.path.join(round_dir(self.work, r), "visited_delta"))
         return out
 
@@ -1000,28 +1000,40 @@ class CrawlEngine:
             .drop_columns(["row_type"])
         )
 
-    def links(self) -> "ray.data.Dataset":
+    def links(
+        self, rounds: list[int] | None = None, keep_emit_key: bool = False
+    ) -> "ray.data.Dataset":
         """links_visited parity: first-wins dedup on (from,to) —
         conflict-discarding compaction over all rounds' emissions
-        (PK semantics of ``pkg/linkstorage/linkstorage.go:106-113``)."""
+        (PK semantics of ``pkg/linkstorage/linkstorage.go:106-113``).
+        ``rounds``/``keep_emit_key`` are the incremental-compaction
+        seam: winners of a round subset, with the merge key retained so
+        ``compact()`` can first-wins-union them against a prior index
+        (winners-of-winners = winners)."""
         from ..stages.relational import first_wins_dedup
 
         ds = ray.data.read_parquet(
-            self._link_files(), columns=["page_id", "to_page_id", "text", "emit_key"]
+            self._link_files(rounds), columns=["page_id", "to_page_id", "text", "emit_key"]
         )
         winners = first_wins_dedup(ds, ["page_id", "to_page_id"], "emit_key")
+        cols = ["from_page_id", "to_page_id", "text"] + (
+            ["emit_key"] if keep_emit_key else []
+        )
         return winners.map_batches(
-            lambda df: df[["page_id", "to_page_id", "text"]].rename(
-                columns={"page_id": "from_page_id"}
-            ),
+            lambda df: df.rename(columns={"page_id": "from_page_id"})[cols],
             batch_format="pandas",
         )
 
-    def pages(self) -> "ray.data.Dataset":
+    def pages(
+        self, rounds: list[int] | None = None, keep_emit_key: bool = False
+    ) -> "ray.data.Dataset":
         """pages_visited parity: first-wins by exact reference emission
         order (self row at visit; target rows at link processing,
-        censored for targets already robots-denied at emission time)."""
-        vd = self._visited_files()
+        censored for targets already robots-denied at emission time).
+        ``rounds`` limits the emissions scanned (incremental-compaction
+        seam); the denial censor always reads ALL committed rounds, so
+        a subset's winners stay mergeable with earlier winners."""
+        vd = self._visited_files(rounds)
         selfs = ray.data.read_parquet(
             vd,
             columns=["page_id", "hostname", "path", "url", "seq", "round", "status", "priority"],
@@ -1050,9 +1062,11 @@ class CrawlEngine:
         # denial keys: small (robots denials are rare) → broadcast dict.
         # The filter is pushed down into the Parquet read so row groups
         # whose status stats exclude 'robots_denied' never leave disk —
-        # the scan is O(denials), not O(visits).
+        # the scan is O(denials), not O(visits).  Always over ALL rounds:
+        # an old denial must censor later-round emissions even when
+        # ``rounds`` is a suffix subset.
         denial: dict[str, str] = {}
-        for f in vd:
+        for f in self._visited_files() if rounds is not None else vd:
             t = pq.read_table(
                 f,
                 columns=["page_id", "seq", "round", "priority"],
@@ -1065,7 +1079,7 @@ class CrawlEngine:
                 denial[pid] = emit_key_self(r, s, p)
 
         targets = ray.data.read_parquet(
-            self._link_files(),
+            self._link_files(rounds),
             columns=["to_page_id", "to_hostname", "to_path", "to_url", "emit_key"],
         )
 
@@ -1093,9 +1107,10 @@ class CrawlEngine:
         from ..stages.relational import first_wins_dedup
 
         winners = first_wins_dedup(selfs.union(targets), ["page_id"], "emit_key")
-        return winners.map_batches(
-            lambda df: df[["page_id", "host", "path", "url"]], batch_format="pandas"
+        cols = ["page_id", "host", "path", "url"] + (
+            ["emit_key"] if keep_emit_key else []
         )
+        return winners.map_batches(lambda df: df[cols], batch_format="pandas")
 
     def counters(self) -> list[dict]:
         out = []
@@ -1103,3 +1118,138 @@ class CrawlEngine:
             m = read_json(os.path.join(round_dir(self.work, r), "MANIFEST.json"))
             out.append(m["counters"])
         return out
+
+    # -- materialized adjacency indexes (serving story) ---------------------
+
+    INDEX_ROW_GROUP = 16_384  # small row groups ⇒ in-file filter pruning
+
+    def _write_index(
+        self, ds: "ray.data.Dataset", name: str, key_col: str,
+        sort_cols: list[str], nb: int,
+    ) -> int:
+        """Write ``ds`` as per-bucket, key-sorted Parquet under
+        work/index/<name>/ — bucket = stable hash64(key) % nb, the same
+        function a point query uses to find its one file."""
+        import pandas as pd
+
+        from ..functions.hashing import hash64_np
+
+        out_dir = os.path.join(self.work, "index", name)
+        order = [(c, "ascending") for c in sort_cols]
+        rg = self.INDEX_ROW_GROUP
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            b = (hash64_np(t[key_col].to_pylist()) % np.uint64(nb)).astype("int64")
+            return t.append_column("_bucket", pa.array(b, type=pa.int64()))
+
+        def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            b = int(df["_bucket"].iloc[0])
+            t = pa.Table.from_pandas(
+                df.drop(columns=["_bucket"]), preserve_index=False
+            )
+            atomic_write_parquet(
+                t, bucket_file(out_dir, b), sort_by=order, row_group_size=rg
+            )
+            return pd.DataFrame({"bucket": [b], "rows": [len(df)]})
+
+        summary = (
+            ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(write_bucket, batch_format="pandas")
+        )
+        return int(summary.to_pandas()["rows"].sum())  # one row per bucket
+
+    def compact(self) -> dict:
+        """Materialized adjacency indexes — the reference's
+        ``idx_to_page_id`` / ``idx_page_host`` parity
+        (``pkg/linkstorage/linkstorage.go:119-127``), Ray-Data-shaped:
+        write the first-wins-compacted pages/links as per-bucket,
+        key-sorted Parquet so repeated point queries (GraphQueries /
+        serve) become single-file predicate-pushdown reads instead of
+        full-dataset re-dedups per call.
+
+            index/pages_by_id/bucket=N     sorted page_id,        N=h(page_id)%P
+            index/pages_by_host/bucket=N   sorted (host,page_id), N=h(host)%P
+            index/links_from/bucket=N      sorted (from,to),      N=h(from)%P
+            index/links_to/bucket=N        sorted (to,from),      N=h(to)%P
+            index/MANIFEST.json            counts + through_round + buckets
+
+        Incremental: a re-compact after more committed rounds first-
+        wins-unions only the NEW rounds' winners against the existing
+        primary indexes (``emit_key`` is stored for exactly this
+        merge; winners-of-winners = winners), so compaction cost is
+        O(new emissions + index), not O(all emissions).  The secondary
+        orderings are re-bucketed from the refreshed primaries — a
+        distributed read, no re-dedup.  The manifest commits last; a
+        crashed compact re-runs idempotently (all writes are
+        deterministic functions of committed rounds + prior index)."""
+        from ..stages.relational import first_wins_dedup
+
+        last = last_committed_round(self.work)
+        last = -1 if last is None else last
+        idx = os.path.join(self.work, "index")
+        man_path = os.path.join(idx, "MANIFEST.json")
+        nb = self.cfg.num_buckets
+        prior = -1
+        if os.path.exists(man_path):
+            m = read_json(man_path)
+            if m["through_round"] == last:
+                return m
+            prior, nb = m["through_round"], m["num_buckets"]
+        new_rounds = list(range(prior + 1, last + 1))
+
+        pages_new = self.pages(rounds=new_rounds, keep_emit_key=True)
+        links_new = self.links(rounds=new_rounds, keep_emit_key=True)
+        if prior >= 0:
+            old_p = ray.data.read_parquet(
+                list_bucket_files(os.path.join(idx, "pages_by_id"))
+            )
+            old_l = ray.data.read_parquet(
+                list_bucket_files(os.path.join(idx, "links_from"))
+            )
+            pages_new = first_wins_dedup(
+                pages_new.union(old_p), ["page_id"], "emit_key"
+            )
+            links_new = first_wins_dedup(
+                links_new.union(old_l), ["from_page_id", "to_page_id"], "emit_key"
+            )
+
+        n_pages = self._write_index(
+            pages_new, "pages_by_id", "page_id", ["page_id"], nb
+        )
+        n_links = self._write_index(
+            links_new, "links_from", "from_page_id",
+            ["from_page_id", "to_page_id"], nb,
+        )
+        pages_idx = ray.data.read_parquet(
+            list_bucket_files(os.path.join(idx, "pages_by_id"))
+        )
+        self._write_index(pages_idx, "pages_by_host", "host", ["host", "page_id"], nb)
+        links_idx = ray.data.read_parquet(
+            list_bucket_files(os.path.join(idx, "links_from"))
+        )
+        self._write_index(
+            links_idx, "links_to", "to_page_id", ["to_page_id", "from_page_id"], nb
+        )
+        m = {
+            "through_round": last,
+            "num_buckets": nb,
+            "n_pages": n_pages,
+            "n_links": n_links,
+        }
+        atomic_write_json(m, man_path)
+        return m
+
+    def index_manifest(self) -> dict | None:
+        """The committed index manifest, or None if ``compact()`` has
+        not been run (or is stale relative to the committed rounds —
+        callers must not serve stale winners)."""
+        man_path = os.path.join(self.work, "index", "MANIFEST.json")
+        if not os.path.exists(man_path):
+            return None
+        m = read_json(man_path)
+        last = last_committed_round(self.work)
+        last = -1 if last is None else last
+        return m if m["through_round"] == last else None

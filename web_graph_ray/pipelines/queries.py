@@ -14,18 +14,37 @@ same results are Dataset expressions over the crawl outputs:
 | GET /linksTo/:id        | backlinks via idx_to_page_id (:289-320)     | links_to |
 | (frontend hash contract)| SHA1(hostname+pathname) (index.html:68-78)  | page_id_of_url |
 
-The pages/links tables are first-wins compactions (see
-CrawlEngine.pages/links); GraphQueries materializes them once and
-serves repeated point queries from the materialized datasets — the
-Dataset analogue of the reference's DB indexes.  Limits are applied
-after a deterministic sort so results are reproducible (the reference
-relies on implicit Postgres scan order; we pin it).
+Two serving modes:
+
+- **indexed** (after ``engine.compact()``): each lookup reads exactly
+  one per-bucket, key-sorted index file with a pushed-down filter —
+  the Parquet analogue of the reference's B-tree indexes
+  (``idx_to_page_id`` / ``idx_page_host``,
+  ``pkg/linkstorage/linkstorage.go:119-127``).  O(one file / one row
+  group) per query; the right shape for a serving workload.
+- **scan fallback** (no committed index, or stale after more rounds):
+  the pages/links first-wins compactions are materialized once and
+  filtered per query — fine for one-shot analysis, not serving.
+
+Limits are applied after a deterministic sort so results are
+reproducible (the reference relies on implicit Postgres scan order; we
+pin it).
 """
 
 from __future__ import annotations
 
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
 from ..functions.filters import parse_url
+from ..functions.hashing import hash64
 from ..functions.urlnorm import page_id_from_parts
+from ..state.checkpoint import bucket_file
 from .crawl import CrawlEngine
 
 __all__ = ["GraphQueries", "page_id_of_url"]
@@ -42,10 +61,45 @@ def page_id_of_url(url: str) -> str | None:
 
 
 class GraphQueries:
-    def __init__(self, engine: CrawlEngine):
+    def __init__(self, engine: CrawlEngine, use_index: bool | None = None):
+        """``use_index``: None = auto (serve from a committed,
+        non-stale index when one exists, else scan); True = require the
+        index; False = always scan."""
         self.engine = engine
         self._pages = None
         self._links = None
+        self._use_index = use_index
+
+    # -- index plumbing -----------------------------------------------------
+
+    def _index(self) -> dict | None:
+        if self._use_index is False:
+            return None
+        m = self.engine.index_manifest()
+        if m is None and self._use_index is True:
+            raise RuntimeError(
+                "use_index=True but no committed (current) index — "
+                "run engine.compact() first"
+            )
+        return m
+
+    def _idx_read(
+        self, m: dict, name: str, bucket_key: str, flt, columns: list[str]
+    ) -> pa.Table:
+        """One-bucket index read: the file is found by the same stable
+        hash a compact() write used; ``flt`` prunes row groups inside
+        it (key-sorted + small row groups ⇒ near-point read)."""
+        f = bucket_file(
+            os.path.join(self.engine.work, "index", name),
+            hash64(bucket_key) % m["num_buckets"],
+        )
+        if not os.path.exists(f):  # no row ever hashed here
+            return pa.Table.from_pydict(
+                {c: pa.array([], type=pa.string()) for c in columns}
+            )
+        return pq.read_table(f, columns=columns, filters=flt)
+
+    # -- counts (A1; exact, strictly stronger than reltuples) ---------------
 
     @property
     def pages(self):
@@ -59,18 +113,32 @@ class GraphQueries:
             self._links = self.engine.links().materialize()
         return self._links
 
-    # -- counts (A1; exact, strictly stronger than reltuples) ---------------
-
     def count_pages(self) -> int:
+        m = self._index()
+        if m is not None:
+            return m["n_pages"]
         return self.pages.count()
 
     def count_links(self) -> int:
+        m = self._index()
+        if m is not None:
+            return m["n_links"]
         return self.links.count()
 
     # -- point lookups ------------------------------------------------------
 
     def page(self, page_id: str) -> dict | None:
         """A5: /page/:id core — url of a page id, None if absent."""
+        m = self._index()
+        if m is not None:
+            t = self._idx_read(
+                m, "pages_by_id", page_id,
+                pc.field("page_id") == page_id,
+                ["page_id", "host", "path", "url"],
+            )
+            return None if t.num_rows == 0 else {
+                c: t[c][0].as_py() for c in t.column_names
+            }
         rows = self.pages.filter(expr=f"page_id == {page_id!r}").take(1)
         return rows[0] if rows else None
 
@@ -78,6 +146,15 @@ class GraphQueries:
         return self.page(page_id) is not None
 
     def link_exists(self, from_id: str, to_id: str) -> bool:
+        m = self._index()
+        if m is not None:
+            t = self._idx_read(
+                m, "links_from", from_id,
+                (pc.field("from_page_id") == from_id)
+                & (pc.field("to_page_id") == to_id),
+                ["to_page_id"],
+            )
+            return t.num_rows > 0
         rows = self.links.filter(
             expr=f"from_page_id == {from_id!r} and to_page_id == {to_id!r}"
         ).take(1)
@@ -86,6 +163,13 @@ class GraphQueries:
     def pages_by_host(self, host: str, limit: int = QUERY_LIMIT):
         """A2: page ids on a host (hostname, port-stripped — the pages
         table's host column is u.Hostname(), linkstorage.go:489)."""
+        m = self._index()
+        if m is not None:
+            t = self._idx_read(
+                m, "pages_by_host", host, pc.field("host") == host,
+                ["page_id", "url"],
+            )  # file sorted by (host, page_id) ⇒ slice is the sorted head
+            return ray.data.from_arrow(t.slice(0, limit))
         return (
             self.pages.filter(expr=f"host == {host!r}")
             .sort("page_id")
@@ -95,6 +179,13 @@ class GraphQueries:
 
     def links_from(self, page_id: str, limit: int = QUERY_LIMIT):
         """A3: forward adjacency."""
+        m = self._index()
+        if m is not None:
+            t = self._idx_read(
+                m, "links_from", page_id, pc.field("from_page_id") == page_id,
+                ["to_page_id", "text"],
+            )
+            return ray.data.from_arrow(t.slice(0, limit))
         return (
             self.links.filter(expr=f"from_page_id == {page_id!r}")
             .sort("to_page_id")
@@ -104,13 +195,53 @@ class GraphQueries:
 
     def links_to(self, page_id: str, limit: int = QUERY_LIMIT):
         """A4: backlinks (the reference needs idx_to_page_id for this;
-        the compacted links dataset serves both directions)."""
+        the links_to index is its materialized equivalent)."""
+        m = self._index()
+        if m is not None:
+            t = self._idx_read(
+                m, "links_to", page_id, pc.field("to_page_id") == page_id,
+                ["from_page_id", "text"],
+            )
+            return ray.data.from_arrow(t.slice(0, limit))
         return (
             self.links.filter(expr=f"to_page_id == {page_id!r}")
             .sort("from_page_id")
             .limit(limit)
             .select_columns(["from_page_id", "text"])
         )
+
+    def _urls_of(self, ids: list[str]) -> dict[str, str]:
+        """Resolve page ids → urls.  Indexed: ids grouped by bucket, one
+        pruned read per touched bucket (≤ limit ids ⇒ a handful of
+        files).  Fallback: broadcast is_in over the materialized pages."""
+        if not ids:
+            return {}
+        m = self._index()
+        if m is not None:
+            by_bucket: dict[int, list[str]] = {}
+            for i in set(ids):
+                by_bucket.setdefault(hash64(i) % m["num_buckets"], []).append(i)
+            url_of: dict[str, str] = {}
+            for b, group in by_bucket.items():
+                f = bucket_file(
+                    os.path.join(self.engine.work, "index", "pages_by_id"), b
+                )
+                if not os.path.exists(f):
+                    continue
+                t = pq.read_table(
+                    f, columns=["page_id", "url"],
+                    filters=pc.field("page_id").isin(sorted(group)),
+                )
+                url_of.update(
+                    zip(t["page_id"].to_pylist(), t["url"].to_pylist())
+                )
+            return url_of
+        value_set = pa.array(sorted(set(ids)))
+        hits = self.pages.map_batches(
+            lambda t: t.filter(pc.is_in(t["page_id"], value_set=value_set)),
+            batch_format="pyarrow",
+        ).take_all()
+        return {r["page_id"]: r["url"] for r in hits}
 
     def page_with_links(self, page_id: str, limit: int = QUERY_LIMIT) -> dict | None:
         """The /page/:id composite (main.go:91-133): page row + outlinks
@@ -119,18 +250,9 @@ class GraphQueries:
         if row is None:
             return None
         out = self.links_from(page_id, limit).to_pandas()
-        # resolve target urls with a broadcast semi-join (id set ≤ limit)
-        url_of: dict[str, str] = {}
-        if len(out):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
-            ids = pa.array(sorted(set(out["to_page_id"])))
-            hits = self.pages.map_batches(
-                lambda t: t.filter(pc.is_in(t["page_id"], value_set=ids)),
-                batch_format="pyarrow",
-            ).take_all()
-            url_of = {r["page_id"]: r["url"] for r in hits}
+        if not len(out):  # Ray drops the schema of all-empty results
+            return {"page": row, "links": []}
+        url_of = self._urls_of(list(out["to_page_id"]))
         return {
             "page": row,
             "links": [

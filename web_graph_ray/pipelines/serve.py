@@ -27,6 +27,13 @@ from urllib.parse import unquote
 
 from .queries import QUERY_LIMIT, GraphQueries
 
+
+def _col(df, name) -> list:
+    """Column as a list, [] when the result is empty — Ray datasets drop
+    the schema of all-empty results, so ``df[name]`` would KeyError
+    (the reference returns an empty JSON array for unknown ids)."""
+    return list(df[name]) if len(df) else []
+
 __all__ = ["make_server", "WELCOME"]
 
 WELCOME = """Welcome to the web-graph (web_graph_ray serving layer)!
@@ -85,18 +92,18 @@ def _make_handler(gq: GraphQueries):
                                 "group": row["host"],
                                 "url": row["url"],
                             },
-                            "links": list(links["to_page_id"]),
+                            "links": _col(links, "to_page_id"),
                         },
                     )
                 if route == "pages" and arg:
                     out = gq.pages_by_host(arg, QUERY_LIMIT).to_pandas()
-                    return self._send(200, list(out["page_id"]))
+                    return self._send(200, _col(out, "page_id"))
                 if route == "linksFrom" and arg:
                     out = gq.links_from(arg, QUERY_LIMIT).to_pandas()
-                    return self._send(200, list(out["to_page_id"]))
+                    return self._send(200, _col(out, "to_page_id"))
                 if route == "linksTo" and arg:
                     out = gq.links_to(arg, QUERY_LIMIT).to_pandas()
-                    return self._send(200, list(out["from_page_id"]))
+                    return self._send(200, _col(out, "from_page_id"))
                 if route == "countLinks":
                     return self._send(200, {"countLinks": gq.count_links()})
                 if route == "countPages":
@@ -112,7 +119,10 @@ def _make_handler(gq: GraphQueries):
 
 def make_server(gq: GraphQueries, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
-    Materializes the pages/links datasets up front so the first request
-    is as fast as the rest."""
-    gq.pages, gq.links  # noqa: B018 — warm the materialized views
+    With a committed index (engine.compact()), requests are per-bucket
+    pruned file reads and nothing is materialized; otherwise the
+    pages/links scan views are materialized up front so the first
+    request is as fast as the rest."""
+    if gq._index() is None:
+        gq.pages, gq.links  # noqa: B018 — warm the materialized views
     return ThreadingHTTPServer((host, port), _make_handler(gq))

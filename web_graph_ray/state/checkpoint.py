@@ -62,14 +62,24 @@ def frontier_dirs(work: str, rnd: int) -> tuple[str, str]:
     return os.path.join(rd, "frontier", "novel"), os.path.join(rd, "frontier", "deferred")
 
 
-def atomic_write_parquet(table: pa.Table, path: str, sort_by: str | None = None) -> None:
+def atomic_write_parquet(
+    table: pa.Table,
+    path: str,
+    sort_by=None,
+    row_group_size: int | None = None,
+) -> None:
     """Write a parquet file atomically (tmp + rename). Idempotent for
-    deterministic content — safe under Ray task retries."""
+    deterministic content — safe under Ray task retries.  ``sort_by``
+    is a column name or a list of columns; small ``row_group_size``
+    makes point reads with ``filters=`` prune within the file."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if sort_by is not None and table.num_rows > 1:
         table = table.sort_by(sort_by)
     tmp = path + f".tmp.{os.getpid()}"
-    pq.write_table(table, tmp)
+    if row_group_size is not None:
+        pq.write_table(table, tmp, row_group_size=row_group_size)
+    else:
+        pq.write_table(table, tmp)
     os.replace(tmp, path)
 
 
