@@ -195,6 +195,85 @@ def asof_join_events_orders(sf_dir: str):
     return out
 
 
+_PAGERANK_ITERS = 3
+
+
+def pagerank_lineitem_graph(sf_dir: str):
+    """PageRank over the order↔part bipartite graph (one edge per
+    lineitem row; node ids disambiguated as 2·orderkey / 2·partkey+1).
+    Iterative bucketed join + aggregate — the distributed formulation
+    documented in ``stages/graph.py``; SQL twin unrolls the same
+    iterations as chained CTEs with identical per-iteration rounding."""
+    from web_graph_ray.stages.graph import pagerank
+
+    edges = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.multiply(t["l_orderkey"], 2),
+                "dst": pc.add(pc.multiply(t["l_partkey"], 2), 1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = pagerank(edges, iterations=_PAGERANK_ITERS).to_pandas()
+    out = _round_cols(out, {"rank": 6})
+    return (
+        out.sort_values(["rank", "node"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
+    """DuckDB twin: same graph, same damping/rounding, iterations
+    unrolled as CTEs; dangling mass via the same totals identity
+    (dm = sum(prev ranks) − sum(contributions))."""
+    sql = """
+            with e0 as (select l_orderkey*2 as src, l_partkey*2+1 as dst from lineitem),
+            deg as (select src, count(*) c from e0 group by src),
+            nodes as (select src as node from e0 union select dst from e0),
+            nn as (select count(*) n from nodes),
+            r0 as (select node, round(1.0/nn.n, 9) rank from nodes, nn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+            c{k} as (select e.dst node, sum(r.rank / d.c) contrib
+                   from e0 e join r{k-1} r on r.node = e.src
+                             join deg d on d.src = e.src
+                   group by e.dst),
+            t{k} as (select (select sum(rank) from r{k-1}) tot,
+                          (select coalesce(sum(contrib),0) from c{k}) s),
+            r{k} as (select n.node,
+                   round(0.15/nn.n + 0.85*(coalesce(c.contrib,0)
+                         + (t.tot - t.s)/nn.n), 9) rank
+                   from nodes n left join c{k} c on c.node = n.node, nn, t{k} t)"""
+    sql += f"""
+            select node, round(rank, 6) as rank from r{iters}
+            order by rank desc, node limit 20
+        """
+    return sql
+
+
+def crawl_pagerank(sf_dir: str):
+    """PageRank over the crawled web graph itself (first-wins link
+    winners as the edge list) — the whole-graph query the reference's
+    point-lookup API cannot answer.  Top 20 pages by rank."""
+    from web_graph_ray.stages.graph import pagerank
+
+    edges = _crawl_engine(sf_dir).links().map_batches(
+        lambda df: df.rename(columns={"from_page_id": "src", "to_page_id": "dst"})[
+            ["src", "dst"]
+        ],
+        batch_format="pandas",
+    )
+    out = pagerank(edges, iterations=_PAGERANK_ITERS).to_pandas()
+    out = _round_cols(out, {"rank": 6})
+    return (
+        out.sort_values(["rank", "node"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity (documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -556,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": window_tumbling_events,
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
+        "pagerank_lineitem_graph": pagerank_lineitem_graph,
         # text / dedup / similarity (SQL-checked)
         "exact_dedup_documents": exact_dedup_documents,
         "ngram_dedup_documents": ngram_dedup_documents,
@@ -582,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_top_hosts": crawl_top_hosts,
         "crawl_counters": crawl_counters,
         "crawl_rejects": crawl_rejects,
+        "crawl_pagerank": crawl_pagerank,
     }
 
 
@@ -907,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
                     order by o.o_orderdate desc, o.o_orderkey desc limit 1) as o_orderkey
             from events e
         """,
+        "pagerank_lineitem_graph": _pagerank_sql(),
         "distinct_user_count": """
             select count(distinct user_id) as n_users from events
         """,

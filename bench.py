@@ -107,6 +107,7 @@ def bench_queries() -> dict:
         "minhash_pairs_documents",
         "ann_cosine_topk",
         "join_orders_customers",
+        "pagerank_lineitem_graph",
     ]
     out = {}
     qs = entrymod.queries()

@@ -1,0 +1,79 @@
+"""PageRank operator tests: exact agreement with a local numpy power
+iteration that mirrors the engine's semantics (multi-edges, uniform
+dangling-mass redistribution, per-iteration half-away rounding)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from web_graph_ray.functions.numeric import round_half_away
+from web_graph_ray.stages.graph import pagerank
+
+
+def reference_pagerank(edges, damping=0.85, iterations=3, iter_round=9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, round_half_away([1.0 / n], iter_round)[0])
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / deg[idx[s]]
+        dm = (r.sum() - contrib.sum()) / n
+        r = round_half_away((1 - damping) / n + damping * (contrib + dm), iter_round)
+    return pd.DataFrame({"node": nodes, "rank": r})
+
+
+GRAPHS = {
+    # chain with a dangling tail: c has no out-edges
+    "dangling_chain": [(1, 2), (2, 3), (3, 4), (4, 3)],
+    # multi-edge: a→b twice counts twice in degree and contribution
+    "multi_edge": [(1, 2), (1, 2), (1, 3), (3, 1)],
+    # disconnected components + self loop
+    "components": [(1, 2), (2, 1), (5, 5), (7, 8)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_matches_reference(name, ray_session):
+    edges = GRAPHS[name]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = (
+        pagerank(ds, iterations=4, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = reference_pagerank(edges, iterations=4).astype({"node": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pagerank_mass_conserved(ray_session):
+    edges = GRAPHS["dangling_chain"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    out = pagerank(ds, iterations=5, num_buckets=4).to_pandas()
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+
+
+def test_pagerank_string_nodes(ray_session):
+    """Node ids need only be hashable/groupable — the crawl's page-id
+    (sha1 hex) graph uses string nodes."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "b")]
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = (
+        pagerank(ds, iterations=3, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = reference_pagerank(edges, iterations=3)
+    pd.testing.assert_frame_equal(got, want)
