@@ -296,6 +296,29 @@ def ngram_dedup_documents(sf_dir: str):
     return _round_cols(out, {"jaccard": 6})
 
 
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 act as the
+    eval set; training docs sharing any 8-token gram with them are
+    dropped (train/test-overlap guard).  Broadcast-gated gram set with
+    a partitioned semi/anti-join fallback (stages/dedup.py)."""
+    from web_graph_ray.stages.dedup import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 50 == 0], batch_format="pandas"
+    )
+    train = docs.map_batches(
+        lambda df: df[df["doc_id"] % 50 != 0], batch_format="pandas"
+    )
+    out = (
+        decontaminate(train, bench, n=8)
+        .to_pandas()[["doc_id", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def doc_quality(sf_dir: str):
     from web_graph_ray.stages.text import add_quality_metrics
 
@@ -639,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / similarity (SQL-checked)
         "exact_dedup_documents": exact_dedup_documents,
         "ngram_dedup_documents": ngram_dedup_documents,
+        "decontaminate_documents": decontaminate_documents,
         "doc_quality": doc_quality,
         "token_counts_documents": token_counts_documents,
         "ann_cosine_topk": ann_cosine_topk,
@@ -989,6 +1013,20 @@ def oracle_sql() -> dict[str, str]:
             from events e
         """,
         "pagerank_lineitem_graph": _pagerank_sql(),
+        "decontaminate_documents": """
+            with toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
+                          from documents),
+            grams as (select doc_id,
+                             unnest(list_transform(generate_series(0, len(t)-8),
+                                    i -> array_to_string(t[i+1:i+8], ' '))) g
+                      from toks where len(t) >= 8),
+            bench as (select distinct g from grams where doc_id % 50 = 0),
+            contam as (select distinct doc_id from grams where doc_id % 50 <> 0
+                       and g in (select g from bench))
+            select doc_id, n_chars from documents
+            where doc_id % 50 <> 0 and doc_id not in (select doc_id from contam)
+            order by doc_id
+        """,
         "distinct_user_count": """
             select count(distinct user_id) as n_users from events
         """,

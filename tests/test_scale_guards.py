@@ -122,6 +122,50 @@ class TestDedupJoinPathScale:
         assert bc_ngram == jn_ngram and len(bc_ngram) >= 60
         assert bc_mh == jn_mh and len(bc_mh) >= 60
 
+    def test_decontaminate_paths_agree_no_driver_state(
+        self, ray_session, driver_probe
+    ):
+        """decontaminate: the partitioned semi/anti-join fallback must
+        equal the broadcast fast path and keep zero O(n) driver
+        materializations."""
+        import web_graph_ray.stages.dedup as dd
+
+        # 12-token docs; docs 0-9 replicate doc 100's text exactly →
+        # contaminated; the rest are unique noise
+        n = 400
+        bench_text = " ".join("tok%d" % j for j in range(12))
+        texts = [
+            bench_text if i < 10 else " ".join("w%dx%d" % (i, j) for j in range(12))
+            for i in range(n)
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(range(n), type=pa.int64()), "text": pa.array(texts)}
+            )
+        ).repartition(8)
+        bench = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([100], type=pa.int64()),
+                 "text": pa.array([bench_text])}
+            )
+        )
+
+        def canon(d):
+            return sorted(d.to_pandas()["doc_id"].tolist())
+
+        bc = canon(dd.decontaminate(docs, bench, n=8))
+        driver_probe.clear()  # broadcast path legitimately pulls the tiny gram set
+        old = dd.BROADCAST_BYTES
+        dd.BROADCAST_BYTES = 0
+        try:
+            jn = canon(dd.decontaminate(docs, bench, n=8))
+        finally:
+            dd.BROADCAST_BYTES = old
+        # final canon() to_pandas is the test's own materialization
+        assert [x for x in driver_probe if x > 1] == [len(jn)]
+        assert bc == jn
+        assert set(range(10)) == set(range(n)) - set(jn)
+
 
 class TestRobotsBucketAffine:
     def test_admit_closure_o1_bytes_and_affine_loads(self, tmp_path):

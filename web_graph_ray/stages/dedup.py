@@ -44,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_clusters",
     "simhash_pairs",
+    "decontaminate",
 ]
 
 
@@ -629,3 +630,132 @@ def simhash_pairs(
         dedup_pairs,
         batch_partial=dedup_pairs,
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/eval n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def _token_ngram_rows(text_col: str, id_col: str, n: int):
+    """Explode distinct hashed token n-grams per doc: tokens =
+    ``[a-z0-9]+`` runs of the lowercased text (the same tokenizer the
+    text-analysis family uses), gram hash = polynomial combine (mod
+    2^64, multiplier 1000003) over per-token FNV-1a hashes.  The token
+    hashing is one vectorized ``fnv1a64`` call per batch and the window
+    combine is ``n`` shifted uint64 vector ops over the flat token
+    stream with doc-boundary masking — no per-gram Python.
+
+    Gram equality via 64-bit hashes equals string equality up to hash
+    collisions (negligible; shared policy with the shingle family)."""
+    from ..functions.text import WORD_RE
+    from .sketch import fnv1a64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        toks_per_doc = [WORD_RE.findall(t.lower()) for t in batch[text_col].to_pylist()]
+        counts = np.fromiter(map(len, toks_per_doc), dtype=np.int64, count=len(ids))
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        empty = pa.Table.from_pydict(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "gram": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) < n:
+            return empty
+        th = fnv1a64(pa.array(flat, type=pa.large_string()))
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        L = len(flat)
+        acc = np.zeros(L - n + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc = acc * np.uint64(1000003) + th[j : L - n + 1 + j]
+        valid = doc_idx[: L - n + 1] == doc_idx[n - 1 :]
+        if not valid.any():
+            return empty
+        pairs = pd.DataFrame(
+            {"_pos": doc_idx[: L - n + 1][valid], "gram": acc[valid].view(np.int64)}
+        ).drop_duplicates()
+        id_arr = pa.array(ids)
+        return pa.Table.from_pydict(
+            {
+                id_col: id_arr.take(pa.array(pairs["_pos"].to_numpy())),
+                "gram": pa.array(pairs["gram"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: drop every training doc that shares at
+    least one n-token gram with any benchmark/eval doc (the standard
+    train/test-overlap guard for LLM training corpora).  Returns the
+    surviving ``docs`` rows, all columns intact.
+
+    Scale shape: the benchmark gram set is deduped distributedly, then
+    - small (≤ BROADCAST_BYTES): one ``ray.put`` of the hash array; each
+      doc batch marks itself with a vectorized ``np.isin`` — ZERO
+      shuffles, the common case (eval sets are tiny vs the corpus);
+    - large: co-partitioned ``bucket_semi_join`` of exploded doc grams
+      against the gram keys → distinct contaminated ids →
+      ``bucket_anti_join`` — no driver state at any corpus size.
+    """
+    from .relational import bucket_anti_join, bucket_semi_join, bucketed_group_map
+
+    explode = _token_ngram_rows(text_col, id_col, n)
+    bench_grams = bucketed_group_map(
+        benchmark.map_batches(explode, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"gram": t["gram"].combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        ["gram"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        batch_partial=lambda df: df.drop_duplicates(),
+    ).materialize()
+    n_grams = bench_grams.count()
+
+    if n_grams * 8 <= BROADCAST_BYTES:
+        gram_set = ray.put(
+            bench_grams.to_pandas()["gram"].to_numpy(dtype=np.int64)
+        )
+
+        def keep_clean(batch: pa.Table) -> pa.Table:
+            grams = explode(batch)
+            hit_ids = grams.filter(
+                pa.array(
+                    np.isin(
+                        grams["gram"].to_numpy(zero_copy_only=False),
+                        ray.get(gram_set),
+                    )
+                )
+            )[id_col]
+            if len(hit_ids) == 0:
+                return batch
+            bad = pa.compute.is_in(batch[id_col], value_set=hit_ids.combine_chunks().unique())
+            return batch.filter(pa.compute.invert(bad))
+
+        return docs.map_batches(keep_clean, batch_format="pyarrow")
+
+    doc_grams = docs.map_batches(explode, batch_format="pyarrow")
+    contaminated = bucketed_group_map(
+        bucket_semi_join(doc_grams, bench_grams, ["gram"], num_buckets=num_buckets)
+        .map_batches(
+            lambda t: pa.table({id_col: t[id_col].combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        [id_col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    return bucket_anti_join(docs, contaminated, [id_col], num_buckets=num_buckets)

@@ -28,6 +28,7 @@ import ray.data
 
 __all__ = [
     "bucket_semi_join",
+    "bucket_anti_join",
     "bucket_hash_join",
     "broadcast_join",
     "semi_join",
@@ -142,6 +143,7 @@ def bucket_semi_join(
     keys: "ray.data.Dataset",
     on: list[str],
     num_buckets: int = 32,
+    anti: bool = False,
 ) -> "ray.data.Dataset":
     """Partitioned semi join: left rows whose key tuple appears in
     ``keys`` (a Dataset holding exactly the key columns).  Both sides
@@ -178,11 +180,27 @@ def bucket_semi_join(
             # null padding from the other side upcasts ints to float in
             # the bucket frame; side-0 rows have no nulls — restore
             l[c] = l[c].astype(dt, copy=False)
+        if anti:
+            m = l.merge(r, on=on, how="left", indicator=True)
+            return m[m["_merge"] == "left_only"].drop(columns=["_merge"])
         return l.merge(r, on=on, how="inner")
 
     return bucketed_group_map(
         left.union(right), on, per_bucket, num_buckets=num_buckets
     )
+
+
+def bucket_anti_join(
+    ds: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: list[str],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned anti join: left rows whose key tuple does NOT appear
+    in ``keys`` — same co-partitioned union + bucketed group map as
+    bucket_semi_join (the scale path when the exclusion key set is too
+    large to broadcast, e.g. decontamination's contaminated-id set)."""
+    return bucket_semi_join(ds, keys, on, num_buckets=num_buckets, anti=True)
 
 
 def bucket_hash_join(
