@@ -350,6 +350,17 @@ def ann_cosine_topk(sf_dir: str):
     return out
 
 
+def ivf_ann_topk(sf_dir: str):
+    """IVF-flat ANN top-10 (nlist=16 hash-sampled centroids, nprobe=4)
+    for the same query vectors as ann_cosine_topk."""
+    from web_graph_ray.stages.ann import ivf_cosine_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    return ivf_cosine_topk(ds, queries, k=10, nlist=16, nprobe=4)
+
+
 def cosine_near_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine ≥ 0.4), exact all-pairs at this
     scale (nbits=0); LSH-bucketed at scale."""
@@ -666,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "token_counts_documents": token_counts_documents,
         "ann_cosine_topk": ann_cosine_topk,
+        "ivf_ann_topk": ivf_ann_topk,
         "cosine_near_dup_pairs": cosine_near_dup_pairs,
         # rows-only
         "distinct_user_count": distinct_user_count,
@@ -826,6 +838,48 @@ def _lsh_ann_sql() -> str:
         """
 
 
+
+
+def _ivf_ann_sql(nlist: int = 16, nprobe: int = 4) -> str:
+    """IVF ANN re-derived in SQL: centroids = the nlist vectors with the
+    smallest (digit-FNV(vec_id), vec_id) — the engine's ivf_centroids
+    hash sample; cell assignment and probe sets via 6-dp-rounded cosine
+    with lowest-cell tie-break; final rank (score desc, vec_id asc)."""
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::hugeint,"
+        " list_transform(regexp_extract_all(vec_id::varchar, '.'),"
+        " c -> ascii(c)::bigint)), (h, b) -> " + _FNV_SQL_STEP + ")"
+    )
+    return f"""
+            with v as (select vec_id, cast(embedding as double[]) ve from embeddings),
+            hv as (select vec_id, {fnv} h from embeddings),
+            cent as (select ve ce, (row_number() over (order by h, vec_id)) - 1 cell
+                     from (select v.vec_id, v.ve, hv.h from v join hv using(vec_id)
+                           order by hv.h, v.vec_id limit {nlist})),
+            asg as (select vec_id, ve, cell from (
+                      select v.vec_id, v.ve, c.cell,
+                             row_number() over (partition by v.vec_id
+                               order by round(list_cosine_similarity(v.ve, c.ce), 6) desc,
+                                        c.cell asc) rn
+                      from v cross join cent c) where rn = 1),
+            q as (select (row_number() over (order by vec_id)) - 1 qid, ve qe
+                  from v where vec_id < 5),
+            probe as (select qid, cell from (
+                        select q.qid, c.cell,
+                               row_number() over (partition by q.qid
+                                 order by round(list_cosine_similarity(q.qe, c.ce), 6) desc,
+                                          c.cell asc) rn
+                        from q cross join cent c) where rn <= {nprobe}),
+            cand as (select q.qid, a.vec_id,
+                            round(list_cosine_similarity(q.qe, a.ve), 6) score
+                     from q join probe p on p.qid = q.qid
+                            join asg a on a.cell = p.cell),
+            r as (select qid as query_id, vec_id, score,
+                         row_number() over (partition by qid
+                                            order by score desc, vec_id asc) rn
+                  from cand)
+            select query_id, vec_id, score from r where rn <= 10
+        """
 
 
 def _minhash_cte() -> str:
@@ -1013,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
             from events e
         """,
         "pagerank_lineitem_graph": _pagerank_sql(),
+        "ivf_ann_topk": _ivf_ann_sql(),
         "decontaminate_documents": """
             with toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
                           from documents),

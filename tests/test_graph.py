@@ -77,3 +77,36 @@ def test_pagerank_string_nodes(ray_session):
     )
     want = reference_pagerank(edges, iterations=3)
     pd.testing.assert_frame_equal(got, want)
+
+
+class TestIvfAnn:
+    def test_ivf_recall_vs_exact(self, ray_session):
+        """IVF with nprobe=nlist is exhaustive (== exact top-k); with
+        fewer probes it keeps reasonable recall on clustered data."""
+        import ray.data
+        from web_graph_ray.stages.ann import cosine_topk, ivf_cosine_topk
+
+        rng = np.random.Generator(np.random.PCG64(7))
+        centers = rng.standard_normal((8, 16)) * 4
+        vecs = np.concatenate(
+            [centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(400)]
+        ).reshape(400, 16)
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(400, dtype=np.int64), "embedding": list(vecs)}
+            )
+        ).repartition(4)
+        q = vecs[:3]
+
+        exact = cosine_topk(ds, q, k=10)
+        full = ivf_cosine_topk(ds, q, k=10, nlist=8, nprobe=8)
+        pd.testing.assert_frame_equal(
+            exact.reset_index(drop=True), full.reset_index(drop=True)
+        )
+
+        part = ivf_cosine_topk(ds, q, k=10, nlist=8, nprobe=2)
+        hits = len(
+            set(map(tuple, part[["query_id", "vec_id"]].values))
+            & set(map(tuple, exact[["query_id", "vec_id"]].values))
+        )
+        assert hits >= 20  # ≥2/3 recall on well-clustered data

@@ -8,6 +8,9 @@
 - ``lsh_cosine_topk``: the scale path — random-hyperplane LSH buckets
   (signed projections → bit signature); only same/near-bucket vectors
   are scored.  Approximate; recall grows with probes.
+- ``ivf_cosine_topk``: the other classic scale path — IVF-flat with a
+  deterministic hash-sampled coarse quantizer; cells are the natural
+  partition key at 10^9 vectors.
 - ``cosine_pairs``: all-pairs near-duplicate detection above a cosine
   threshold (blocked matmul within LSH buckets).
 
@@ -27,7 +30,7 @@ import ray.data
 
 from ..functions.numeric import round_half_away
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "cosine_pairs"]
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "cosine_pairs"]
 
 ROUND = 6
 
@@ -234,3 +237,98 @@ def cosine_pairs(
 def _first_dim(ds: "ray.data.Dataset", vec_col: str) -> int:
     row = ds.take(1)[0]
     return len(row[vec_col])
+
+
+def ivf_centroids(
+    ds: "ray.data.Dataset",
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: the ``nlist`` vectors with the
+    smallest (fnv1a64(id), id) — a seed-free hash sample every process
+    agrees on (and a SQL twin can re-derive).  Partial bottom-nlist per
+    batch → driver merge of ≤ nlist·blocks rows; driver state is
+    O(nlist·dim), the quantizer itself (broadcast state, like the query
+    matrix — never corpus-sized)."""
+    from .sketch import fnv1a64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        hv = fnv1a64(batch[id_col])  # uint64: unsigned order matches SQL hugeint
+        take = np.lexsort((ids, hv))[:nlist]
+        m = _batch_matrix(batch, vec_col)[take]
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(hv[take].astype(np.uint64), pa.uint64()),
+                id_col: pa.array(ids[take], pa.int64()),
+                vec_col: pa.array(list(m), pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["h", id_col], kind="mergesort").head(nlist)
+    return np.asarray(cand[vec_col].tolist(), dtype=np.float64)
+
+
+def ivf_cosine_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """IVF-flat approximate cosine top-k: vectors are assigned to the
+    nearest of ``nlist`` hash-sampled centroids (cells); each query
+    scores only vectors in its ``nprobe`` closest cells.  The scale
+    path alongside lsh_cosine_topk — at 10^9 vectors the cell id is the
+    natural partition key (write one Parquet directory per cell; probes
+    become per-cell pruned reads).
+
+    Determinism: cell assignment and probe selection use 6-dp-rounded
+    cosine with lowest-cell tie-break, so a DuckDB twin
+    (list_cosine_similarity + row_number) reproduces the exact
+    candidate sets; final ranking is (score desc, id asc) as in
+    cosine_topk."""
+    cm = _normalize(ivf_centroids(ds, nlist, id_col, vec_col))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # probe sets: top-nprobe cells per query by rounded sim, cell-asc ties
+    qsims = round_half_away(qn @ cm.T, ROUND)
+    probes = [
+        np.lexsort((np.arange(cm.shape[0]), -qsims[qi]))[:nprobe]
+        for qi in range(qn.shape[0])
+    ]
+    state = ray.put((cm, qn, probes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cmat, qmat, prb = ray.get(state)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        cells = np.argmax(round_half_away(m @ cmat.T, ROUND), axis=1)  # first max = lowest cell
+        scores = m @ qmat.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            mask = np.isin(cells, prb[qi])
+            if not mask.any():
+                continue
+            s = round_half_away(scores[mask, qi], ROUND)
+            mids = ids[mask]
+            idx = np.lexsort((mids, -s))[: min(k, len(mids))]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(mids[idx].tolist())
+            out_s.extend(s[idx].tolist())
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
+    )
+    return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
