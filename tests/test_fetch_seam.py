@@ -1,0 +1,128 @@
+"""Pluggable fetch seam: HttpFetcher outcome semantics (via an injected
+opener — no network in this sandbox) and full-crawl equivalence when the
+engine runs with fetcher_factory instead of the corpus FetchSim."""
+
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from web_graph_ray.config import CrawlConfig
+from web_graph_ray.pipelines.crawl import CrawlEngine
+from web_graph_ray.sources.synth import CorpusConfig, seed_urls, write_corpus
+from web_graph_ray.stages.fetch import HttpFetcher
+
+
+class FakeResponse:
+    def __init__(self, body=b"", ct="text/html", status=200):
+        self._body, self.status = body, status
+        self.headers = {"Content-Type": ct} if ct is not None else {}
+
+    def read(self, n=-1):
+        return self._body if n < 0 else self._body[:n]
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class TestHttpFetcherOutcomes:
+    def _batch(self, rows):
+        return pa.Table.from_pydict(
+            {
+                "status": pa.array([r[0] for r in rows]),
+                "page_id": pa.array([r[1] for r in rows]),
+                "url": pa.array([r[2] for r in rows]),
+                "bucket": pa.array([0] * len(rows), pa.int32()),
+            }
+        )
+
+    def test_status_fanout(self):
+        def opener(url):
+            return {
+                "http://a/ok": FakeResponse(b"<html>x</html>", "text/html; charset=utf-8"),
+                "http://a/404": FakeResponse(b"", "text/html", status=404),
+                "http://a/pdf": FakeResponse(b"%PDF", "application/pdf"),
+                "http://a/noct": FakeResponse(b"x", ct=None),
+                "http://a/big": FakeResponse(b"y" * 100, "text/html"),
+            }[url]
+
+        f = HttpFetcher(opener=opener, max_bytes=50)
+        out = f(
+            self._batch(
+                [
+                    ("admitted", "p1", "http://a/ok"),
+                    ("admitted", "p2", "http://a/404"),
+                    ("admitted", "p3", "http://a/pdf"),
+                    ("admitted", "p4", "http://a/noct"),
+                    ("admitted", "p5", "http://a/big"),
+                    ("admitted", "p6", "http://a/raises"),  # KeyError → dead
+                    ("robots_denied", "p7", "http://a/denied"),
+                ]
+            )
+        )
+        got = dict(zip(out["page_id"].to_pylist(), out["status"].to_pylist()))
+        assert got == {
+            "p1": "ok",
+            "p2": "dead",
+            "p3": "bad_content_type",
+            "p4": "bad_content_type",  # missing CT header → F4 gate, like null-CT corpus rows
+            "p5": "dead",  # oversized body, never truncated html
+            "p6": "dead",
+            "p7": "robots_denied",
+        }
+        html = dict(zip(out["page_id"].to_pylist(), out["html"].to_pylist()))
+        assert html["p1"] == b"<html>x</html>" and html["p2"] is None
+        ct = dict(zip(out["page_id"].to_pylist(), out["content_type"].to_pylist()))
+        assert ct["p1"] == "text/html"  # parameters stripped before the gate
+
+
+class TestHttpCrawlEquivalence:
+    def test_http_crawl_equals_corpus_crawl(self, ray_session, tmp_path_factory):
+        """A crawl through the HTTP seam (fake opener serving the corpus
+        by canonical page id) produces byte-identical pages/links to the
+        default corpus-lookup fetch."""
+        from web_graph_ray.pipelines.queries import page_id_of_url
+
+        ccfg = CorpusConfig(n_pages=120, seed=7)
+        d = tmp_path_factory.mktemp("seam")
+        corpus = write_corpus(str(d / "corpus"), ccfg)
+
+        t = pq.read_table(corpus, columns=["url", "html", "content_type"])
+        by_pid = {
+            page_id_of_url(u): (h, c)
+            for u, h, c in zip(
+                t["url"].to_pylist(), t["html"].to_pylist(), t["content_type"].to_pylist()
+            )
+        }
+
+        def opener(url):
+            row = by_pid.get(page_id_of_url(url))
+            if row is None:
+                raise OSError("404")
+            return FakeResponse(row[0], row[1])
+
+        def factory():
+            return HttpFetcher(opener=opener)
+
+        def run(work, fetcher_factory=None):
+            cfg = CrawlConfig(
+                num_buckets=8, work_dir=str(work), fetcher_factory=fetcher_factory
+            )
+            eng = CrawlEngine(corpus, cfg)
+            eng.run(seed_urls(ccfg))
+            return eng
+
+        base = run(d / "w_corpus")
+        http = run(d / "w_http", fetcher_factory=factory)
+
+        for getter in ("pages", "links", "visits"):
+            a = getattr(base, getter)().to_pandas()
+            b = getattr(http, getter)().to_pandas()
+            cols = sorted(a.columns)
+            a = a[cols].sort_values(cols).reset_index(drop=True)
+            b = b[cols].sort_values(cols).reset_index(drop=True)
+            assert a.equals(b), f"{getter} diverged through the HTTP seam"

@@ -88,3 +88,9 @@ class CrawlConfig:
     #: corpus index location (corpus-derived, deterministic — share it
     #: across crawls of the same corpus); None → {work_dir}/corpus_idx
     corpus_idx_dir: str | None = None
+    #: pluggable fetch backend: a zero-arg factory returning a batch
+    #: transform (pa.Table -> pa.Table with status/html/content_type —
+    #: see stages/fetch.py apply_fetch).  None → corpus-lookup FetchSim
+    #: (the sandbox contract).  ``stages.fetch.make_http_fetcher`` is
+    #: the live-HTTP drop-in seam.
+    fetcher_factory: object | None = None

@@ -799,7 +799,9 @@ class CrawlEngine:
             ray.data.from_items(parts, override_num_blocks=nblocks)
             .map_batches(admit, batch_size=None, batch_format="pyarrow")
             .map_batches(
-                make_fetcher(self.idx_dir, self.cfg.filters),
+                self.cfg.fetcher_factory()
+                if self.cfg.fetcher_factory is not None
+                else make_fetcher(self.idx_dir, self.cfg.filters),
                 batch_format="pyarrow",
                 batch_size=None,
             )

@@ -1,26 +1,40 @@
-"""FetchSim — the stateful fetch stage (actor pool).
+"""Fetch stage (actor-pool / per-worker-cached batch transform) with a
+pluggable retrieval seam.
 
 The reference fetches live URLs with a shared HTTP client + DNS cache
-(``pkg/linkprocessor/linkprocessor.go:51-75,110-121``).  Here "fetch"
-is a keyed lookup of the page body in the Common-Crawl-style corpus:
-identity-keyed (page_id), so any URL variant of a page retrieves the
-one stored capture — mirroring the reference's worldview that scheme/
-port/query variants are the same page.
+(``pkg/linkprocessor/linkprocessor.go:51-75,110-121``).  In this
+sandbox "fetch" is a keyed lookup of the page body in the
+Common-Crawl-style corpus (the input_hint contract): identity-keyed
+(page_id), so any URL variant of a page retrieves the one stored
+capture — mirroring the reference's worldview that scheme/port/query
+variants are the same page.
 
-Scale design: the corpus is pre-partitioned into per-host-bucket
-Parquet files sorted by page_id (see CrawlEngine.prepare).  Each actor
-resolves a batch by selective, predicate-pushdown reads of only the
-needed bucket files (row-group pruning via the sorted page_id column)
-— no broadcast of the corpus, no per-batch reshipping; file bytes ride
-the OS page cache across rounds (a per-worker whole-bucket dict cache
-was measured to be anti-scaling: cold builds multiply with workers).
+The OUTCOME semantics (dead / bad_content_type / ok, robots_denied
+pass-through) are shared policy in ``apply_fetch``; WHERE bytes come
+from is a ``retrieve`` callable — the seam the reference's HTTP client
+would plug into:
+
+- ``FetchSim``      — corpus lookup (the sandbox contract; default)
+- ``HttpFetcher``   — stdlib live-HTTP retrieval (timeout, size cap,
+  UA).  Never exercised live here (no network); the seam is unit-
+  tested with a patched opener.  A production drop-in would add
+  keep-alive pooling + DNS caching like the reference's DoH client.
+
+Scale design (FetchSim): the corpus is pre-partitioned into per-host-
+bucket Parquet files sorted by page_id (see CrawlEngine.prepare).  Each
+worker resolves a batch by selective, predicate-pushdown reads of only
+the needed bucket files (row-group pruning via the sorted page_id
+column) — no broadcast of the corpus, no per-batch reshipping; file
+bytes ride the OS page cache across rounds (a per-worker whole-bucket
+dict cache was measured to be anti-scaling: cold builds multiply with
+workers).
 
 Outcome semantics (per reference):
-- id absent from corpus        → status "dead"   (fetch error: logged &
+- id absent / retrieval error   → status "dead"   (fetch error: logged &
   dropped, page stays seen — ``linkprocessor.go:188-192``, no retry)
-- content-type gate fails (F4) → status "bad_content_type"
+- content-type gate fails (F4)  → status "bad_content_type"
   (``linkutils.go:53-63``)
-- otherwise                    → status "ok" + html payload
+- otherwise                     → status "ok" + html payload
 Rows already robots_denied pass through untouched.
 """
 
@@ -32,13 +46,63 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.filters import FilterConfig, DEFAULT_FILTERS, happy_content_type
-from ..state.checkpoint import bucket_file
 
-__all__ = ["FetchSim"]
+__all__ = ["FetchSim", "HttpFetcher", "apply_fetch", "make_fetcher", "make_http_fetcher"]
+
+
+def apply_fetch(batch: pa.Table, retrieve, filters: FilterConfig) -> pa.Table:
+    """Shared outcome policy: ``retrieve(rows)`` gets the admitted rows
+    as (page_id, url, bucket) tuples and returns {page_id: (html_bytes,
+    content_type)}; ids it omits are dead.  Everything else (status
+    fan-out, content-type gate, pass-through) is identical across
+    retrieval backends."""
+    statuses = batch["status"].to_pylist()
+    ids = batch["page_id"].to_pylist()
+    urls = batch["url"].to_pylist()
+    buckets = batch["bucket"].to_pylist()
+
+    wanted = [
+        (pid, url, b)
+        for pid, url, b, st in zip(ids, urls, buckets, statuses)
+        if st == "admitted"
+    ]
+    lookup = retrieve(wanted) if wanted else {}
+
+    out_status, out_html, out_ct = [], [], []
+    for pid, st in zip(ids, statuses):
+        if st != "admitted":
+            out_status.append(st)  # robots_denied passes through
+            out_html.append(None)
+            out_ct.append(None)
+            continue
+        row = lookup.get(pid)
+        if row is None:
+            out_status.append("dead")
+            out_html.append(None)
+            out_ct.append(None)
+        elif row[1] is None or not happy_content_type(row[1], filters):
+            # null/empty Content-Type is REJECTED, like the Go
+            # HappyResponse on a missing header (linkutils.go:53-63);
+            # corpora lacking the column get 'text/html' filled at
+            # prepare(), not here
+            out_status.append("bad_content_type")
+            out_html.append(None)
+            out_ct.append(row[1])
+        else:
+            out_status.append("ok")
+            out_html.append(row[0])
+            out_ct.append(row[1])
+
+    batch = batch.drop_columns(["status"])
+    batch = batch.append_column("status", pa.array(out_status, type=pa.string()))
+    batch = batch.append_column("html", pa.array(out_html, type=pa.binary()))
+    batch = batch.append_column("content_type", pa.array(out_ct, type=pa.string()))
+    return batch
 
 
 class FetchSim:
-    """Callable class for ``map_batches(FetchSim, concurrency=N)``.
+    """Corpus-lookup fetcher, callable for
+    ``map_batches(FetchSim, concurrency=N)``.
 
     __init__ runs once per actor (ST4 analogue: expensive setup
     amortized across batches); __call__ per batch.
@@ -64,6 +128,8 @@ class FetchSim:
         ANTI-scaling cost (more workers ⇒ more cold builds ⇒ more
         memory-bandwidth churn), while the selective read scales with
         the admitted pages and rides the OS page cache for file bytes."""
+        from ..state.checkpoint import bucket_file
+
         path = bucket_file(self.dir, bucket)
         if not os.path.exists(path):
             return {}
@@ -79,19 +145,10 @@ class FetchSim:
             )
         )
 
-    # -- batch transform ----------------------------------------------------
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        statuses = batch["status"].to_pylist()
-        ids = batch["page_id"].to_pylist()
-        buckets = batch["bucket"].to_pylist()
-
-        # group lookups per bucket (batches are mostly bucket-pure since
-        # they come out of the per-bucket admission groups)
+    def retrieve(self, rows: list[tuple]) -> dict:
         want: dict[int, list[str]] = {}
-        for pid, b, st in zip(ids, buckets, statuses):
-            if st == "admitted":
-                want.setdefault(b, []).append(pid)
+        for pid, _url, b in rows:
+            want.setdefault(b, []).append(pid)
         lookup: dict[str, tuple] = {}
         for b, bucket_ids in want.items():
             idx = self._bucket_index(b, bucket_ids)
@@ -99,45 +156,74 @@ class FetchSim:
                 row = idx.get(pid)
                 if row is not None:
                     lookup[pid] = row
+        return lookup
 
-        out_status, out_html, out_ct = [], [], []
-        for pid, st in zip(ids, statuses):
-            if st != "admitted":
-                out_status.append(st)  # robots_denied passes through
-                out_html.append(None)
-                out_ct.append(None)
-                continue
-            row = lookup.get(pid)
-            if row is None:
-                out_status.append("dead")
-                out_html.append(None)
-                out_ct.append(None)
-            elif row[1] is None or not happy_content_type(row[1], self.filters):
-                # null/empty Content-Type is REJECTED, like the Go
-                # HappyResponse on a missing header (linkutils.go:53-63);
-                # corpora lacking the column get 'text/html' filled at
-                # prepare(), not here
-                out_status.append("bad_content_type")
-                out_html.append(None)
-                out_ct.append(row[1])
-            else:
-                out_status.append("ok")
-                out_html.append(row[0])
-                out_ct.append(row[1])
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return apply_fetch(batch, self.retrieve, self.filters)
 
-        batch = batch.drop_columns(["status"])
-        batch = batch.append_column("status", pa.array(out_status, type=pa.string()))
-        batch = batch.append_column("html", pa.array(out_html, type=pa.binary()))
-        batch = batch.append_column("content_type", pa.array(out_ct, type=pa.string()))
-        return batch
+
+class HttpFetcher:
+    """Live-HTTP fetcher (stdlib urllib): per-worker init-once client
+    config, per-URL GET with timeout + response-size cap, Content-Type
+    taken from the response header (parameters stripped, as the
+    reference's HappyResponse does before the gate).
+
+    This is the SEAM for pointing the engine at a live frontier — the
+    reference's keep-alive/DoH client (linkprocessor.go:51-75) maps
+    onto ``_open``; swap it via the ``opener`` hook (also how tests
+    inject responses, since this sandbox has no network).  Retrieval
+    errors (timeout, DNS, non-2xx) are "dead", matching the
+    reference's log-and-drop (linkprocessor.go:188-192)."""
+
+    def __init__(
+        self,
+        filters: FilterConfig = DEFAULT_FILTERS,
+        timeout_s: float = 10.0,       # reference http.Client.Timeout
+        max_bytes: int = 4 << 20,
+        user_agent: str = "web-graph-ray/1.0",
+        opener=None,
+    ) -> None:
+        self.filters = filters
+        self.timeout_s = timeout_s
+        self.max_bytes = max_bytes
+        self.user_agent = user_agent
+        self._opener = opener or self._open
+
+    def _open(self, url: str):
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        return urllib.request.urlopen(req, timeout=self.timeout_s)
+
+    def retrieve(self, rows: list[tuple]) -> dict:
+        out: dict[str, tuple] = {}
+        for pid, url, _b in rows:
+            try:
+                with self._opener(url) as resp:
+                    status = getattr(resp, "status", 200)
+                    if not 200 <= status < 300:
+                        continue
+                    ct = resp.headers.get("Content-Type")
+                    if ct is not None:
+                        ct = ct.split(";")[0].strip()
+                    body = resp.read(self.max_bytes + 1)
+                    if len(body) > self.max_bytes:
+                        continue  # oversized → dead, never truncated html
+                    out[pid] = (body, ct)
+            except Exception:
+                continue  # dead: log-and-drop parity
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return apply_fetch(batch, self.retrieve, self.filters)
 
 
 # -- stateless-task form with per-worker-process cache ----------------------
 #
 # Ray worker processes are long-lived across executions, so a module-level
-# FetchSim gives actor-pool state amortization (corpus cache survives
-# rounds) WITHOUT per-round actor-pool startup cost.  The state is a
-# read-only cache of immutable corpus files → safe under task retries.
+# fetcher gives actor-pool state amortization (corpus cache / client config
+# survive rounds) WITHOUT per-round actor-pool startup cost.  The state is
+# read-only → safe under task retries.
 
 _SIMS: dict[tuple, FetchSim] = {}
 
@@ -150,5 +236,25 @@ def make_fetcher(corpus_idx_dir: str, filters: FilterConfig = DEFAULT_FILTERS):
         if sim is None:
             sim = _SIMS[key] = FetchSim(corpus_idx_dir, filters)
         return sim(batch)
+
+    return fetch_batch
+
+
+_HTTP: dict[tuple, HttpFetcher] = {}
+
+
+def make_http_fetcher(
+    filters: FilterConfig = DEFAULT_FILTERS,
+    timeout_s: float = 10.0,
+    max_bytes: int = 4 << 20,
+    user_agent: str = "web-graph-ray/1.0",
+):
+    key = (filters, timeout_s, max_bytes, user_agent)
+
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        f = _HTTP.get(key)
+        if f is None:
+            f = _HTTP[key] = HttpFetcher(filters, timeout_s, max_bytes, user_agent)
+        return f(batch)
 
     return fetch_batch
