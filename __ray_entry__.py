@@ -329,6 +329,25 @@ def doc_quality(sf_dir: str):
     return _round_cols(out.to_pandas(), {"alpha_ratio": 6, "digit_ratio": 6})
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition fractions per doc (duplicate-line and
+    top-n-gram repetition — the standard web-text repetitiousness
+    filters), exact SQL-twinnable definitions in
+    functions/text.py::repetition_metrics."""
+    from web_graph_ray.stages.text import add_repetition_metrics
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_repetition_metrics, batch_format="pyarrow").select_columns(
+        ["doc_id", "dup_line_frac", "dup_line_char_frac",
+         "top_bigram_frac", "top_trigram_frac"]
+    )
+    return _round_cols(
+        out.to_pandas(),
+        {"dup_line_frac": 6, "dup_line_char_frac": 6,
+         "top_bigram_frac": 6, "top_trigram_frac": 6},
+    )
+
+
 def token_counts_documents(sf_dir: str):
     from web_graph_ray.stages.text import add_token_counts
 
@@ -675,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_documents": ngram_dedup_documents,
         "decontaminate_documents": decontaminate_documents,
         "doc_quality": doc_quality,
+        "doc_repetition": doc_repetition,
         "token_counts_documents": token_counts_documents,
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_ann_topk": ivf_ann_topk,
@@ -1068,6 +1088,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_lineitem_graph": _pagerank_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
+        "doc_repetition": """
+            with l as (select doc_id, unnest(string_split(text, chr(10))) line
+                       from documents),
+            lg as (select doc_id, line, count(*) c from l group by doc_id, line),
+            lm as (select doc_id,
+                          sum(c) n_lines,
+                          sum(c - 1) dup_lines,
+                          sum(len(line) * c) total_chars,
+                          sum(len(line) * (c - 1)) dup_chars
+                   from lg group by doc_id),
+            toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
+                     from documents),
+            g2 as (select doc_id,
+                          unnest(list_transform(generate_series(0, len(t)-2),
+                                 i -> array_to_string(t[i+1:i+2], ' '))) g
+                   from toks where len(t) >= 2),
+            c2 as (select doc_id, max(cnt) m, sum(cnt) tot
+                   from (select doc_id, g, count(*) cnt from g2 group by doc_id, g)
+                   group by doc_id),
+            g3 as (select doc_id,
+                          unnest(list_transform(generate_series(0, len(t)-3),
+                                 i -> array_to_string(t[i+1:i+3], ' '))) g
+                   from toks where len(t) >= 3),
+            c3 as (select doc_id, max(cnt) m, sum(cnt) tot
+                   from (select doc_id, g, count(*) cnt from g3 group by doc_id, g)
+                   group by doc_id)
+            select d.doc_id,
+                   round(cast(lm.dup_lines as double) / lm.n_lines, 6)
+                     as dup_line_frac,
+                   round(case when lm.total_chars > 0
+                              then cast(lm.dup_chars as double) / lm.total_chars
+                              else 0.0 end, 6) as dup_line_char_frac,
+                   round(coalesce(cast(c2.m as double) / c2.tot, 0.0), 6)
+                     as top_bigram_frac,
+                   round(coalesce(cast(c3.m as double) / c3.tot, 0.0), 6)
+                     as top_trigram_frac
+            from documents d
+            join lm using(doc_id)
+            left join c2 using(doc_id)
+            left join c3 using(doc_id)
+        """,
         "decontaminate_documents": """
             with toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
                           from documents),

@@ -275,3 +275,50 @@ def simhash64(text: str, k: int = 5) -> int:
         if sign[i]:
             out |= 1 << i
     return out - (1 << 64) if out >= 1 << 63 else out
+
+
+# --- repetition metrics (Gopher-style repetitiousness filters) -------------
+
+
+def repetition_metrics(text: str) -> dict:
+    """Repetition fractions in the spirit of the Gopher quality rules
+    (Rae et al. 2021, §A1.1: duplicate-line and repeated-n-gram
+    filters), with exact, SQL-twinnable definitions:
+
+    - dup_line_frac:      repeat line occurrences / total lines
+                          (sum over line groups of (count-1) / sum count)
+    - dup_line_char_frac: chars in repeat line occurrences / total line
+                          chars (0.0 when all lines are empty)
+    - top_bigram_frac:    occurrences of the most frequent token 2-gram
+                          / total 2-grams (ties don't matter — only the
+                          max count is used)
+    - top_trigram_frac:   same for 3-grams
+
+    Lines split on '\\n' (DuckDB string_split(text, chr(10)) parity);
+    tokens are the lowercased ``[a-z0-9]+`` runs shared with the
+    decontamination grams.  All divisions are float64 of small ints, so
+    SQL cast(x as double)/y reproduces them exactly."""
+    from collections import Counter
+
+    lines = text.split("\n")
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_lines = n_lines - len(lc)
+    total_chars = sum(len(l) * c for l, c in lc.items())
+    dup_chars = sum(len(l) * (c - 1) for l, c in lc.items() if c > 1)
+
+    toks = WORD_RE.findall(text.lower())
+
+    def top_frac(n: int) -> float:
+        total = len(toks) - n + 1
+        if total <= 0:
+            return 0.0
+        grams = Counter(zip(*(toks[j:] for j in range(n))))
+        return max(grams.values()) / total
+
+    return {
+        "dup_line_frac": dup_lines / n_lines,
+        "dup_line_char_frac": (dup_chars / total_chars) if total_chars else 0.0,
+        "top_bigram_frac": top_frac(2),
+        "top_trigram_frac": top_frac(3),
+    }

@@ -21,6 +21,7 @@ from ..functions.text import (
 __all__ = [
     "add_token_counts",
     "add_quality_metrics",
+    "add_repetition_metrics",
     "add_lang",
     "add_fingerprint",
     "add_simhash",
@@ -70,3 +71,19 @@ def add_simhash(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Table
     return batch.append_column(
         "simhash", pa.array([simhash64(t, k) for t in texts], type=pa.int64())
     )
+
+
+def add_repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    from ..functions.text import repetition_metrics
+
+    rows = [repetition_metrics(t) for t in batch[text_col].to_pylist()]
+    for name in (
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_frac",
+        "top_trigram_frac",
+    ):
+        batch = batch.append_column(
+            name, pa.array([r[name] for r in rows], type=pa.float64())
+        )
+    return batch
