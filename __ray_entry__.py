@@ -253,6 +253,55 @@ def _pagerank_sql(iters: int = _PAGERANK_ITERS) -> str:
     return sql
 
 
+_CC_ROUNDS = 4
+
+
+def concomp_lineitem_graph(sf_dir: str):
+    """Connected components (min-label propagation) over the same
+    order↔part bipartite graph as pagerank_lineitem_graph; returns the
+    20 largest components as (label, size) — exact integer semantics,
+    SQL twin unrolls the propagation rounds."""
+    from web_graph_ray.stages.graph import connected_components
+
+    edges = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.multiply(t["l_orderkey"], 2),
+                "dst": pc.add(pc.multiply(t["l_partkey"], 2), 1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = connected_components(edges, rounds=_CC_ROUNDS)
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    sizes = bucketed_agg(labels, ["label"], out_col="size").to_pandas()
+    return (
+        sizes.sort_values(["size", "label"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _concomp_sql(rounds: int = _CC_ROUNDS) -> str:
+    """DuckDB twin: same symmetrized edges, same min-label propagation
+    unrolled as CTEs, top-20 component sizes."""
+    sql = """
+            with e0 as (select l_orderkey*2 as src, l_partkey*2+1 as dst from lineitem),
+            edges as (select src node, dst peer from e0 union all select dst, src from e0),
+            l0 as (select node, least(node, min(peer)) lbl from edges group by node)"""
+    for k in range(1, rounds):
+        sql += f""",
+            l{k} as (select e.node, least(e.node, min(l{k-1}.lbl)) lbl
+                   from edges e join l{k-1} on l{k-1}.node = e.peer
+                   group by e.node)"""
+    sql += f"""
+            select lbl as label, count(*) as size from l{rounds-1}
+            group by lbl order by size desc, label limit 20
+        """
+    return sql
+
+
 def crawl_pagerank(sf_dir: str):
     """PageRank over the crawled web graph itself (first-wins link
     winners as the edge list) — the whole-graph query the reference's
@@ -689,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
+        "concomp_lineitem_graph": concomp_lineitem_graph,
         # text / dedup / similarity (SQL-checked)
         "exact_dedup_documents": exact_dedup_documents,
         "ngram_dedup_documents": ngram_dedup_documents,
@@ -1087,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
             from events e
         """,
         "pagerank_lineitem_graph": _pagerank_sql(),
+        "concomp_lineitem_graph": _concomp_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
         "doc_repetition": """
             with l as (select doc_id, unnest(string_split(text, chr(10))) line

@@ -110,3 +110,52 @@ class TestIvfAnn:
             & set(map(tuple, exact[["query_id", "vec_id"]].values))
         )
         assert hits >= 20  # ≥2/3 recall on well-clustered data
+
+
+class TestConnectedComponents:
+    def test_cc_matches_local_union(self, ray_session):
+        import ray.data
+        from web_graph_ray.stages.graph import connected_components
+
+        edges = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20), (30, 31), (31, 32), (32, 33)]
+        ds = ray.data.from_pandas(
+            pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+        )
+        got = (
+            connected_components(ds, rounds=5, num_buckets=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+        # local exact components via iterative closure
+        import itertools
+
+        nodes = sorted({n for e in edges for n in e})
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = pd.DataFrame(
+            {"node": nodes, "label": [find(n) for n in nodes]}
+        ).astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_cc_string_nodes(self, ray_session):
+        import ray.data
+        from web_graph_ray.stages.graph import connected_components
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame([("b", "c"), ("a", "b"), ("x", "y")], columns=["src", "dst"])
+        )
+        got = connected_components(ds, rounds=4, num_buckets=2).to_pandas()
+        labels = dict(zip(got["node"], got["label"]))
+        assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

