@@ -577,6 +577,65 @@ def hash_sample_lineitem(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def grouped_topk_events(sf_dir: str):
+    """Top-3 events per event_type by value (per-key top-k: per-batch
+    partial head-k combiner → bucketed final; shuffle carries ≤
+    k·groups·blocks rows)."""
+    from web_graph_ray.stages.relational import grouped_topk
+
+    ds = _t(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = grouped_topk(
+        ds, ["event_type"], "value", k=3, descending=True, tie_cols=["event_id"]
+    ).to_pandas()
+    return (
+        out.sort_values(["event_type", "value", "event_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def stratified_sample_orders(sf_dir: str):
+    """Stratified deterministic sample: 5 orders per o_orderpriority,
+    chosen by smallest (FNV(o_orderkey), o_orderkey) — parallelism-
+    invariant and exactly SQL-mirrorable."""
+    from web_graph_ray.stages.relational import stratified_sample
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    out = stratified_sample(ds, ["o_orderpriority"], ["o_orderkey"], n=5).to_pandas()
+    return out.sort_values(["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
+def vocab_topk_documents(sf_dir: str):
+    """Corpus vocabulary top-20: explode lowercased ``[a-z0-9]+`` tokens
+    → partial per-batch counts → bucketed count → per-bucket top-20
+    partials → tiny driver merge (≤ 20·buckets rows)."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(WORD_RE.findall(t.lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    counts = bucketed_agg(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], out_col="n"
+    )
+
+    def partial_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"], ascending=[False, True],
+                              kind="mergesort").head(20)
+
+    cand = counts.map_batches(partial_top, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def distinct_user_count(sf_dir: str):
     """Exact distinct count (set op, SQL-checked twin of the sketch)."""
     n = _t(sf_dir, "events", ["user_id"]).unique("user_id")
@@ -733,6 +792,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": anti_join_customers,
         "first_wins_lineitem": first_wins_lineitem,
         "hash_sample_lineitem": hash_sample_lineitem,
+        "grouped_topk_events": grouped_topk_events,
+        "stratified_sample_orders": stratified_sample_orders,
+        "vocab_topk_documents": vocab_topk_documents,
         "unique_flag_status": unique_flag_status,
         "window_tumbling_events": window_tumbling_events,
         "sessionize_events": sessionize_events,
@@ -1102,6 +1164,37 @@ def oracle_sql() -> dict[str, str]:
               from lineitem)
             where hs < 5
         """.replace('%%', '%'),
+        "grouped_topk_events": """
+            select event_type, event_id, value from (
+              select event_type, event_id, value,
+                     row_number() over (partition by event_type
+                                        order by value desc, event_id asc) rn
+              from events)
+            where rn <= 3
+            order by event_type, value desc, event_id
+        """,
+        "stratified_sample_orders": """
+            select o_orderkey, o_orderpriority from (
+              select o_orderkey, o_orderpriority,
+                row_number() over (partition by o_orderpriority order by
+                  list_reduce(
+                    list_prepend(14695981039346656037::hugeint,
+                      list_transform(regexp_extract_all(o_orderkey::varchar, '.'),
+                                     c -> ascii(c)::bigint)),
+                    (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                               * 1099511628211) %% 18446744073709551616) asc,
+                  o_orderkey asc) rn
+              from orders)
+            where rn <= 5
+            order by o_orderpriority, o_orderkey
+        """.replace('%%', '%'),
+        "vocab_topk_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+              from documents)
+            select token, count(*) as n from toks
+            group by token order by n desc, token limit 20
+        """,
         "unique_flag_status": """
             select distinct l_returnflag, l_linestatus from lineitem
         """,

@@ -182,3 +182,69 @@ class TestBucketJoinProperties:
         e = exp_mn.sort_values("k1").reset_index(drop=True)
         assert (m["k1"].values == e["k1"].values).all()
         assert (m["min(v)"].values == e["v"].values).all()  # bit-exact big ints
+
+
+class TestGroupedTopkAndStrata:
+    def test_grouped_topk_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import grouped_topk
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 40, 5000),
+                "id": np.arange(5000, dtype=np.int64),
+                "v": rng.integers(0, 100, 5000).astype("float64"),
+            }
+        )
+        got = (
+            grouped_topk(
+                ray.data.from_pandas(df).repartition(7),
+                ["g"], "v", k=3, tie_cols=["id"], num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+            .groupby("g", as_index=False, sort=False)
+            .head(3)
+            .sort_values(["g", "v", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["g", "id", "v"]], exp[["g", "id", "v"]])
+
+    def test_stratified_sample_deterministic_and_sized(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import stratified_sample
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "g": rng.integers(0, 10, 3000),
+                "id": np.arange(3000, dtype=np.int64),
+            }
+        )
+
+        def run(nparts):
+            return (
+                stratified_sample(
+                    ray.data.from_pandas(df).repartition(nparts),
+                    ["g"], ["id"], n=7, num_buckets=8,
+                )
+                .to_pandas()
+                .sort_values(["g", "id"])
+                .reset_index(drop=True)
+            )
+
+        a, b = run(3), run(11)
+        pd.testing.assert_frame_equal(a, b)  # parallelism-invariant
+        assert (a.groupby("g").size() == 7).all()
+        assert set(a.columns) == {"g", "id"}

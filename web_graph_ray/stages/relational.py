@@ -34,6 +34,8 @@ __all__ = [
     "semi_join",
     "anti_join",
     "first_wins_dedup",
+    "grouped_topk",
+    "stratified_sample",
     "tumbling_window_agg",
     "sessionize",
     "asof_join",
@@ -550,3 +552,67 @@ def asof_join_partitioned(
     return bucketed_group_map(
         lds.union(rds), [key_col], per_bucket, num_buckets=num_buckets
     )
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_cols: list[str] | None = None,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k rows PER GROUP by ``order_col`` (deterministic tie-break on
+    ``tie_cols``, ascending).  Per-batch partial top-k (combiner: a
+    batch can only contribute k rows per group it contains) → bucketed
+    final — the shuffle carries ≤ k·groups·blocks rows, never the
+    input.  The per-key analogue of the global topk/sort-limit path."""
+    tie_cols = tie_cols or []
+    by = [order_col] + tie_cols
+    asc = [not descending] + [True] * len(tie_cols)
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(group_cols, as_index=False, sort=False).head(k)
+
+    return bucketed_group_map(
+        ds, group_cols, head_k, num_buckets=num_buckets, batch_partial=head_k
+    )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    key_cols: list[str],
+    n: int,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``n`` rows per group with
+    the smallest (fnv1a64(key), key) — parallelism-invariant (pure
+    function of row content, like hash_sample) and exactly reproducible
+    in SQL (order by hash per partition, row_number ≤ n).  Key columns
+    are concatenated with '|' before hashing; rows per group ≤ n pass
+    through unchanged."""
+    from .sketch import fnv1a64
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "|" + df[c].astype(str)
+        out = df.copy()
+        out["_h"] = fnv1a64(key.to_numpy(dtype=object))
+        return out
+
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h"] + key_cols, kind="mergesort")
+        return df.groupby(group_cols, as_index=False, sort=False).head(n)
+
+    out = bucketed_group_map(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_cols,
+        head_n,
+        num_buckets=num_buckets,
+        batch_partial=head_n,
+    )
+    return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
