@@ -577,6 +577,19 @@ def hash_sample_lineitem(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def quantiles_lineitem_price(sf_dir: str):
+    """Exact distributed quantiles (percentile_disc semantics) of
+    l_extendedprice via iterative pivot-count narrowing —
+    stages/relational.py::exact_quantile."""
+    from web_graph_ray.stages.relational import exact_quantile
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    med = exact_quantile(ds, "l_extendedprice", 0.5, max_driver_rows=2000)
+    p95 = exact_quantile(ds, "l_extendedprice", 0.95, max_driver_rows=2000)
+    out = pd.DataFrame({"median_price": [med], "p95_price": [p95]})
+    return _round_cols(out, {"median_price": 2, "p95_price": 2})
+
+
 def grouped_topk_events(sf_dir: str):
     """Top-3 events per event_type by value (per-key top-k: per-batch
     partial head-k combiner → bucketed final; shuffle carries ≤
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": anti_join_customers,
         "first_wins_lineitem": first_wins_lineitem,
         "hash_sample_lineitem": hash_sample_lineitem,
+        "quantiles_lineitem_price": quantiles_lineitem_price,
         "grouped_topk_events": grouped_topk_events,
         "stratified_sample_orders": stratified_sample_orders,
         "vocab_topk_documents": vocab_topk_documents,
@@ -1164,6 +1178,13 @@ def oracle_sql() -> dict[str, str]:
               from lineitem)
             where hs < 5
         """.replace('%%', '%'),
+        "quantiles_lineitem_price": """
+            select round(percentile_disc(0.5) within group
+                         (order by l_extendedprice), 2) as median_price,
+                   round(percentile_disc(0.95) within group
+                         (order by l_extendedprice), 2) as p95_price
+            from lineitem
+        """,
         "grouped_topk_events": """
             select event_type, event_id, value from (
               select event_type, event_id, value,

@@ -248,3 +248,34 @@ class TestGroupedTopkAndStrata:
         pd.testing.assert_frame_equal(a, b)  # parallelism-invariant
         assert (a.groupby("g").size() == 7).all()
         assert set(a.columns) == {"g", "id"}
+
+
+class TestExactQuantile:
+    def test_quantile_matches_numpy_kth(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import exact_quantile
+
+        rng = np.random.default_rng(17)
+        # heavy duplicates + a skewed tail — the adversarial shapes for
+        # pivot narrowing
+        v = np.concatenate(
+            [rng.integers(0, 50, 20000), rng.lognormal(0, 2, 5000) * 1000]
+        ).astype("float64")
+        ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(9)
+        sv = np.sort(v)
+        for q in (0.01, 0.5, 0.9, 0.999, 1.0):
+            k = min(max(int(np.ceil(q * len(v))), 1), len(v))
+            got = exact_quantile(ds, "x", q, max_driver_rows=500)
+            assert got == sv[k - 1], (q, got, sv[k - 1])
+
+    def test_quantile_all_equal(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import exact_quantile
+
+        ds = ray.data.from_pandas(pd.DataFrame({"x": [7.0] * 5000})).repartition(4)
+        assert exact_quantile(ds, "x", 0.5, max_driver_rows=100) == 7.0

@@ -36,6 +36,7 @@ __all__ = [
     "first_wins_dedup",
     "grouped_topk",
     "stratified_sample",
+    "exact_quantile",
     "tumbling_window_agg",
     "sessionize",
     "asof_join",
@@ -616,3 +617,92 @@ def stratified_sample(
         batch_partial=head_n,
     )
     return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def exact_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    samples_per_block: int = 128,
+    max_driver_rows: int = 100_000,
+):
+    """EXACT q-quantile (percentile_disc semantics: the k-th smallest
+    with k = ceil(q·n) — the smallest value whose cumulative
+    distribution ≥ q), computed distributedly:
+
+    iterate { sample pivots per block → one vectorized count-≤ pass →
+    narrow to the (lo, hi] bracket containing the k-th } until the
+    bracket holds ≤ ``max_driver_rows`` rows, then select locally.
+    Each iteration shrinks the bracket ~samples_per_block·blocks-fold,
+    so 10^12 rows need 2-3 count passes; driver state is O(pivots) +
+    the final bracket — never the column.  The generic form of the
+    crawl engine's distributed cap boundary (pipelines/crawl.py
+    ``_cap_boundary``), for any numeric column."""
+    vals = _as_arrow(ds.select_columns([col]))
+    n = vals.count()
+    if n == 0:
+        return None
+    k = int(np.ceil(q * n))
+    k = min(max(k, 1), n)
+
+    lo = None  # bracket is (lo, hi]; None = unbounded
+    hi = None
+    k_rem = k
+    count_in = n
+
+    def bracket_filter(t: "pa.Table") -> "pa.Table":
+        c = t[col]
+        mask = None
+        if lo is not None:
+            mask = pc.greater(c, lo)
+        if hi is not None:
+            m2 = pc.less_equal(c, hi)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return t if mask is None else t.filter(mask)
+
+    while count_in > max_driver_rows:
+        def sample_block(t: "pa.Table") -> "pa.Table":
+            t = bracket_filter(t)
+            if t.num_rows == 0:
+                return pa.table({col: pa.array([], t[col].type)})
+            v = np.sort(t[col].to_numpy(zero_copy_only=False))
+            step = max(1, len(v) // samples_per_block)
+            picks = np.unique(np.append(v[::step], v[-1]))  # block max always in
+            return pa.table({col: pa.array(picks)})
+
+        pivots = np.unique(
+            vals.map_batches(sample_block, batch_format="pyarrow")
+            .to_pandas()[col]
+            .to_numpy()
+        )
+
+        def count_le(t: "pa.Table") -> "pa.Table":
+            v = np.sort(bracket_filter(t)[col].to_numpy(zero_copy_only=False))
+            return pa.table({"c": pa.array(np.searchsorted(v, pivots, side="right"))})
+
+        cum = (
+            vals.map_batches(count_le, batch_format="pyarrow")
+            .to_pandas()["c"]
+            .to_numpy()
+            .reshape(-1, len(pivots))
+            .sum(axis=0)
+        )
+        j = int(np.searchsorted(cum, k_rem, side="left"))
+        new_lo = pivots[j - 1] if j > 0 else lo
+        if j > 0:
+            k_rem -= int(cum[j - 1])
+        prev_count = count_in
+        count_in = int(cum[j]) - (int(cum[j - 1]) if j > 0 else 0)
+        lo, hi = new_lo, pivots[j]
+        if count_in == prev_count:
+            # pivots could not split the bracket ⇒ every remaining value
+            # equals hi (block samples always include smaller values
+            # when they exist) — hi IS the answer
+            return hi.item() if hasattr(hi, "item") else hi
+    final = (
+        vals.map_batches(bracket_filter, batch_format="pyarrow")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    final.sort(kind="mergesort")
+    return final[k_rem - 1].item()
