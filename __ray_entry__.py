@@ -323,6 +323,26 @@ def crawl_pagerank(sf_dir: str):
     )
 
 
+def crawl_components(sf_dir: str):
+    """Connected components of the crawled page graph (undirected over
+    first-wins link winners): one row per page with its component label
+    — the whole-graph structural query alongside crawl_pagerank."""
+    from web_graph_ray.stages.graph import connected_components
+
+    edges = _crawl_engine(sf_dir).links().map_batches(
+        lambda df: df.rename(columns={"from_page_id": "src", "to_page_id": "dst"})[
+            ["src", "dst"]
+        ],
+        batch_format="pandas",
+    )
+    return (
+        connected_components(edges, rounds=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # text / dedup / similarity (documents + embeddings)
 # ---------------------------------------------------------------------------
@@ -845,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_counters": crawl_counters,
         "crawl_rejects": crawl_rejects,
         "crawl_pagerank": crawl_pagerank,
+        "crawl_components": crawl_components,
     }
 
 
