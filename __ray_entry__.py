@@ -544,6 +544,49 @@ def multimodal_image_features(sf_dir: str):
     return _round_cols(out.to_pandas(), {"mean_intensity": 6})
 
 
+def multimodal_audio_features(sf_dir: str):
+    """Audio feature-extraction plumbing: binary payloads → frame×dim
+    pseudo-MFCC tensors through the actor-pool AudioFeatures stage
+    (fake decoder; real codec used opportunistically when soundfile is
+    importable).  Completes the image/audio/video driver-entry set."""
+    from web_graph_ray.stages.multimodal import AudioFeatures
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "item_id": t["doc_id"].combine_chunks(),
+                "payload": pc.cast(t["text"], pa.binary()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"frames": 4, "feat_dim": 13, "decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        f = t["features"].combine_chunks()
+        flat = f.flatten().to_numpy(zero_copy_only=False).reshape(len(f), -1)
+        return pa.Table.from_pydict(
+            {
+                "item_id": t["item_id"].combine_chunks(),
+                "feat_mean": pa.array(flat.mean(axis=1).astype(np.float64)),
+            }
+        )
+
+    out = out.map_batches(summarize, batch_format="pyarrow")
+    return _round_cols(
+        out.to_pandas().sort_values("item_id").reset_index(drop=True),
+        {"feat_mean": 6},
+    )
+
+
 def multimodal_video_frames(sf_dir: str):
     """Video frame-sampling plumbing: 1→N flat map through the
     actor-pool VideoFrameSample stage (fake decoder; real codecs
@@ -608,6 +651,20 @@ def quantiles_lineitem_price(sf_dir: str):
     p95 = exact_quantile(ds, "l_extendedprice", 0.95, max_driver_rows=2000)
     out = pd.DataFrame({"median_price": [med], "p95_price": [p95]})
     return _round_cols(out, {"median_price": 2, "p95_price": 2})
+
+
+def grouped_median_events(sf_dir: str):
+    """Exact per-group median (percentile_disc semantics) of event
+    values by event_type — one bucketed exchange, k-th-smallest per
+    group inside the bucket task."""
+    from web_graph_ray.stages.relational import grouped_quantile
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantile(
+        ds, ["event_type"], "value", 0.5, out_col="median_value"
+    ).to_pandas()
+    out = _round_cols(out, {"median_value": 6})
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def grouped_topk_events(sf_dir: str):
@@ -826,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_wins_lineitem": first_wins_lineitem,
         "hash_sample_lineitem": hash_sample_lineitem,
         "quantiles_lineitem_price": quantiles_lineitem_price,
+        "grouped_median_events": grouped_median_events,
         "grouped_topk_events": grouped_topk_events,
         "stratified_sample_orders": stratified_sample_orders,
         "vocab_topk_documents": vocab_topk_documents,
@@ -855,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_documents": simhash_pairs_documents,
         "lsh_ann_topk": lsh_ann_topk,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
         "multimodal_video_frames": multimodal_video_frames,
         "crawl_pages": crawl_pages,
         "crawl_links": crawl_links,
@@ -1205,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_disc(0.95) within group
                          (order by l_extendedprice), 2) as p95_price
             from lineitem
+        """,
+        "grouped_median_events": """
+            select event_type,
+                   round(percentile_disc(0.5) within group (order by value), 6)
+                     as median_value
+            from events group by event_type order by event_type
         """,
         "grouped_topk_events": """
             select event_type, event_id, value from (

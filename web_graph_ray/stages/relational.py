@@ -37,6 +37,7 @@ __all__ = [
     "grouped_topk",
     "stratified_sample",
     "exact_quantile",
+    "grouped_quantile",
     "tumbling_window_agg",
     "sessionize",
     "asof_join",
@@ -706,3 +707,35 @@ def exact_quantile(
     )
     final.sort(kind="mergesort")
     return final[k_rem - 1].item()
+
+
+def grouped_quantile(
+    ds: "ray.data.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    q: float,
+    out_col: str = "quantile",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Exact per-group q-quantile (percentile_disc semantics: k-th
+    smallest, k = ceil(q·n_group)).  One bucketed exchange; quantiles
+    don't admit a combiner, so the shuffle carries the group rows —
+    fine whenever single groups fit a bucket task (the same assumption
+    as sessionize / map_groups; use ``exact_quantile`` per key subset
+    for pathological mega-groups)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        def kth(s: pd.Series):
+            v = np.sort(s.to_numpy())
+            k = min(max(int(np.ceil(q * len(v))), 1), len(v))
+            return v[k - 1]
+
+        g = df.groupby(group_cols, as_index=False)[value_col].agg(kth)
+        return g.rename(columns={value_col: out_col})
+
+    return bucketed_group_map(
+        ds.select_columns(group_cols + [value_col]),
+        group_cols,
+        per_bucket,
+        num_buckets=num_buckets,
+    )
