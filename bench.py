@@ -108,6 +108,10 @@ def bench_queries() -> dict:
         "ann_cosine_topk",
         "join_orders_customers",
         "pagerank_lineitem_graph",
+        "concomp_lineitem_graph",
+        "decontaminate_documents",
+        "ivf_ann_topk",
+        "quantiles_lineitem_price",
     ]
     out = {}
     qs = entrymod.queries()

@@ -126,3 +126,22 @@ class TestHttpCrawlEquivalence:
             a = a[cols].sort_values(cols).reset_index(drop=True)
             b = b[cols].sort_values(cols).reset_index(drop=True)
             assert a.equals(b), f"{getter} diverged through the HTTP seam"
+
+
+def test_repetition_metrics_edges():
+    """No Ray needed: degenerate inputs of the repetition metrics."""
+    from web_graph_ray.functions.text import repetition_metrics
+
+    z = repetition_metrics("")
+    assert z == {
+        "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0,
+        "top_bigram_frac": 0.0,
+        "top_trigram_frac": 0.0,
+    }
+    one = repetition_metrics("hello")
+    assert one["top_bigram_frac"] == 0.0 and one["dup_line_frac"] == 0.0
+    # pure repetition: every line identical, every bigram identical
+    r = repetition_metrics("ab ab ab ab\nab ab ab ab\nab ab ab ab")
+    assert r["dup_line_frac"] == 2 / 3
+    assert r["top_bigram_frac"] == 1.0
