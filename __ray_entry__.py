@@ -365,6 +365,52 @@ def ngram_dedup_documents(sf_dir: str):
     return _round_cols(out, {"jaccard": 6})
 
 
+def unigram_logprob_documents(sf_dir: str):
+    """Corpus-statistics quality signal (the KenLM-style scoring
+    analogue): mean unigram log-probability per doc, with the unigram
+    model estimated from the corpus itself in the same pipeline —
+    token explode → bucketed counts → co-partitioned join back to the
+    token stream → per-doc mean.  No broadcast needed at any vocab
+    size (the join is the scale path)."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            toks.extend(ts)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "tok": pa.array(toks, pa.string())}
+        )
+
+    tok_rows = ds.map_batches(explode, batch_format="pyarrow")
+    counts = bucketed_agg(tok_rows, ["tok"], out_col="n").materialize()
+    total = counts.sum("n")
+
+    joined = bucket_hash_join(tok_rows, counts, ["tok"])
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(df["n"].to_numpy(dtype="float64") / total)
+        return (
+            pd.DataFrame({"doc_id": df["doc_id"], "lp": lp})
+            .groupby("doc_id", as_index=False)["lp"]
+            .mean()
+            .rename(columns={"lp": "logprob"})
+        )
+
+    out = bucketed_group_map(joined, ["doc_id"], per_doc).to_pandas()
+    out = _round_cols(out, {"logprob": 6})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def decontaminate_documents(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 50 == 0 act as the
     eval set; training docs sharing any 8-token gram with them are
@@ -653,6 +699,43 @@ def quantiles_lineitem_price(sf_dir: str):
     return _round_cols(out, {"median_price": 2, "p95_price": 2})
 
 
+def grouped_stats_events(sf_dir: str):
+    """Per-group count/mean/std of event values via the classic
+    (n, Σx, Σx²) partial combiner — one small shuffle of 3 numbers per
+    (group, block).  Std uses the explicit moment formula mirrored
+    verbatim in the SQL twin (not Welford) so both sides share the
+    same float path before the 6-dp round."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type")["value"]
+        out = g.agg(n="count", s="sum")
+        out["ss"] = g.apply(lambda v: float((v.to_numpy() ** 2).sum()))
+        return out.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)[["n", "s", "ss"]].sum()
+        n = g["n"].to_numpy(dtype="float64")
+        mean = g["s"].to_numpy() / n
+        var = g["ss"].to_numpy() / n - mean**2
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["n"].astype("int64"),
+                "mean_value": mean,
+                "std_value": np.sqrt(np.maximum(var, 0.0)),
+            }
+        )
+
+    out = bucketed_group_map(
+        ds, ["event_type"], final, batch_partial=partial
+    ).to_pandas()
+    out = _round_cols(out, {"mean_value": 6, "std_value": 6})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def grouped_median_events(sf_dir: str):
     """Exact per-group median (percentile_disc semantics) of event
     values by event_type — one bucketed exchange, k-th-smallest per
@@ -884,6 +967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_lineitem": hash_sample_lineitem,
         "quantiles_lineitem_price": quantiles_lineitem_price,
         "grouped_median_events": grouped_median_events,
+        "grouped_stats_events": grouped_stats_events,
+        "unigram_logprob_documents": unigram_logprob_documents,
         "grouped_topk_events": grouped_topk_events,
         "stratified_sample_orders": stratified_sample_orders,
         "vocab_topk_documents": vocab_topk_documents,
@@ -1264,6 +1349,28 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_disc(0.95) within group
                          (order by l_extendedprice), 2) as p95_price
             from lineitem
+        """,
+        "grouped_stats_events": """
+            -- same moment formula as the engine (not Welford/stddev_pop):
+            -- sqrt(sum(x^2)/n - (sum(x)/n)^2), rounded at 6dp both sides
+            select event_type,
+                   count(*) as n_events,
+                   round(sum(value) / count(*), 6) as mean_value,
+                   round(sqrt(greatest(
+                       sum(value * value) / count(*)
+                       - (sum(value) / count(*)) * (sum(value) / count(*)),
+                       0.0)), 6) as std_value
+            from events group by event_type order by event_type
+        """,
+        "unigram_logprob_documents": """
+            with toks as (select doc_id,
+                                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+                          from documents),
+            counts as (select tok, count(*) n from toks group by tok),
+            tot as (select count(*) t from toks)
+            select doc_id, round(avg(ln(n / (select t from tot))), 6) as logprob
+            from toks join counts using(tok)
+            group by doc_id order by doc_id
         """,
         "grouped_median_events": """
             select event_type,
