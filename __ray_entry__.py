@@ -168,6 +168,44 @@ def window_tumbling_events(sf_dir: str):
     return _round_cols(out, {"value_sum": 6})
 
 
+def window_hopping_events(sf_dir: str):
+    """Per-user hopping window (1 h window, 15 min slide): every row in
+    4 overlapping windows, replicated vectorized then tumbling's
+    partial/combine path."""
+    from web_graph_ray.stages.relational import hopping_window_agg
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = hopping_window_agg(ds, "user_id", "ts", "value", 3600, 900).to_pandas()
+    out = out[["user_id", "window_start", "value_sum", "n_events"]]
+    return _round_cols(out, {"value_sum": 6})
+
+
+def range_join_events(sf_dir: str):
+    """Keyed interval join (self): each event matched to every event of
+    the same user that it follows within one hour
+    (ts_b <= ts < ts_b + 1 h, self-match included) — co-partitioned
+    bucket join + vectorized interval mask."""
+    from web_graph_ray.stages.relational import range_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _t(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "event_id_b": df["event_id"],
+                "r_start": df["ts"],
+                "r_end": df["ts"] + pd.Timedelta(hours=1),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = range_join(
+        events, right, on="user_id", left_ts="ts",
+        right_start="r_start", right_end="r_end",
+    ).to_pandas()[["event_id", "event_id_b"]]
+    return out.sort_values(["event_id", "event_id_b"]).reset_index(drop=True)
+
+
 def sessionize_events(sf_dir: str):
     """Session windows per user (gap 1800 s)."""
     from web_graph_ray.stages.relational import sessionize
@@ -974,6 +1012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk_documents": vocab_topk_documents,
         "unique_flag_status": unique_flag_status,
         "window_tumbling_events": window_tumbling_events,
+        "window_hopping_events": window_hopping_events,
+        "range_join_events": range_join_events,
         "sessionize_events": sessionize_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -1418,6 +1458,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) as value_sum,
                    count(*) as n_events
             from events group by 1, 2
+        """,
+        "window_hopping_events": """
+            with e as (select user_id, floor(epoch(ts))::bigint sec, value
+                       from events),
+            w as (select user_id,
+                         (sec // 900) * 900 - j.j * 900 as window_start,
+                         value
+                  from e cross join generate_series(0, 3) j(j))
+            select user_id, window_start,
+                   round(sum(value), 6) as value_sum,
+                   count(*) as n_events
+            from w group by 1, 2
+        """,
+        "range_join_events": """
+            with r as (select user_id, event_id as event_id_b, ts as ts_b
+                       from events)
+            select e.event_id, r.event_id_b
+            from events e join r on r.user_id = e.user_id
+            where r.ts_b <= e.ts and e.ts < r.ts_b + interval 1 hour
+            order by e.event_id, r.event_id_b
         """,
         "sessionize_events": """
             with e as (

@@ -279,3 +279,66 @@ class TestExactQuantile:
 
         ds = ray.data.from_pandas(pd.DataFrame({"x": [7.0] * 5000})).repartition(4)
         assert exact_quantile(ds, "x", 0.5, max_driver_rows=100) == 7.0
+
+
+class TestRangeAndHopping:
+    def test_range_join_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import range_join
+
+        rng = np.random.default_rng(23)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 20, 2000),
+                "lid": np.arange(2000, dtype=np.int64),
+                "t": rng.integers(0, 10_000, 2000),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 20, 300),
+                "rid": np.arange(300, dtype=np.int64),
+                "s": rng.integers(0, 10_000, 300),
+            }
+        )
+        right["e"] = right["s"] + rng.integers(1, 500, 300)
+        got = (
+            range_join(
+                ray.data.from_pandas(left).repartition(5),
+                ray.data.from_pandas(right).repartition(3),
+                on="k", left_ts="t", right_start="s", right_end="e",
+                num_buckets=8,
+            )
+            .to_pandas()
+        )
+        exp = left.merge(right, on="k")
+        exp = exp[(exp["s"] <= exp["t"]) & (exp["t"] < exp["e"])]
+        key = ["lid", "rid"]
+        assert sorted(map(tuple, got[key].values)) == sorted(map(tuple, exp[key].values))
+        assert len(got) > 0
+
+    def test_hopping_covers_tumbling(self, ray_session):
+        """slide == window degenerates hopping to tumbling exactly."""
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import (
+            hopping_window_agg,
+            tumbling_window_agg,
+        )
+
+        ts = pd.to_datetime(
+            ["2024-01-01 00:05", "2024-01-01 00:55", "2024-01-01 01:10",
+             "2024-01-01 02:00", "2024-01-01 02:30"]
+        )
+        df = pd.DataFrame({"u": [1, 1, 1, 2, 2], "ts": ts, "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        ds = ray.data.from_pandas(df).repartition(2)
+        cols = ["u", "window_start", "value_sum", "n_events"]
+        a = tumbling_window_agg(ds, "u", "ts", "v", 3600).to_pandas()[cols]
+        b = hopping_window_agg(ds, "u", "ts", "v", 3600, 3600).to_pandas()[cols]
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = b.sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -38,6 +38,8 @@ __all__ = [
     "stratified_sample",
     "exact_quantile",
     "grouped_quantile",
+    "hopping_window_agg",
+    "range_join",
     "tumbling_window_agg",
     "sessionize",
     "asof_join",
@@ -738,4 +740,133 @@ def grouped_quantile(
         group_cols,
         per_bucket,
         num_buckets=num_buckets,
+    )
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    slide_sec: int,
+) -> "ray.data.Dataset":
+    """Per-key HOPPING (sliding) window sum/count/mean: windows of
+    ``window_sec`` starting every ``slide_sec`` (window_sec must be a
+    multiple of slide_sec).  Each row lands in window_sec/slide_sec
+    overlapping windows — replicated vectorized (one shifted pass per
+    overlap factor, not per row), then the same partial/combine path as
+    tumbling_window_agg: the shuffle carries one row per (key, window)
+    per batch regardless of the replication factor."""
+    assert window_sec % slide_sec == 0, "window_sec must be a multiple of slide_sec"
+    k = window_sec // slide_sec
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        # latest window start containing ts: floor(ts/slide)*slide
+        base = pc.multiply(
+            pc.floor(pc.divide(pc.cast(epoch, pa.float64()), slide_sec)),
+            float(slide_sec),
+        )
+        parts = []
+        for j in range(k):
+            start = pc.subtract(pc.cast(base, pa.int64()), j * slide_sec)
+            parts.append(
+                pa.table(
+                    {
+                        key_col: t[key_col],
+                        "window_start": start,
+                        "_v": t[value_col],
+                    }
+                )
+            )
+        tbl = pa.concat_tables(parts)
+        g = pa.TableGroupBy(tbl, [key_col, "window_start"]).aggregate(
+            [("_v", "sum"), ("_v", "count")]
+        )
+        return g.rename_columns([key_col, "window_start", "_sum", "_n"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_mean", pc.divide(t["value_sum"], pc.cast(t["n_events"], pa.float64()))
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("_sum", alias_name="value_sum"), Sum("_n", alias_name="n_events"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Keyed interval (range) join: left rows matched to every right row
+    of the same key with ``right_start <= left_ts < right_end``.
+
+    Both sides co-partition by key hash through the bucket machinery
+    (no broadcast); inside a bucket the match is one pandas merge on
+    the key plus a vectorized interval mask.  Per-key match cardinality
+    is the output size — the partitioning assumption is the usual keyed
+    one (a single key's rows fit a bucket task); keyless/giant-interval
+    workloads need an IEJoin-class operator instead, which this engine
+    does not claim."""
+    # reuse bucket_hash_join's padding by renaming: simplest correct path
+    # is a dedicated union+group like bucket_hash_join but with the
+    # interval mask applied after the merge
+    left = _as_arrow(left)
+    right = _as_arrow(right)
+    ls, rs = left.schema(), right.schema()
+    lf = {n: t for n, t in zip(ls.names, ls.types)}
+    rf = {n: t for n, t in zip(rs.names, rs.types)}
+    l_extra = [n for n in ls.names if n != on]
+    r_extra = [n for n in rs.names if n != on]
+    overlap = set(l_extra) & set(r_extra)
+    if overlap:
+        raise ValueError(
+            f"range_join: non-key columns must be disjoint (shared: {sorted(overlap)})"
+        )
+    all_cols = [on] + l_extra + r_extra
+
+    def pad(side: int, have: set):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = []
+            for c in all_cols:
+                typ = lf.get(c, rf.get(c))
+                if c in have or c == on:
+                    arrays.append(t[c].combine_chunks().cast(typ))
+                else:
+                    arrays.append(_pad_array(t.num_rows, typ))
+            arrays.append(pa.array([side] * t.num_rows, type=pa.int8()))
+            return pa.Table.from_arrays(arrays, names=all_cols + ["_side"])
+
+        return f
+
+    lds = left.map_batches(pad(0, set(l_extra)), batch_format="pyarrow")
+    rds = right.map_batches(pad(1, set(r_extra)), batch_format="pyarrow")
+    l_dtypes = {n: lf[n].to_pandas_dtype() for n in l_extra}
+    r_dtypes = {n: rf[n].to_pandas_dtype() for n in r_extra}
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][[on] + l_extra].copy()
+        r = df[df["_side"] == 1][[on] + r_extra].copy()
+        for c, dt in l_dtypes.items():
+            l[c] = l[c].astype(dt, copy=False)
+        for c, dt in r_dtypes.items():
+            r[c] = r[c].astype(dt, copy=False)
+        m = l.merge(r, on=on, how="inner")
+        keep = (m[right_start] <= m[left_ts]) & (m[left_ts] < m[right_end])
+        return m[keep]
+
+    return bucketed_group_map(
+        lds.union(rds), [on], match, num_buckets=num_buckets
     )
