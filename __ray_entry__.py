@@ -847,6 +847,28 @@ def vocab_topk_documents(sf_dir: str):
     )
 
 
+def frequent_tokens_documents(sf_dir: str):
+    """Top-20 tokens via the candidate/recount two-pass
+    (stages/sketch.py::frequent_items) — same answer as
+    vocab_topk_documents but with NO per-token shuffle: only two
+    bounded candidate lists move.  The sketch-family scale path for
+    heavy hitters."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.sketch import frequent_items
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(WORD_RE.findall(t.lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    return frequent_items(
+        ds.map_batches(explode, batch_format="pyarrow"), "token", k=20
+    )
+
+
 def distinct_user_count(sf_dir: str):
     """Exact distinct count (set op, SQL-checked twin of the sketch)."""
     n = _t(sf_dir, "events", ["user_id"]).unique("user_id")
@@ -1010,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": grouped_topk_events,
         "stratified_sample_orders": stratified_sample_orders,
         "vocab_topk_documents": vocab_topk_documents,
+        "frequent_tokens_documents": frequent_tokens_documents,
         "unique_flag_status": unique_flag_status,
         "window_tumbling_events": window_tumbling_events,
         "window_hopping_events": window_hopping_events,
@@ -1443,6 +1466,14 @@ def oracle_sql() -> dict[str, str]:
             order by o_orderpriority, o_orderkey
         """.replace('%%', '%'),
         "vocab_topk_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+              from documents)
+            select token, count(*) as n from toks
+            group by token order by n desc, token limit 20
+        """,
+        "frequent_tokens_documents": """
+            -- exact top-k oracle for the candidate/recount path
             with toks as (
               select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
               from documents)

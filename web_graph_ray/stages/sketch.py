@@ -21,7 +21,7 @@ import ray.data
 
 from ..functions.text import _fnv1a
 
-__all__ = ["hll_distinct", "fnv1a64"]
+__all__ = ["hll_distinct", "fnv1a64", "frequent_items"]
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF
@@ -173,3 +173,63 @@ def hll_distinct(
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged = np.maximum(merged, np.frombuffer(row["sketch"], dtype=np.uint8))
     return {"estimate": round(_hll_estimate(merged), 1), "p": p}
+
+
+def frequent_items(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int,
+    block_candidates: int = 2048,
+) -> "pd.DataFrame":
+    """Exact top-k frequent values via the candidate/recount two-pass:
+
+    1. per block: exact local counts, keep the top ``block_candidates``
+       by (count desc, value asc) — a bounded mergeable summary (the
+       SpaceSaving-style candidate set);
+    2. union of candidates (≤ block_candidates·blocks rows, driver-
+       bounded like ANN's partial top-k) → broadcast → one vectorized
+       recount pass restricted to candidates → exact global counts →
+       top-k by (count desc, value asc).
+
+    Result equals the exact top-k whenever every global top-k value is
+    a local top-``block_candidates`` value in at least one block — with
+    block_candidates ≫ k this holds for any realistic (Zipf-like)
+    frequency distribution; the exact-shuffle alternative for
+    adversarial data is the vocab-top-k path (bucketed_agg over every
+    distinct value).  Unlike that path, NO per-value shuffle happens
+    here: the only movement is two bounded candidate lists."""
+    import pandas as pd
+
+    def local_top(t: pa.Table) -> pa.Table:
+        vc = pd.Series(t[col].to_pandas()).value_counts()
+        df = vc.reset_index()
+        df.columns = [col, "n"]
+        df = df.sort_values(["n", col], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(block_candidates), preserve_index=False)
+
+    cand = (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()[col]
+        .drop_duplicates()
+    )
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def recount(t: pa.Table) -> pa.Table:
+        s = pd.Series(t[col].to_pandas())
+        s = s[s.isin(ray.get(cand_ref))]
+        vc = s.value_counts()
+        df = vc.reset_index()
+        df.columns = [col, "n"]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(col, as_index=False)["n"]
+        .sum()
+    )
+    return (
+        counts.sort_values(["n", col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
