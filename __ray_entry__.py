@@ -472,6 +472,25 @@ def decontaminate_documents(sf_dir: str):
     return out
 
 
+def passage_dedup_documents(sf_dir: str):
+    """Corpus-wide passage-level first-wins dedup (ExactSubstr of Lee
+    et al. 2022 at 8-token segment granularity): each 8-token segment
+    survives only at its first occurrence (min (doc_id, seg_idx)) and
+    every doc's surviving segments are re-joined in order.  Segment
+    text never shuffles — only (id, idx, gram64) triples move until the
+    final doc_id-bucketed rebuild join (stages/dedup.py)."""
+    from web_graph_ray.stages.dedup import passage_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        passage_dedup(docs, k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def doc_quality(sf_dir: str):
     from web_graph_ray.stages.text import add_quality_metrics
 
@@ -1045,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": exact_dedup_documents,
         "ngram_dedup_documents": ngram_dedup_documents,
         "decontaminate_documents": decontaminate_documents,
+        "passage_dedup_documents": passage_dedup_documents,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "token_counts_documents": token_counts_documents,
@@ -1591,6 +1611,25 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, n_chars from documents
             where doc_id % 50 <> 0 and doc_id not in (select doc_id from contam)
             order by doc_id
+        """,
+        "passage_dedup_documents": """
+            with t as (select doc_id, string_split(text, ' ') as toks from documents),
+            segs as (
+              select doc_id, g.i as seg_idx,
+                     array_to_string(toks[g.i*8+1 : g.i*8+8], ' ') as seg
+              from t, lateral (select unnest(generate_series(0,
+                     cast(ceil(len(toks)/8.0) as bigint)-1)) as i) g(i)
+            ),
+            w1 as (select seg, min(doc_id) as w_doc from segs group by seg),
+            w2 as (select s.seg, w.w_doc, min(s.seg_idx) as w_idx
+                   from segs s join w1 w on s.seg = w.seg and s.doc_id = w.w_doc
+                   group by s.seg, w.w_doc)
+            select s.doc_id,
+                   string_agg(s.seg, ' ' order by s.seg_idx) as text_dedup,
+                   count(*) as kept_segments
+            from segs s join w2 w
+              on s.seg = w.seg and s.doc_id = w.w_doc and s.seg_idx = w.w_idx
+            group by s.doc_id order by s.doc_id
         """,
         "distinct_user_count": """
             select count(distinct user_id) as n_users from events

@@ -466,3 +466,67 @@ class TestMultimodalStages:
         feats = np.asarray(out["features"][0].as_py())
         assert feats.shape == (4 * 5,)
         assert np.isfinite(feats).all() and (feats != 0).any()
+
+
+class TestPassageDedup:
+    """passage_dedup: corpus-wide first-wins at 8-token segments."""
+
+    def _run(self, texts, k=4):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.dedup import passage_dedup
+
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(4)
+        df = passage_dedup(docs, k=k).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    def test_cross_doc_first_wins(self, ray_session):
+        seg = "a b c d"
+        texts = [seg + " x1 x2 x3 x4", seg + " y1 y2 y3 y4", "z1 z2 z3 z4"]
+        out = self._run(texts, k=4)
+        # doc 0 keeps both segments; doc 1 loses the shared first segment
+        assert out.loc[out.doc_id == 0, "text_dedup"].item() == texts[0]
+        assert out.loc[out.doc_id == 1, "text_dedup"].item() == "y1 y2 y3 y4"
+        assert out.loc[out.doc_id == 2, "kept_segments"].item() == 1
+
+    def test_within_doc_repeat_cut(self, ray_session):
+        texts = ["p q r s p q r s t u"]
+        out = self._run(texts, k=4)
+        # second copy of "p q r s" cut; ragged tail "t u" kept
+        assert out.text_dedup.item() == "p q r s t u"
+        assert out.kept_segments.item() == 2
+
+    def test_fully_duplicate_doc_drops(self, ray_session):
+        texts = ["m n o p", "m n o p"]
+        out = self._run(texts, k=4)
+        assert out.doc_id.tolist() == [0]
+
+    def test_parallelism_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.dedup import passage_dedup
+
+        texts = [
+            " ".join("w%d" % ((i * 7 + j) % 23) for j in range(17))
+            for i in range(60)
+        ]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(60), type=pa.int64()), "text": pa.array(texts)}
+        )
+        outs = []
+        for parts in (1, 8):
+            docs = ray.data.from_arrow(tbl).repartition(parts)
+            df = passage_dedup(docs, k=4).to_pandas()
+            outs.append(
+                df.sort_values("doc_id").reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])

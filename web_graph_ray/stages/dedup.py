@@ -45,6 +45,7 @@ __all__ = [
     "minhash_clusters",
     "simhash_pairs",
     "decontaminate",
+    "passage_dedup",
 ]
 
 
@@ -709,3 +710,154 @@ def decontaminate(
         batch_partial=lambda df: df.drop_duplicates(),
     )
     return bucket_anti_join(docs, contaminated, [id_col], num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# passage-level first-wins dedup (ExactSubstr at segment granularity)
+# ---------------------------------------------------------------------------
+
+
+def _segment_rows(text_col: str, id_col: str, k: int):
+    """Explode (id, seg_idx, gram) rows: the text is split on single
+    spaces (``str.split(' ')`` — exactly DuckDB ``string_split``), cut
+    into consecutive k-token segments (last one ragged), and each
+    segment string is hashed with the shared vectorized ``fnv1a64``.
+    Segment equality via 64-bit hashes equals string equality up to
+    hash collisions (negligible; shared policy with the gram family).
+
+    The per-doc tokenize/slice loop is Python, but every join/hash is a
+    C-level call over the whole batch; no per-token Python."""
+    from .sketch import fnv1a64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_py = batch[id_col].to_pylist()
+        segs: list[str] = []
+        counts = np.empty(len(ids_py), dtype=np.int64)
+        for pos, t in enumerate(batch[text_col].to_pylist()):
+            toks = t.split(" ")
+            n = (len(toks) + k - 1) // k
+            counts[pos] = n
+            segs.extend(" ".join(toks[i * k : (i + 1) * k]) for i in range(n))
+        if not segs:
+            return pa.Table.from_pydict(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "seg_idx": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                }
+            )
+        gram = fnv1a64(pa.array(segs, type=pa.large_string())).view(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids_py)), counts)
+        seg_idx = np.arange(len(segs), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids_py).take(pa.array(doc_idx)),
+                "seg_idx": pa.array(seg_idx),
+                "gram": pa.array(gram),
+            }
+        )
+
+    return explode
+
+
+def passage_dedup(
+    docs: "ray.data.Dataset",
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus-wide passage-level first-wins dedup (the ExactSubstr idea
+    of Lee et al. 2022 at fixed k-token segment granularity): every
+    k-token segment of every doc is kept only at its first occurrence
+    corpus-wide (lexicographic min ``(doc_id, seg_idx)``); later copies
+    — across docs or repeated within one doc — are cut, and each doc's
+    surviving segments are re-joined in order.  Returns
+    ``(id_col, text_dedup, kept_segments)``; docs whose every segment
+    is a duplicate drop out.
+
+    Scale shape: segment TEXT never shuffles — the winner election and
+    the keep-decision exchange move only (id, seg_idx, gram64) triples,
+    bucketed by gram hash with a per-batch min-combiner; the one
+    text-bearing exchange is the final doc_id-bucketed join of the
+    original docs against their kept-index lists, after which each doc
+    is re-segmented locally.  Segments are recomputed rather than
+    materialized (zero resident state, same trade as the shingle
+    family).  No driver state, no broadcast, no all-pairs anywhere.
+    """
+    from .relational import bucket_hash_join, bucketed_group_map
+
+    explode = _segment_rows(text_col, id_col, k)
+    occ = lambda: docs.map_batches(explode, batch_format="pyarrow")  # noqa: E731
+
+    def min_occ(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["gram", id_col, "seg_idx"], kind="mergesort")
+            .drop_duplicates("gram")
+            .reset_index(drop=True)
+        )
+
+    winners = bucketed_group_map(
+        occ(),
+        ["gram"],
+        min_occ,
+        num_buckets=num_buckets,
+        batch_partial=min_occ,
+    ).map_batches(
+        lambda df: df.rename(columns={id_col: "w_doc", "seg_idx": "w_idx"}),
+        batch_format="pandas",
+    )
+
+    kept = bucket_hash_join(occ(), winners, ["gram"], num_buckets=num_buckets).map_batches(
+        lambda df: df.loc[
+            (df[id_col] == df["w_doc"]) & (df["seg_idx"] == df["w_idx"]),
+            [id_col, "seg_idx"],
+        ],
+        batch_format="pandas",
+    )
+
+    def gather(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = df.groupby(id_col, sort=True)["seg_idx"]
+        return pd.DataFrame(
+            {
+                id_col: g.size().index.to_numpy(),
+                "_kept_idx": g.agg(
+                    lambda s: ",".join(map(str, s.to_numpy()))
+                ).to_numpy(),
+                "kept_segments": g.size().to_numpy().astype("int64"),
+            }
+        )
+
+    kept_lists = bucketed_group_map(
+        kept, [id_col], gather, num_buckets=num_buckets
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        out = []
+        for t, ki in zip(
+            batch[text_col].to_pylist(), batch["_kept_idx"].to_pylist()
+        ):
+            toks = t.split(" ")
+            out.append(
+                " ".join(
+                    " ".join(toks[i * k : (i + 1) * k])
+                    for i in (int(x) for x in ki.split(","))
+                )
+            )
+        return pa.Table.from_pydict(
+            {
+                id_col: batch[id_col].combine_chunks(),
+                "text_dedup": pa.array(out, type=pa.string()),
+                "kept_segments": batch["kept_segments"].combine_chunks(),
+            }
+        )
+
+    return bucket_hash_join(
+        docs.select_columns([id_col, text_col]),
+        kept_lists,
+        [id_col],
+        num_buckets=num_buckets,
+    ).map_batches(rebuild, batch_format="pyarrow")
