@@ -340,6 +340,52 @@ def _concomp_sql(rounds: int = _CC_ROUNDS) -> str:
     return sql
 
 
+def _mix_graph(sf_dir: str):
+    """Deterministic general (non-bipartite) test graph from lineitem:
+    src = l_orderkey mod 2000, dst = (l_partkey*31 + l_suppkey) mod
+    2000 — ~2000 nodes, max degree ~87, 34.5k triangles at sf0.01.
+    pyarrow has no integer modulo kernel; the batch maps through numpy
+    views (zero-copy in, one materialized int64 array out)."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        return pa.table(
+            {"src": pa.array(ok % 2000), "dst": pa.array((pk * 31 + sk) % 2000)}
+        )
+
+    return _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+        mk, batch_format="pyarrow"
+    )
+
+
+def triangle_count_lineitem(sf_dir: str):
+    """Exact triangle count of the undirected mix graph via the
+    degree-ordered node-iterator (stages/graph.py::triangle_count) —
+    orientation bounds every node's wedge fan-out by O(sqrt(E)).  The
+    SQL twin uses the equivalent monotone-path 3-join formulation
+    (count is algorithm-independent)."""
+    from web_graph_ray.stages.graph import triangle_count
+
+    n = triangle_count(_mix_graph(sf_dir))
+    return pd.DataFrame({"triangles": pd.Series([n], dtype="int64")})
+
+
+def degree_topk_lineitem(sf_dir: str):
+    """Top-20 nodes of the directed mix graph by total degree
+    (stages/graph.py::degrees — one bucketed count with per-batch
+    partials; multi-edge rows count once each)."""
+    from web_graph_ray.stages.graph import degrees
+
+    d = degrees(_mix_graph(sf_dir)).to_pandas()
+    return (
+        d.sort_values(["deg", "node"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
 def crawl_pagerank(sf_dir: str):
     """PageRank over the crawled web graph itself (first-wins link
     winners as the edge list) — the whole-graph query the reference's
@@ -1065,6 +1111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_documents": ngram_dedup_documents,
         "decontaminate_documents": decontaminate_documents,
         "passage_dedup_documents": passage_dedup_documents,
+        "triangle_count_lineitem": triangle_count_lineitem,
+        "degree_topk_lineitem": degree_topk_lineitem,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
         "token_counts_documents": token_counts_documents,
@@ -1611,6 +1659,29 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, n_chars from documents
             where doc_id % 50 <> 0 and doc_id not in (select doc_id from contam)
             order by doc_id
+        """,
+        "triangle_count_lineitem": """
+            with e0 as (select distinct
+                          least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) a,
+                          greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) b
+                        from lineitem
+                        where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000)
+            select count(*) as triangles
+            from e0 e1
+            join e0 e2 on e1.b = e2.a and e1.a < e2.b
+            join e0 e3 on e3.a = e1.a and e3.b = e2.b
+        """,
+        "degree_topk_lineitem": """
+            with e0 as (select l_orderkey % 2000 as src,
+                               (l_partkey*31 + l_suppkey) % 2000 as dst
+                        from lineitem),
+            d as (select node, sum(o) as out_deg, sum(i) as in_deg,
+                         sum(o) + sum(i) as deg
+                  from (select src node, 1 o, 0 i from e0
+                        union all select dst, 0, 1 from e0)
+                  group by node)
+            select node, out_deg, in_deg, deg from d
+            order by deg desc, node limit 20
         """,
         "passage_dedup_documents": """
             with t as (select doc_id, string_split(text, ' ') as toks from documents),

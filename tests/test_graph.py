@@ -159,3 +159,70 @@ class TestConnectedComponents:
         got = connected_components(ds, rounds=4, num_buckets=2).to_pandas()
         labels = dict(zip(got["node"], got["label"]))
         assert labels == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+class TestTrianglesAndDegrees:
+    def _edges(self, pairs):
+        return ray.data.from_pandas(
+            pd.DataFrame(pairs, columns=["src", "dst"])
+        ).repartition(4)
+
+    def test_known_small_graph(self, ray_session):
+        from web_graph_ray.stages.graph import triangle_count
+
+        # K4 on {0,1,2,3} (4 triangles) + a pendant edge + a dup + a loop
+        pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        pairs += [(3, 9), (1, 0), (2, 2)]
+        assert triangle_count(self._edges(pairs)) == 4
+
+    def test_direction_and_multiplicity_ignored(self, ray_session):
+        from web_graph_ray.stages.graph import triangle_count
+
+        assert triangle_count(self._edges([(0, 1), (1, 2), (2, 0)])) == 1
+        assert (
+            triangle_count(self._edges([(1, 0), (1, 2), (0, 2), (2, 0), (2, 0)]))
+            == 1
+        )
+
+    def test_triangle_free(self, ray_session):
+        from web_graph_ray.stages.graph import triangle_count
+
+        # star graph: no triangles
+        assert triangle_count(self._edges([(0, i) for i in range(1, 8)])) == 0
+
+    def test_random_graph_vs_local(self, ray_session):
+        from web_graph_ray.stages.graph import triangle_count
+
+        rng = np.random.RandomState(7)
+        n, m = 60, 400
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, (m, 2)) if a != b})
+        # local oracle: adjacency-matrix trace
+        adj = np.zeros((n, n), dtype=np.int64)
+        for a, b in pairs:
+            adj[a, b] = adj[b, a] = 1
+        expected = int(np.trace(adj @ adj @ adj) // 6)
+        assert triangle_count(self._edges(pairs)) == expected
+
+    def test_degrees_match_pandas(self, ray_session):
+        from web_graph_ray.stages.graph import degrees
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(rng.randint(0, 20, (300, 2)), columns=["src", "dst"])
+        got = (
+            degrees(ray.data.from_pandas(df).repartition(4))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        out = df.groupby("src").size()
+        inn = df.groupby("dst").size()
+        nodes = sorted(set(df.src) | set(df.dst))
+        exp = pd.DataFrame(
+            {
+                "node": nodes,
+                "out_deg": [int(out.get(v, 0)) for v in nodes],
+                "in_deg": [int(inn.get(v, 0)) for v in nodes],
+            }
+        )
+        exp["deg"] = exp.out_deg + exp.in_deg
+        assert got.astype("int64").equals(exp.astype("int64"))
