@@ -386,6 +386,57 @@ def degree_topk_lineitem(sf_dir: str):
     )
 
 
+_HITS_ITERS = 2
+
+
+def hits_lineitem_graph(sf_dir: str):
+    """HITS hubs/authorities over the directed mix graph
+    (stages/graph.py::hits — partition-once message exchange, one
+    src-keyed and one dst-keyed static edge partitioning).  L1
+    normalization + 9-dp half-away rounding per half-step, the same
+    float-determinism policy as pagerank; top-20 by authority."""
+    from web_graph_ray.stages.graph import hits
+
+    out = hits(_mix_graph(sf_dir), iterations=_HITS_ITERS).to_pandas()
+    out = _round_cols(out, {"authority": 6, "hub": 6})
+    return (
+        out.sort_values(["authority", "node"], ascending=[False, True],
+                        kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    """DuckDB twin: same mix graph, same L1-normalized half-steps with
+    9-dp rounding, iterations unrolled as CTEs."""
+    sql = """
+            with e0 as (select l_orderkey % 2000 as src,
+                               (l_partkey*31 + l_suppkey) % 2000 as dst
+                        from lineitem),
+            nodes as (select src as node from e0 union select dst from e0),
+            h0 as (select node, 1.0 as v from nodes)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+            ar{k} as (select e.dst node, sum(h.v) s
+                      from e0 e join h{k-1} h on h.node = e.src group by e.dst),
+            a{k} as (select n.node,
+                     round(coalesce(r.s, 0) / (select sum(s) from ar{k}), 9) v
+                     from nodes n left join ar{k} r on r.node = n.node),
+            hr{k} as (select e.src node, sum(a.v) s
+                      from e0 e join a{k} a on a.node = e.dst group by e.src),
+            h{k} as (select n.node,
+                     round(coalesce(r.s, 0) / (select sum(s) from hr{k}), 9) v
+                     from nodes n left join hr{k} r on r.node = n.node)"""
+    sql += f"""
+            select a{iters}.node, round(a{iters}.v, 6) as authority,
+                   round(h{iters}.v, 6) as hub
+            from a{iters} join h{iters} on h{iters}.node = a{iters}.node
+            order by authority desc, a{iters}.node limit 20
+        """
+    return sql
+
+
 def crawl_pagerank(sf_dir: str):
     """PageRank over the crawled web graph itself (first-wins link
     winners as the edge list) — the whole-graph query the reference's
@@ -1112,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": decontaminate_documents,
         "passage_dedup_documents": passage_dedup_documents,
         "triangle_count_lineitem": triangle_count_lineitem,
+        "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
@@ -1660,6 +1712,7 @@ def oracle_sql() -> dict[str, str]:
             where doc_id % 50 <> 0 and doc_id not in (select doc_id from contam)
             order by doc_id
         """,
+        "hits_lineitem_graph": _hits_sql(),
         "triangle_count_lineitem": """
             with e0 as (select distinct
                           least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) a,

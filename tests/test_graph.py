@@ -226,3 +226,51 @@ class TestTrianglesAndDegrees:
         )
         exp["deg"] = exp.out_deg + exp.in_deg
         assert got.astype("int64").equals(exp.astype("int64"))
+
+
+class TestHits:
+    def test_matches_local_reference(self, ray_session):
+        from web_graph_ray.functions.numeric import round_half_away
+        from web_graph_ray.stages.graph import hits
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(rng.randint(0, 30, (200, 2)), columns=["src", "dst"])
+        got = (
+            hits(ray.data.from_pandas(df).repartition(4), iterations=2)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        nodes = sorted(set(df.src) | set(df.dst))
+        idx = {v: i for i, v in enumerate(nodes)}
+        h = np.ones(len(nodes))
+        a = None
+        for _ in range(2):
+            raw_a = np.zeros(len(nodes))
+            for s, d in df.values:
+                raw_a[idx[d]] += h[idx[s]]
+            a = round_half_away(raw_a / raw_a.sum(), 9)
+            raw_h = np.zeros(len(nodes))
+            for s, d in df.values:
+                raw_h[idx[s]] += a[idx[d]]
+            h = round_half_away(raw_h / raw_h.sum(), 9)
+        exp = pd.DataFrame({"node": nodes, "authority": a, "hub": h})
+        m = got.merge(exp, on="node", suffixes=("_g", "_e"))
+        assert len(m) == len(nodes)
+        assert (m.authority_g == m.authority_e).all()
+        assert (m.hub_g == m.hub_e).all()
+
+    def test_pure_hub_and_authority(self, ray_session):
+        from web_graph_ray.stages.graph import hits
+
+        # 0 -> {1,2,3}: node 0 is a pure hub, 1-3 pure authorities
+        df = pd.DataFrame({"src": [0, 0, 0], "dst": [1, 2, 3]})
+        out = (
+            hits(ray.data.from_pandas(df), iterations=2)
+            .to_pandas()
+            .set_index("node")
+        )
+        assert out.loc[0, "authority"] == 0.0 and out.loc[0, "hub"] == 1.0
+        for v in (1, 2, 3):
+            assert abs(out.loc[v, "authority"] - 1 / 3) < 1e-6
+            assert out.loc[v, "hub"] == 0.0

@@ -66,6 +66,7 @@ __all__ = [
     "distinct_nodes",
     "degrees",
     "triangle_count",
+    "hits",
 ]
 
 
@@ -568,3 +569,125 @@ def triangle_count(
         num_buckets=num_buckets,
     ).to_pandas()
     return int(counts["n"].sum())
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _hits_init(ndir: str, b: int) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object"), "val": []})
+    nodes = pd.read_parquet(p)
+    return pd.DataFrame({"node": nodes["node"], "val": np.ones(len(nodes))})
+
+
+@ray.remote
+def _hits_messages(edir: str, b: int, num_buckets: int, vals: pd.DataFrame):
+    """Map phase for sender-bucket b: forward each sender's current
+    score along its edges (multi-edge rows contribute once each),
+    partial-summed by (dst_bucket, dst).  Returns B per-destination
+    frames + the bucket's total forwarded mass (the normalizer is the
+    global sum of these)."""
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame({"node": pd.Series([], dtype="object"), "c": []})
+    if not os.path.exists(p):
+        return [empty] * num_buckets + [0.0]
+    e = pd.read_parquet(p)
+    m = e.merge(vals.rename(columns={"node": "src", "val": "_v"}), on="src", how="inner")
+    parts = m.groupby(["dst_bucket", "dst"], as_index=False)["_v"].sum()
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node", "_v": "c"})[["node", "c"]]
+            if g is not None
+            else empty
+        )
+    return out + [float(parts["_v"].sum())]
+
+
+@ray.remote
+def _hits_reduce(
+    ndir: str, b: int, total: float, iter_round: int, *parts
+) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object"), "val": []})
+    nodes = pd.read_parquet(p)
+    live = [x for x in parts if len(x)]
+    allp = pd.concat(live, ignore_index=True) if live else None
+    if allp is not None and len(allp):
+        sums = allp.groupby("node", as_index=False)["c"].sum()
+        s = nodes.merge(sums, on="node", how="left")["c"].fillna(0.0).to_numpy()
+    else:
+        s = np.zeros(len(nodes))
+    denom = total if total != 0.0 else 1.0
+    return pd.DataFrame(
+        {"node": nodes["node"], "val": round_half_away(s / denom, iter_round)}
+    )
+
+
+@ray.remote
+def _hits_merge(auth: pd.DataFrame, hub: pd.DataFrame) -> "pd.DataFrame":
+    out = auth.rename(columns={"val": "authority"}).merge(
+        hub.rename(columns={"val": "hub"}), on="node", how="outer"
+    )
+    return out[["node", "authority", "hub"]]
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    num_buckets: int = 32,
+    iter_round: int = 9,
+    work_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """HITS (Kleinberg 1999) over a directed edge-list Dataset; returns
+    (node, authority, hub).  Each iteration: authority(v) = sum of
+    hub over in-edges, hub(u) = sum of authority over out-edges, each
+    half-step L1-normalized (divide by the global forwarded mass) and
+    rounded HALF-AWAY-FROM-ZERO to ``iter_round`` decimals — the same
+    float-determinism policy as pagerank, so a SQL twin that rounds
+    identically is bit-stable.  Multi-edge rows contribute once each.
+
+    Execution: the same partition-once / message-exchange loop as
+    pagerank (module docstring), with TWO static edge partitionings —
+    one keyed by src (authority pass) and one keyed by dst (hub pass) —
+    so each half-step is one bucket-to-bucket exchange.  Driver state:
+    O(num_buckets) refs + one normalizer scalar per half-step."""
+    fwd_edir, ndir = _partition_graph(edges, src_col, dst_col, num_buckets, work_dir)
+    rev_edir, _ = _partition_graph(edges, dst_col, src_col, num_buckets, None)
+
+    hub_refs = [_hits_init.remote(ndir, b) for b in range(num_buckets)]
+    auth_refs = hub_refs
+
+    def half_step(edir: str, refs: list) -> list:
+        msg = [
+            _hits_messages.options(num_returns=num_buckets + 1).remote(
+                edir, b, num_buckets, refs[b]
+            )
+            for b in range(num_buckets)
+        ]
+        total = float(np.sum(ray.get([m[num_buckets] for m in msg])))
+        return [
+            _hits_reduce.remote(
+                ndir, b, total, iter_round, *[msg[sb][b] for sb in range(num_buckets)]
+            )
+            for b in range(num_buckets)
+        ]
+
+    for _ in range(iterations):
+        auth_refs = half_step(fwd_edir, hub_refs)
+        hub_refs = half_step(rev_edir, auth_refs)
+
+    merged = [
+        _hits_merge.remote(auth_refs[b], hub_refs[b]) for b in range(num_buckets)
+    ]
+    return ray.data.from_pandas_refs(merged)
