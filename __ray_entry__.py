@@ -569,6 +569,25 @@ def decontaminate_documents(sf_dir: str):
     return out
 
 
+def quality_filter_documents(sf_dir: str):
+    """Composite C4/Gopher quality gate (stages/text.py::quality_filter)
+    — one map pass computing quality + repetition metrics and keeping
+    docs inside all thresholds; zero shuffles."""
+    from web_graph_ray.stages.text import quality_filter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = quality_filter(ds).select_columns(
+        ["doc_id", "n_tokens", "alpha_ratio", "digit_ratio",
+         "top_bigram_frac", "dup_line_frac"]
+    ).to_pandas()
+    out = _round_cols(
+        out,
+        {"alpha_ratio": 6, "digit_ratio": 6,
+         "top_bigram_frac": 6, "dup_line_frac": 6},
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def passage_dedup_documents(sf_dir: str):
     """Corpus-wide passage-level first-wins dedup (ExactSubstr of Lee
     et al. 2022 at 8-token segment granularity): each 8-token segment
@@ -1162,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_documents": ngram_dedup_documents,
         "decontaminate_documents": decontaminate_documents,
         "passage_dedup_documents": passage_dedup_documents,
+        "quality_filter_documents": quality_filter_documents,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1735,6 +1755,42 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "quality_filter_documents": """
+            with q as (select doc_id,
+                         len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_tokens,
+                         cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+                           / greatest(length(text), 1) as alpha_ratio,
+                         cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double)
+                           / greatest(length(text), 1) as digit_ratio
+                       from documents),
+            l as (select doc_id, unnest(string_split(text, chr(10))) line from documents),
+            lm as (select doc_id, sum(c) n_lines, sum(c - 1) dup_lines
+                   from (select doc_id, line, count(*) c from l group by doc_id, line)
+                   group by doc_id),
+            toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
+                     from documents),
+            g2 as (select doc_id,
+                          unnest(list_transform(generate_series(0, len(t)-2),
+                                 i -> array_to_string(t[i+1:i+2], ' '))) g
+                   from toks where len(t) >= 2),
+            c2 as (select doc_id, max(cnt) m, sum(cnt) tot
+                   from (select doc_id, g, count(*) cnt from g2 group by doc_id, g)
+                   group by doc_id),
+            f as (select q.doc_id, q.n_tokens, q.alpha_ratio, q.digit_ratio,
+                         coalesce(cast(c2.m as double) / c2.tot, 0.0) top_bigram_frac,
+                         cast(lm.dup_lines as double) / lm.n_lines dup_line_frac
+                  from q join lm using(doc_id) left join c2 using(doc_id))
+            select doc_id, n_tokens,
+                   round(alpha_ratio, 6) alpha_ratio,
+                   round(digit_ratio, 6) digit_ratio,
+                   round(top_bigram_frac, 6) top_bigram_frac,
+                   round(dup_line_frac, 6) dup_line_frac
+            from f
+            where n_tokens between 25 and 90
+              and alpha_ratio >= 0.5 and digit_ratio <= 0.2
+              and top_bigram_frac <= 0.06 and dup_line_frac <= 0.3
+            order by doc_id
         """,
         "passage_dedup_documents": """
             with t as (select doc_id, string_split(text, ' ') as toks from documents),

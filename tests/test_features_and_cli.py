@@ -530,3 +530,49 @@ class TestPassageDedup:
                 df.sort_values("doc_id").reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+
+class TestQualityFilter:
+    def test_thresholds_and_metrics(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.text import quality_filter
+
+        texts = [
+            " ".join(
+                "word%c%c" % (97 + j // 26, 97 + j % 26) for j in range(40)
+            ),                                                # good
+            "short text",                                     # too few tokens
+            " ".join("w%d" % j for j in range(200)),          # too many tokens
+            " ".join(["dup pair"] * 20),                      # repetitious bigrams
+            " ".join("%d" % j for j in range(40)),            # all digits
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                 "text": pa.array(texts)}
+            )
+        )
+        out = quality_filter(docs).to_pandas()
+        assert out.doc_id.tolist() == [0]
+        assert {"n_tokens", "alpha_ratio", "digit_ratio",
+                "top_bigram_frac", "dup_line_frac"} <= set(out.columns)
+
+    def test_all_pass_when_loose(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.text import quality_filter
+
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([0, 1], type=pa.int64()),
+                 "text": pa.array(["a b c", "d e f g"])}
+            )
+        )
+        out = quality_filter(
+            docs, min_tokens=0, max_tokens=10**9, min_alpha_ratio=0.0,
+            max_digit_ratio=1.0, max_top_bigram_frac=1.0, max_dup_line_frac=1.0,
+        ).to_pandas()
+        assert sorted(out.doc_id.tolist()) == [0, 1]

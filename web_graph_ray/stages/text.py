@@ -25,6 +25,7 @@ __all__ = [
     "add_lang",
     "add_fingerprint",
     "add_simhash",
+    "quality_filter",
 ]
 
 
@@ -87,3 +88,47 @@ def add_repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
             name, pa.array([r[name] for r in rows], type=pa.float64())
         )
     return batch
+
+
+def quality_filter(
+    docs,
+    text_col: str = "text",
+    min_tokens: int = 25,
+    max_tokens: int = 90,
+    min_alpha_ratio: float = 0.5,
+    max_digit_ratio: float = 0.2,
+    max_top_bigram_frac: float = 0.06,
+    max_dup_line_frac: float = 0.3,
+):
+    """Composite C4/Gopher-style document quality gate: compute the
+    quality and repetition metrics in ONE map pass and keep only docs
+    inside all thresholds (length band, alphabetic/digit character
+    ratios, top-bigram repetition, duplicate-line fraction — the
+    standard web-text curation rules of Raffel et al. 2020 / Rae et
+    al. 2021).  Returns the surviving rows with their metric columns
+    attached.  Embarrassingly parallel — a pure batch map with zero
+    shuffles; thresholds are plain Python floats captured once in the
+    task closure."""
+    import pyarrow.compute as pc
+
+    def gate(batch: pa.Table) -> pa.Table:
+        b = add_repetition_metrics(add_quality_metrics(batch, text_col), text_col)
+        mask = pc.and_kleene(
+            pc.and_kleene(
+                pc.greater_equal(b["n_tokens"], min_tokens),
+                pc.less_equal(b["n_tokens"], max_tokens),
+            ),
+            pc.and_kleene(
+                pc.and_kleene(
+                    pc.greater_equal(b["alpha_ratio"], min_alpha_ratio),
+                    pc.less_equal(b["digit_ratio"], max_digit_ratio),
+                ),
+                pc.and_kleene(
+                    pc.less_equal(b["top_bigram_frac"], max_top_bigram_frac),
+                    pc.less_equal(b["dup_line_frac"], max_dup_line_frac),
+                ),
+            ),
+        )
+        return b.filter(mask)
+
+    return docs.map_batches(gate, batch_format="pyarrow")
