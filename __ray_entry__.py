@@ -668,6 +668,66 @@ def ivf_ann_topk(sf_dir: str):
     return ivf_cosine_topk(ds, queries, k=10, nlist=16, nprobe=4)
 
 
+_KMEANS_K = 16
+_KMEANS_ITERS = 2
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed spherical k-means (stages/ann.py::kmeans — Lloyd
+    iterations with broadcast centroids + per-batch partial sums, O(k·d)
+    driver state).  Returns the final (vec_id, cell) assignment —
+    integer-only output, so the hash compare is float-free."""
+    from web_graph_ray.stages.ann import kmeans
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assign = kmeans(ds, k=_KMEANS_K, iterations=_KMEANS_ITERS)
+    return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, d: int = 64) -> str:
+    """DuckDB twin: same hash-sample init as the IVF twin, Lloyd
+    iterations unrolled as CTEs — assignment by 6-dp-rounded cosine
+    with lowest-cell tie-break, per-coordinate means rounded at 9 dp
+    (the engine's float-determinism policy), empty cells keep their
+    previous centroid."""
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::hugeint,"
+        " list_transform(regexp_extract_all(vec_id::varchar, '.'),"
+        " c -> ascii(c)::bigint)), (h, b) -> " + _FNV_SQL_STEP + ")"
+    )
+    sql = f"""
+            with v as (select vec_id, cast(embedding as double[]) ve from embeddings),
+            hv as (select vec_id, {fnv} h from embeddings),
+            cent0 as (select (row_number() over (order by h, vec_id)) - 1 cell, ve ce
+                      from (select v.vec_id, v.ve, hv.h from v join hv using(vec_id)
+                            order by hv.h, v.vec_id limit {k}))"""
+    for t in range(1, iters + 1):
+        sql += f""",
+            asg{t} as (select vec_id, ve, cell from (
+                       select v.vec_id, v.ve, c.cell,
+                              row_number() over (partition by v.vec_id
+                                order by round(list_cosine_similarity(v.ve, c.ce), 6)
+                                         desc, c.cell asc) rn
+                       from v cross join cent{t-1} c) where rn = 1),
+            m{t} as (select cell, i, round(avg(x), 9) c from (
+                       select a.cell, g.i, a.ve[g.i] x from asg{t} a,
+                       lateral (select unnest(generate_series(1, {d})) i) g(i))
+                     group by cell, i),
+            mm{t} as (select cell, list(c order by i) ce from m{t} group by cell),
+            cent{t} as (select c0.cell, coalesce(m.ce, c0.ce) ce
+                        from cent{t-1} c0 left join mm{t} m using(cell))"""
+    sql += f"""
+            select vec_id, cell from (
+              select v.vec_id, c.cell,
+                     row_number() over (partition by v.vec_id
+                       order by round(list_cosine_similarity(v.ve, c.ce), 6)
+                                desc, c.cell asc) rn
+              from v cross join cent{iters} c) where rn = 1
+            order by vec_id
+        """
+    return sql
+
+
 def cosine_near_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine ≥ 0.4), exact all-pairs at this
     scale (nbits=0); LSH-bucketed at scale."""
@@ -1190,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_documents": token_counts_documents,
         "ann_cosine_topk": ann_cosine_topk,
         "ivf_ann_topk": ivf_ann_topk,
+        "kmeans_embeddings": kmeans_embeddings,
         "cosine_near_dup_pairs": cosine_near_dup_pairs,
         # rows-only
         "distinct_user_count": distinct_user_count,
@@ -1677,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_lineitem_graph": _pagerank_sql(),
         "concomp_lineitem_graph": _concomp_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "doc_repetition": """
             with l as (select doc_id, unnest(string_split(text, chr(10))) line
                        from documents),

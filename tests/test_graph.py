@@ -274,3 +274,64 @@ class TestHits:
         for v in (1, 2, 3):
             assert abs(out.loc[v, "authority"] - 1 / 3) < 1e-6
             assert out.loc[v, "hub"] == 0.0
+
+
+class TestKmeans:
+    def _blobs(self, n_per=40, k=3, dim=16, seed=5):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, dim) * 5
+        vecs, true = [], []
+        for c in range(k):
+            vecs.append(centers[c] + rng.randn(n_per, dim) * 0.1)
+            true.extend([c] * n_per)
+        m = np.vstack(vecs)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(len(m)), "embedding": list(m.astype(np.float32))}
+        )
+        return df, np.array(true)
+
+    def test_separable_blobs_recovered(self, ray_session):
+        """With one init centroid per orthogonal blob (membership laid
+        out against the deterministic hash-sample order), Lloyd must
+        recover the blobs exactly — cosine separation is total."""
+        from web_graph_ray.stages.ann import kmeans
+        from web_graph_ray.stages.sketch import fnv1a64
+
+        n, k, dim = 120, 3, 16
+        ids = np.arange(n)
+        order = np.lexsort((ids, fnv1a64(list(ids))))
+        true = np.full(n, -1)
+        true[order[:k]] = np.arange(k)  # init picks: one per blob
+        true[order[k:]] = np.arange(n - k) % k
+        rng = np.random.RandomState(5)
+        dirs = np.eye(dim)[:k] * 5
+        m = dirs[true] + rng.randn(n, dim) * 0.05
+        df = pd.DataFrame(
+            {"vec_id": ids, "embedding": list(m.astype(np.float32))}
+        )
+        cents, assign = kmeans(
+            ray.data.from_pandas(df).repartition(4), k=k, iterations=3
+        )
+        got = assign.to_pandas().sort_values("vec_id")["cell"].to_numpy()
+        for c in range(k):
+            labels = got[true == c]
+            assert (labels == labels[0]).all()
+        assert len(set(got)) == k
+        assert cents.shape == (k, dim)
+
+    def test_parallelism_invariance(self, ray_session):
+        from web_graph_ray.stages.ann import kmeans
+
+        df, _ = self._blobs(n_per=30, k=4, seed=9)
+        outs = []
+        for parts in (1, 8):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            cents, assign = kmeans(ds, k=4, iterations=2)
+            outs.append(
+                (
+                    cents.copy(),
+                    assign.to_pandas().sort_values("vec_id").reset_index(drop=True),
+                )
+            )
+        assert np.array_equal(outs[0][0], outs[1][0])
+        assert outs[0][1].equals(outs[1][1])

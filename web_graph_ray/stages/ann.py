@@ -30,7 +30,13 @@ import ray.data
 
 from ..functions.numeric import round_half_away
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk", "cosine_pairs"]
+__all__ = [
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "cosine_pairs",
+    "kmeans",
+]
 
 ROUND = 6
 
@@ -332,3 +338,80 @@ def ivf_cosine_topk(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
     )
     return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def kmeans(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_round: int = ROUND,
+    cent_round: int = 9,
+) -> tuple[np.ndarray, "ray.data.Dataset"]:
+    """Distributed spherical k-means (Lloyd iterations, cosine
+    assignment) over an embedding column; returns ``(centroids,
+    assignments)`` where assignments is a (id_col, cell) Dataset.
+
+    - init: the deterministic ``ivf_centroids`` hash sample (cell j =
+      j-th smallest (fnv1a64(id), id)) — seed-free and SQL-rederivable;
+    - assign: per-batch float64 matmul against the broadcast centroid
+      matrix (``ray.put`` once per iteration, read per task); cosine
+      rounded half-away to ``sim_round`` dp with lowest-cell
+      tie-break, the ANN family's determinism policy;
+    - update: per-batch partial (cell, count, coordinate sums) — the
+      shuffle-free combiner; the driver merges k×blocks partial rows
+      (O(k·dim) driver state, quantizer-sized, never corpus-sized) and
+      rounds the new means to ``cent_round`` dp so an oracle that sums
+      in any order reproduces them bit-for-bit (pagerank's policy);
+      empty cells keep their previous centroid.
+    """
+    cents = ivf_centroids(ds, k, id_col, vec_col)
+    kk, dim = cents.shape
+
+    def make_partial(ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _batch_matrix(batch, vec_col)
+            sims = round_half_away(_normalize(m) @ _normalize(c).T, sim_round)
+            cell = np.argmax(sims, axis=1)  # first (lowest) max wins ties
+            counts = np.bincount(cell, minlength=kk)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, cell, m)
+            return pa.Table.from_pydict(
+                {
+                    "cell": pa.array(np.arange(kk), pa.int64()),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        return partial
+
+    for _ in range(iterations):
+        ref = ray.put(np.ascontiguousarray(cents))
+        parts = ds.map_batches(make_partial(ref), batch_format="pyarrow").to_pandas()
+        sums = np.zeros((kk, dim))
+        counts = np.zeros(kk, dtype=np.int64)
+        for cell, n, s in parts.itertuples(index=False):
+            counts[cell] += n
+            sums[cell] += np.asarray(s)
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = round_half_away(sums[nz] / counts[nz, None], cent_round)
+        cents = new
+
+    ref = ray.put(np.ascontiguousarray(cents))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _batch_matrix(batch, vec_col)
+        sims = round_half_away(_normalize(m) @ _normalize(c).T, sim_round)
+        return pa.Table.from_pydict(
+            {
+                id_col: batch[id_col].combine_chunks(),
+                "cell": pa.array(np.argmax(sims, axis=1).astype(np.int64)),
+            }
+        )
+
+    return cents, ds.map_batches(assign, batch_format="pyarrow")
