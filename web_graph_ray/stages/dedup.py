@@ -778,19 +778,20 @@ def passage_dedup(
     ``(id_col, text_dedup, kept_segments)``; docs whose every segment
     is a duplicate drop out.
 
-    Scale shape: segment TEXT never shuffles — the winner election and
-    the keep-decision exchange move only (id, seg_idx, gram64) triples,
-    bucketed by gram hash with a per-batch min-combiner; the one
-    text-bearing exchange is the final doc_id-bucketed join of the
-    original docs against their kept-index lists, after which each doc
-    is re-segmented locally.  Segments are recomputed rather than
-    materialized (zero resident state, same trade as the shingle
-    family).  No driver state, no broadcast, no all-pairs anywhere.
+    Scale shape: TWO bucketed exchanges total, and segment TEXT never
+    shuffles in the first.  (1) Winner election: (id, seg_idx, gram64)
+    triples bucketed by gram hash with a per-batch min-combiner; the
+    per-gram minimum occurrence IS the kept set — no join-back needed.
+    (2) Rebuild: the kept (id, seg_idx) pairs and the original docs are
+    co-partitioned by id hash in one union exchange; each bucket
+    re-segments its docs locally and re-joins the surviving segments.
+    Segments are recomputed rather than materialized (zero resident
+    state, same trade as the shingle family).  No driver state, no
+    broadcast, no all-pairs anywhere.
     """
-    from .relational import bucket_hash_join, bucketed_group_map
+    from .relational import bucketed_group_map
 
     explode = _segment_rows(text_col, id_col, k)
-    occ = lambda: docs.map_batches(explode, batch_format="pyarrow")  # noqa: E731
 
     def min_occ(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -799,65 +800,46 @@ def passage_dedup(
             .reset_index(drop=True)
         )
 
-    winners = bucketed_group_map(
-        occ(),
+    kept = bucketed_group_map(
+        docs.map_batches(explode, batch_format="pyarrow"),
         ["gram"],
         min_occ,
         num_buckets=num_buckets,
         batch_partial=min_occ,
     ).map_batches(
-        lambda df: df.rename(columns={id_col: "w_doc", "seg_idx": "w_idx"}),
+        lambda df: df[[id_col, "seg_idx"]].assign(_txt=None), batch_format="pandas"
+    )
+
+    side2 = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {id_col: df[id_col], "seg_idx": np.int64(-1), "_txt": df[text_col]}
+        ),
         batch_format="pandas",
     )
 
-    kept = bucket_hash_join(occ(), winners, ["gram"], num_buckets=num_buckets).map_batches(
-        lambda df: df.loc[
-            (df[id_col] == df["w_doc"]) & (df["seg_idx"] == df["w_idx"]),
-            [id_col, "seg_idx"],
-        ],
-        batch_format="pandas",
-    )
-
-    def gather(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
-        g = df.groupby(id_col, sort=True)["seg_idx"]
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[df["seg_idx"] == -1].set_index(id_col)["_txt"]
+        kept_idx = (
+            df[df["seg_idx"] >= 0]
+            .sort_values([id_col, "seg_idx"], kind="mergesort")
+            .groupby(id_col, sort=True)["seg_idx"]
+        )
+        sizes = kept_idx.size()
+        out_ids, out_txt = [], []
+        for doc, idxs in kept_idx.agg(list).items():
+            toks = texts[doc].split(" ")
+            out_ids.append(doc)
+            out_txt.append(
+                " ".join(" ".join(toks[i * k : (i + 1) * k]) for i in idxs)
+            )
         return pd.DataFrame(
             {
-                id_col: g.size().index.to_numpy(),
-                "_kept_idx": g.agg(
-                    lambda s: ",".join(map(str, s.to_numpy()))
-                ).to_numpy(),
-                "kept_segments": g.size().to_numpy().astype("int64"),
+                id_col: out_ids,
+                "text_dedup": out_txt,
+                "kept_segments": sizes.to_numpy().astype("int64"),
             }
         )
 
-    kept_lists = bucketed_group_map(
-        kept, [id_col], gather, num_buckets=num_buckets
+    return bucketed_group_map(
+        kept.union(side2), [id_col], rebuild, num_buckets=num_buckets
     )
-
-    def rebuild(batch: pa.Table) -> pa.Table:
-        out = []
-        for t, ki in zip(
-            batch[text_col].to_pylist(), batch["_kept_idx"].to_pylist()
-        ):
-            toks = t.split(" ")
-            out.append(
-                " ".join(
-                    " ".join(toks[i * k : (i + 1) * k])
-                    for i in (int(x) for x in ki.split(","))
-                )
-            )
-        return pa.Table.from_pydict(
-            {
-                id_col: batch[id_col].combine_chunks(),
-                "text_dedup": pa.array(out, type=pa.string()),
-                "kept_segments": batch["kept_segments"].combine_chunks(),
-            }
-        )
-
-    return bucket_hash_join(
-        docs.select_columns([id_col, text_col]),
-        kept_lists,
-        [id_col],
-        num_buckets=num_buckets,
-    ).map_batches(rebuild, batch_format="pyarrow")
