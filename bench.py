@@ -112,6 +112,10 @@ def bench_queries() -> dict:
         "decontaminate_documents",
         "ivf_ann_topk",
         "quantiles_lineitem_price",
+        "passage_dedup_documents",
+        "kmeans_embeddings",
+        "hits_lineitem_graph",
+        "quality_filter_documents",
     ]
     out = {}
     qs = entrymod.queries()
