@@ -546,6 +546,21 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def tfidf_topk_documents(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms, corpus-estimated IDF
+    (stages/text.py::tfidf_topk — explode/tf-combine → bucketed df →
+    co-partitioned join → grouped top-k)."""
+    from web_graph_ray.stages.text import tfidf_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(ds, k=3).to_pandas()
+    return (
+        out.sort_values(["doc_id", "tfidf", "tok"],
+                        ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def decontaminate_documents(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 50 == 0 act as the
     eval set; training docs sharing any 8-token gram with them are
@@ -1242,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": decontaminate_documents,
         "passage_dedup_documents": passage_dedup_documents,
         "quality_filter_documents": quality_filter_documents,
+        "tfidf_topk_documents": tfidf_topk_documents,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1817,6 +1833,23 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "tfidf_topk_documents": """
+            with toks as (select doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+                          from documents),
+            tf as (select doc_id, tok, count(*) tf from toks group by doc_id, tok),
+            df as (select tok, count(*) df from tf group by tok),
+            n as (select count(*) n from documents),
+            w as (select tf.doc_id, tf.tok,
+                         round(tf.tf * ln(cast(n.n as double) / df.df), 6) tfidf
+                  from tf join df using(tok), n),
+            r as (select doc_id, tok, tfidf,
+                         row_number() over (partition by doc_id
+                                            order by tfidf desc, tok asc) rn
+                  from w)
+            select doc_id, tok, tfidf from r where rn <= 3
+            order by doc_id, tfidf desc, tok
         """,
         "quality_filter_documents": """
             with q as (select doc_id,

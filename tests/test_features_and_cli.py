@@ -576,3 +576,55 @@ class TestQualityFilter:
             max_digit_ratio=1.0, max_top_bigram_frac=1.0, max_dup_line_frac=1.0,
         ).to_pandas()
         assert sorted(out.doc_id.tolist()) == [0, 1]
+
+
+class TestTfidf:
+    def test_known_corpus(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.text import tfidf_topk
+
+        # "rare" appears in one doc only; "common" in all three
+        texts = [
+            "common common rare",
+            "common alpha alpha",
+            "common beta",
+        ]
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(range(3), type=pa.int64()),
+                 "text": pa.array(texts)}
+            )
+        )
+        out = tfidf_topk(docs, k=1).to_pandas().sort_values("doc_id")
+        # idf(common)=ln(1)=0 → never the top term when any rarer token exists
+        assert out.tok.tolist() == ["rare", "alpha", "beta"]
+        assert (out.tfidf > 0).all()
+        # doc 1: tf(alpha)=2, df(alpha)=1 → 2*ln(3)
+        got = out.loc[out.doc_id == 1, "tfidf"].item()
+        assert abs(got - 2 * np.log(3.0)) < 1e-6
+
+    def test_parallelism_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.text import tfidf_topk
+
+        texts = [" ".join("w%d" % ((i * 5 + j) % 17) for j in range(12))
+                 for i in range(40)]
+        tbl = pa.Table.from_pydict(
+            {"doc_id": pa.array(range(40), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        outs = []
+        for parts in (1, 8):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            outs.append(
+                tfidf_topk(ds, k=3)
+                .to_pandas()
+                .sort_values(["doc_id", "tfidf", "tok"],
+                             ascending=[True, False, True])
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])

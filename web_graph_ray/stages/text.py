@@ -26,6 +26,7 @@ __all__ = [
     "add_fingerprint",
     "add_simhash",
     "quality_filter",
+    "tfidf_topk",
 ]
 
 
@@ -132,3 +133,85 @@ def quality_filter(
         return b.filter(mask)
 
     return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def tfidf_topk(
+    docs,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+    num_buckets: int = 32,
+):
+    """Per-document top-k TF-IDF terms with the IDF estimated from the
+    corpus itself in the same pipeline — the classic
+    keyword-extraction / feature-vector step of a training-data
+    pipeline.  weight = tf · ln(N/df); returns (id, tok, tfidf) rows,
+    k per doc, ties broken (tfidf desc, tok asc) on the ROUNDED weight
+    so an oracle rounding identically agrees exactly.
+
+    Scale shape: one explode pass producing per-doc term counts (the
+    tf combiner runs inside each batch), one bucketed df count over
+    distinct (doc, tok) pairs, one co-partitioned join back (no
+    broadcast at any vocab size — the join IS the scale path), and a
+    per-group top-k whose shuffle carries ≤ k·docs rows.  N comes from
+    ``docs.count()`` (Parquet metadata, no scan)."""
+    import pandas as pd
+
+    from ..functions.text import WORD_RE
+    from .relational import bucket_hash_join, bucketed_agg, grouped_topk
+
+    n_docs = docs.count()
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            toks.extend(ts)
+        df = (
+            pd.DataFrame({id_col: ids, "tok": toks})
+            .groupby([id_col, "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "tf": pa.array(df["tf"].to_numpy().astype("int64")),
+            }
+        )
+
+    tf = docs.map_batches(explode_tf, batch_format="pyarrow")
+    df_counts = bucketed_agg(
+        tf.map_batches(
+            lambda t: pa.table({"tok": t["tok"].combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        ["tok"],
+        out_col="df",
+        num_buckets=num_buckets,
+    )
+
+    joined = bucket_hash_join(tf, df_counts, ["tok"], num_buckets=num_buckets)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.numeric import round_half_away
+
+        w = df["tf"].to_numpy(dtype="float64") * np.log(
+            float(n_docs) / df["df"].to_numpy(dtype="float64")
+        )
+        out = df[[id_col, "tok"]].copy()
+        out["tfidf"] = round_half_away(w, round_to)
+        return out
+
+    return grouped_topk(
+        joined.map_batches(weigh, batch_format="pandas"),
+        [id_col],
+        "tfidf",
+        k,
+        descending=True,
+        tie_cols=["tok"],
+        num_buckets=num_buckets,
+    )
