@@ -546,6 +546,22 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def count_min_events(sf_dir: str):
+    """Count-Min sketch of events.user_id (1024×4 counters, per-batch
+    sketches + counter-sum merge — the HLL's combiner shape) probed for
+    users 0..19.  The estimate is a deterministic function of the exact
+    per-value counts, so the DuckDB twin re-derives it bit-for-bit."""
+    from web_graph_ray.stages.sketch import count_min, count_min_estimate
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    sk = count_min(ds, "user_id")
+    est = count_min_estimate(sk, [str(i) for i in range(20)])
+    return pd.DataFrame(
+        {"user_id": pd.Series(range(20), dtype="int64"),
+         "est": est.astype("int64")}
+    )
+
+
 def tfidf_topk_documents(sf_dir: str):
     """Per-doc top-3 TF-IDF terms, corpus-estimated IDF
     (stages/text.py::tfidf_topk — explode/tf-combine → bucketed df →
@@ -697,6 +713,30 @@ def kmeans_embeddings(sf_dir: str):
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     _, assign = kmeans(ds, k=_KMEANS_K, iterations=_KMEANS_ITERS)
     return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _count_min_sql(width: int = 1024, depth: int = 4) -> str:
+    """DuckDB twin of count_min_events: same d FNV streams over
+    "<j>|<value>" strings, bucket sums, min-over-rows estimate —
+    bit-identical to the engine sketch."""
+    def fnv_of(key_expr: str) -> str:
+        return ("(list_reduce(list_prepend(14695981039346656037::hugeint,"
+                " list_transform(regexp_extract_all(" + key_expr + ", '.'),"
+                " ch -> ascii(ch)::bigint)), (h, b) -> " + _FNV_SQL_STEP + ")"
+                f" % {width})")
+
+    return f"""
+            with u as (select user_id::varchar v, count(*) c from events
+                       group by user_id),
+            d as (select unnest(generate_series(0, {depth - 1})) j),
+            h as (select j, c, {fnv_of("j::varchar || '|' || v")} b from u, d),
+            bs as (select j, b, sum(c) s from h group by j, b),
+            probe as (select i, j, {fnv_of("j::varchar || '|' || i::varchar")} b
+                      from generate_series(0, 19) t(i), d)
+            select p.i as user_id, min(coalesce(s.s, 0))::bigint est
+            from probe p left join bs s on s.j = p.j and s.b = p.b
+            group by p.i order by user_id
+        """
 
 
 def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, d: int = 64) -> str:
@@ -1258,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup_documents": passage_dedup_documents,
         "quality_filter_documents": quality_filter_documents,
         "tfidf_topk_documents": tfidf_topk_documents,
+        "count_min_events": count_min_events,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1834,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
         """,
+        "count_min_events": _count_min_sql(),
         "tfidf_topk_documents": """
             with toks as (select doc_id,
                             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok

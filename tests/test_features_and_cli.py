@@ -628,3 +628,34 @@ class TestTfidf:
                 .reset_index(drop=True)
             )
         assert outs[0].equals(outs[1])
+
+
+class TestCountMin:
+    def test_upper_bound_and_exactness_when_sparse(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.sketch import count_min, count_min_estimate
+
+        vals = [str(i % 50) for i in range(5000)]  # each key appears 100x
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": pa.array(vals)})
+        ).repartition(8)
+        sk = count_min(ds, "k", width=4096, depth=4)
+        keys = [str(i) for i in range(50)]
+        est = count_min_estimate(sk, keys)
+        assert (est >= 100).all()           # CM never underestimates
+        assert (est == 100).mean() > 0.9    # sparse sketch: mostly exact
+        assert sk.sum() == 4 * 5000
+
+    def test_merge_equals_single_pass(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.sketch import count_min
+
+        vals = [str(i % 7) for i in range(900)]
+        tbl = pa.Table.from_pydict({"k": pa.array(vals)})
+        sk1 = count_min(ray.data.from_arrow(tbl).repartition(1), "k", width=64, depth=3)
+        sk8 = count_min(ray.data.from_arrow(tbl).repartition(8), "k", width=64, depth=3)
+        assert np.array_equal(sk1, sk8)

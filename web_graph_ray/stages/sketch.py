@@ -21,7 +21,7 @@ import ray.data
 
 from ..functions.text import _fnv1a
 
-__all__ = ["hll_distinct", "fnv1a64", "frequent_items"]
+__all__ = ["hll_distinct", "fnv1a64", "frequent_items", "count_min", "count_min_estimate"]
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF
@@ -233,3 +233,50 @@ def frequent_items(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def count_min(
+    ds: "ray.data.Dataset",
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> np.ndarray:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of ``col``:
+    depth×width counters, row j's hash = fnv1a64("<j>|<value>") mod
+    width — d independent FNV streams, each exactly re-derivable in SQL
+    (the estimate is a deterministic function of the exact per-value
+    counts, so an oracle can reproduce it bit-for-bit).
+
+    One sketch per batch (the batch pre-groups values, so the hash runs
+    per DISTINCT value, not per row) → counter-wise SUM merge, the same
+    one-row-per-block combiner as the HLL.  Returns the merged
+    (depth, width) int64 counter array; query estimates via
+    ``count_min_estimate``."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pandas().astype(str)
+        counts = vals.groupby(vals).size()
+        sk = np.zeros((depth, width), dtype=np.int64)
+        c = counts.to_numpy()
+        for j in range(depth):
+            keyed = pa.array([f"{j}|{v}" for v in counts.index], pa.large_string())
+            idx = (fnv1a64(keyed) % np.uint64(width)).astype(np.int64)
+            np.add.at(sk[j], idx, c)
+        return pa.Table.from_pydict({"sketch": pa.array([sk.tobytes()])})
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(row["sketch"], dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def count_min_estimate(sketch: np.ndarray, keys) -> np.ndarray:
+    """Point-estimate counts for ``keys`` from a count_min sketch:
+    min over rows of the addressed counters (classic CM upper bound)."""
+    depth, width = sketch.shape
+    ests = np.full((depth, len(keys)), 0, dtype=np.int64)
+    for j in range(depth):
+        keyed = pa.array([f"{j}|{k}" for k in keys], pa.large_string())
+        idx = (fnv1a64(keyed) % np.uint64(width)).astype(np.int64)
+        ests[j] = sketch[j, idx]
+    return ests.min(axis=0)
