@@ -546,6 +546,70 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def bigram_logprob_documents(sf_dir: str):
+    """Bigram-LM doc scoring: mean ln P(w_i | w_{i-1}) per doc with the
+    bigram model estimated from the corpus itself — P = c(w1,w2) /
+    c_prefix(w1), c_prefix counting w1's occurrences as a bigram
+    prefix.  (Backoff never fires when scoring the estimation corpus —
+    every observed bigram has count ≥ 1 — so this is the exact
+    conditional form.)  Same scale shape as the unigram pipeline:
+    explode → two bucketed counts → co-partitioned joins back → per-doc
+    mean; no broadcast at any vocab size.  Docs with < 2 tokens drop."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, w1s, w2s = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * max(len(ts) - 1, 0))
+            w1s.extend(ts[:-1])
+            w2s.extend(ts[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "w1": pa.array(w1s, pa.string()),
+                "w2": pa.array(w2s, pa.string()),
+            }
+        )
+
+    big = ds.map_batches(explode, batch_format="pyarrow")
+    c2 = bucketed_agg(big, ["w1", "w2"], out_col="c2")
+    c1 = bucketed_agg(
+        big.map_batches(
+            lambda t: pa.table({"w1": t["w1"].combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        ["w1"],
+        out_col="c1",
+    )
+
+    joined = bucket_hash_join(
+        bucket_hash_join(big, c2, ["w1", "w2"]), c1, ["w1"]
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(
+            df["c2"].to_numpy(dtype="float64") / df["c1"].to_numpy(dtype="float64")
+        )
+        return (
+            pd.DataFrame({"doc_id": df["doc_id"], "lp": lp})
+            .groupby("doc_id", as_index=False)["lp"]
+            .mean()
+            .rename(columns={"lp": "bigram_logprob"})
+        )
+
+    out = bucketed_group_map(joined, ["doc_id"], per_doc).to_pandas()
+    out = _round_cols(out, {"bigram_logprob": 6})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def count_min_events(sf_dir: str):
     """Count-Min sketch of events.user_id (1024×4 counters, per-batch
     sketches + counter-sum merge — the HLL's combiner shape) probed for
@@ -1299,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_documents": quality_filter_documents,
         "tfidf_topk_documents": tfidf_topk_documents,
         "count_min_events": count_min_events,
+        "bigram_logprob_documents": bigram_logprob_documents,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1874,6 +1939,19 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "bigram_logprob_documents": """
+            with t as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts
+                       from documents),
+            big as (select doc_id, ts[g.i] w1, ts[g.i+1] w2
+                    from t, lateral (select unnest(generate_series(1, len(ts)-1)) i) g(i)
+                    where len(ts) >= 2),
+            c2 as (select w1, w2, count(*) c2 from big group by w1, w2),
+            c1 as (select w1, count(*) c1 from big group by w1)
+            select b.doc_id,
+                   round(avg(ln(cast(c2.c2 as double) / c1.c1)), 6) as bigram_logprob
+            from big b join c2 using(w1, w2) join c1 using(w1)
+            group by b.doc_id order by b.doc_id
         """,
         "count_min_events": _count_min_sql(),
         "tfidf_topk_documents": """
