@@ -546,6 +546,28 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def rollup_lineitem(sf_dir: str):
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus) sum of quantity
+    (stages/relational.py::rollup_agg — one input scan; subtotals
+    re-aggregate the previous level's result).  Rolled-up keys mapped
+    to 'ALL' so the comparison is null-free."""
+    from web_graph_ray.stages.relational import rollup_agg
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_agg(
+        ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+        how="sum", out_col="sum_qty",
+    ).to_pandas()
+    for c in ("l_returnflag", "l_linestatus"):
+        out[c] = out[c].fillna("ALL")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return (
+        out.sort_values(["level", "l_returnflag", "l_linestatus"],
+                        kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def bigram_logprob_documents(sf_dir: str):
     """Bigram-LM doc scoring: mean ln P(w_i | w_{i-1}) per doc with the
     bigram model estimated from the corpus itself — P = c(w1,w2) /
@@ -1364,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_documents": tfidf_topk_documents,
         "count_min_events": count_min_events,
         "bigram_logprob_documents": bigram_logprob_documents,
+        "rollup_lineitem": rollup_lineitem,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1939,6 +1962,17 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "rollup_lineitem": """
+            select coalesce(l_returnflag, 'ALL') as l_returnflag,
+                   coalesce(l_linestatus, 'ALL') as l_linestatus,
+                   cast(sum(l_quantity) as bigint) as sum_qty,
+                   cast(case when l_returnflag is null then 0
+                             when l_linestatus is null then 1
+                             else 2 end as bigint) as level
+            from lineitem
+            group by rollup(l_returnflag, l_linestatus)
+            order by level, l_returnflag, l_linestatus
         """,
         "bigram_logprob_documents": """
             with t as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') ts

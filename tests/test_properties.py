@@ -342,3 +342,48 @@ class TestRangeAndHopping:
         a = a.sort_values(cols).reset_index(drop=True)
         b = b.sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestRollup:
+    def test_matches_pandas_all_levels(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import rollup_agg
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(list("xyz"), 500),
+                "b": rng.choice(list("pq"), 500),
+                "v": rng.randint(0, 100, 500),
+            }
+        )
+        got = (
+            rollup_agg(ray.data.from_pandas(df).repartition(8), ["a", "b"], "v")
+            .to_pandas()
+        )
+        full = df.groupby(["a", "b"], as_index=False)["v"].sum()
+        lvl2 = got[got.level == 2].sort_values(["a", "b"]).reset_index(drop=True)
+        assert lvl2[["a", "b"]].values.tolist() == full[["a", "b"]].values.tolist()
+        assert lvl2["agg"].tolist() == full["v"].tolist()
+        lvl1 = got[got.level == 1].sort_values("a").reset_index(drop=True)
+        bya = df.groupby("a", as_index=False)["v"].sum()
+        assert lvl1["agg"].tolist() == bya["v"].tolist()
+        assert lvl1["b"].isna().all()
+        lvl0 = got[got.level == 0]
+        assert len(lvl0) == 1 and lvl0["agg"].item() == df["v"].sum()
+
+    def test_min_rollup(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import rollup_agg
+
+        df = pd.DataFrame({"a": ["x", "x", "y"], "v": [5, 2, 9]})
+        got = rollup_agg(
+            ray.data.from_pandas(df), ["a"], "v", how="min"
+        ).to_pandas()
+        assert got[got.level == 1].set_index("a")["agg"].to_dict() == {"x": 2, "y": 9}
+        assert got[got.level == 0]["agg"].item() == 2

@@ -44,6 +44,7 @@ __all__ = [
     "sessionize",
     "asof_join",
     "asof_join_partitioned",
+    "rollup_agg",
 ]
 
 
@@ -870,3 +871,61 @@ def range_join(
     return bucketed_group_map(
         lds.union(rds), [on], match, num_buckets=num_buckets
     )
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    how: str = "sum",
+    out_col: str = "agg",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP`` semantics: one aggregate row per key
+    prefix level — full keys, each coarser prefix, and the grand total
+    — with rolled-up key columns set to null and a ``level`` column
+    (count of concrete keys).  ``how`` ∈ {count, sum, min, max}.
+
+    Scale shape: the INPUT is scanned once (the full-key bucketed
+    aggregate); every coarser level re-aggregates the previous level's
+    already-small result — sum-of-sums / min-of-mins are exact — so
+    subtotal cost is proportional to the number of GROUPS, not rows.
+    The grand total is a native Dataset aggregate (O(1) driver state).
+    Precondition: key columns must be nullable-friendly dtypes
+    (strings / objects) since rolled-up keys become null."""
+    up = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[how]
+    levels = []
+    cur = bucketed_agg(
+        ds, key_cols, value_col, how=how, out_col=out_col, num_buckets=num_buckets
+    ).materialize()
+
+    def pad(level_keys: list[str], lvl: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: df[c] if c in level_keys else None
+                                for c in key_cols})
+            out[out_col] = df[out_col]
+            out["level"] = np.int64(lvl)
+            return out
+
+        return f
+
+    levels.append(cur.map_batches(pad(key_cols, len(key_cols)),
+                                  batch_format="pandas"))
+    for k in range(len(key_cols) - 1, 0, -1):
+        cur = bucketed_agg(
+            cur, key_cols[:k], out_col, how=up, out_col=out_col,
+            num_buckets=num_buckets,
+        ).materialize()
+        levels.append(cur.map_batches(pad(key_cols[:k], k),
+                                      batch_format="pandas"))
+
+    grand = getattr(cur, up)(out_col)  # native Dataset aggregate
+    total_row = pd.DataFrame({c: [None] for c in key_cols})
+    total_row[out_col] = [grand]
+    total_row["level"] = np.int64(0)
+    levels.append(ray.data.from_pandas(total_row))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
