@@ -546,6 +546,28 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def funnel_events(sf_dir: str):
+    """Ordered funnel view → click → purchase with a 24 h step window
+    (stages/relational.py::funnel_steps — one user-bucketed exchange,
+    vectorized per-step min inside each bucket).  Output: users
+    completing ≥ each step."""
+    from web_graph_ray.stages.relational import funnel_steps
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    per_user = funnel_steps(
+        ds, ["view", "click", "purchase"], window_s=24 * 3600
+    ).to_pandas()
+    n = len(per_user)
+    counts = [
+        int((per_user["steps_completed"] >= k).sum()) for k in (1, 2, 3)
+    ]
+    assert counts[0] == n
+    return pd.DataFrame(
+        {"step": pd.Series([1, 2, 3], dtype="int64"),
+         "users": pd.Series(counts, dtype="int64")}
+    )
+
+
 def rollup_lineitem(sf_dir: str):
     """GROUP BY ROLLUP (l_returnflag, l_linestatus) sum of quantity
     (stages/relational.py::rollup_agg — one input scan; subtotals
@@ -1387,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min_events": count_min_events,
         "bigram_logprob_documents": bigram_logprob_documents,
         "rollup_lineitem": rollup_lineitem,
+        "funnel_events": funnel_events,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "degree_topk_lineitem": degree_topk_lineitem,
@@ -1962,6 +1985,21 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "funnel_events": """
+            with a as (select user_id, min(ts) t1 from events
+                       where event_type = 'view' group by user_id),
+            b as (select e.user_id, min(ts) t2 from events e join a using(user_id)
+                  where event_type = 'click' and ts > a.t1
+                    and ts <= a.t1 + interval '24 hours' group by e.user_id),
+            c as (select e.user_id, min(ts) t3 from events e join b using(user_id)
+                  where event_type = 'purchase' and ts > b.t2
+                    and ts <= b.t2 + interval '24 hours' group by e.user_id)
+            select cast(step as bigint) step, cast(users as bigint) users from (
+              select 1 step, (select count(*) from a) users
+              union all select 2, (select count(*) from b)
+              union all select 3, (select count(*) from c))
+            order by step
         """,
         "rollup_lineitem": """
             select coalesce(l_returnflag, 'ALL') as l_returnflag,

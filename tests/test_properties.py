@@ -387,3 +387,58 @@ class TestRollup:
         ).to_pandas()
         assert got[got.level == 1].set_index("a")["agg"].to_dict() == {"x": 2, "y": 9}
         assert got[got.level == 0]["agg"].item() == 2
+
+
+class TestFunnel:
+    def test_known_sequences(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import funnel_steps
+
+        t0 = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # u1: full funnel in order
+            (1, t0, "view"), (1, t0 + h, "click"), (1, t0 + 2 * h, "purchase"),
+            # u2: click BEFORE view → stops at step 1
+            (2, t0, "click"), (2, t0 + h, "view"),
+            # u3: view then purchase (no click) → stops at step 1
+            (3, t0, "view"), (3, t0 + h, "purchase"),
+            # u4: full funnel but click outside the window
+            (4, t0, "view"), (4, t0 + pd.Timedelta(hours=30), "click"),
+            # u5: never views
+            (5, t0, "click"), (5, t0 + h, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        out = (
+            funnel_steps(
+                ray.data.from_pandas(df).repartition(4),
+                ["view", "click", "purchase"],
+                window_s=24 * 3600,
+            )
+            .to_pandas()
+            .set_index("user_id")["steps_completed"]
+            .to_dict()
+        )
+        assert out == {1: 3, 2: 1, 3: 1, 4: 1}
+
+    def test_min_after_prev_semantics(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import funnel_steps
+
+        t0 = pd.Timestamp("2024-01-01")
+        h = pd.Timedelta(hours=1)
+        # the FIRST click after view is at +2h; purchase at +1h (before
+        # it) must not count, purchase at +3h does
+        rows = [
+            (1, t0, "view"), (1, t0 + 2 * h, "click"),
+            (1, t0 + h, "purchase"), (1, t0 + 3 * h, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        out = funnel_steps(
+            ray.data.from_pandas(df), ["view", "click", "purchase"]
+        ).to_pandas()
+        assert out.steps_completed.item() == 3

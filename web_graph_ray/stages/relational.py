@@ -45,6 +45,7 @@ __all__ = [
     "asof_join",
     "asof_join_partitioned",
     "rollup_agg",
+    "funnel_steps",
 ]
 
 
@@ -929,3 +930,63 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def funnel_steps(
+    ds: "ray.data.Dataset",
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_s: float | None = None,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered-funnel analysis: for each user, how many of ``steps``
+    completed in order — step k counts only at the MINIMUM timestamp
+    strictly after the user's step-(k-1) time (and within ``window_s``
+    of it, when given).  Returns (user_col, steps_completed) for every
+    user who completed step 1; aggregate downstream for the funnel.
+
+    Scale shape: one user-hash bucketed exchange; each bucket holds all
+    of its users' events, and every step is one vectorized
+    filter+merge+groupby-min inside the bucket — no per-user Python, no
+    driver state.  The standard sessionization-family partitioning
+    (same key as sessionize)."""
+    w = pd.Timedelta(seconds=window_s) if window_s is not None else None
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        prev = None
+        reached = None
+        for k, s in enumerate(steps, start=1):
+            sub = df[df[type_col] == s]
+            if prev is None:
+                cur = sub.groupby(user_col)[ts_col].min()
+            else:
+                m = sub.merge(
+                    prev.rename("_prev").rename_axis(user_col).reset_index(),
+                    on=user_col,
+                )
+                ok = m[ts_col] > m["_prev"]
+                if w is not None:
+                    ok &= m[ts_col] <= m["_prev"] + w
+                cur = m[ok].groupby(user_col)[ts_col].min()
+            if k == 1:
+                reached = pd.Series(np.int64(1), index=cur.index)
+            else:
+                reached.loc[reached.index.isin(cur.index)] = np.int64(k)
+            if len(cur) == 0:
+                break
+            prev = cur
+        if reached is None or len(reached) == 0:
+            return pd.DataFrame(
+                {user_col: pd.Series([], dtype=df[user_col].dtype),
+                 "steps_completed": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {user_col: reached.index.to_numpy(),
+             "steps_completed": reached.to_numpy().astype("int64")}
+        )
+
+    return bucketed_group_map(
+        ds, [user_col], per_bucket, num_buckets=num_buckets
+    )
