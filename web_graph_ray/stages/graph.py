@@ -110,6 +110,7 @@ def _partition_graph(
     work_dir: str | None,
     symmetric: bool = False,
     with_degree: bool = False,
+    bidirectional: bool = False,
 ) -> tuple[str, str]:
     """One Ray Data pass each for edges and nodes → bucket-affine
     Parquet sidecars under ``work_dir`` (tempdir if None):
@@ -133,6 +134,16 @@ def _partition_graph(
         s, d = t[src_col].combine_chunks(), t[dst_col].combine_chunks()
         if symmetric:
             s, d = pa.concat_arrays([s, d]), pa.concat_arrays([d, s])
+        if bidirectional:
+            # both orientations in ONE partitioning pass, tagged by
+            # direction — halves the static-state jobs for algorithms
+            # that exchange along edges both ways (HITS)
+            n = len(s)
+            s, d = pa.concat_arrays([s, d]), pa.concat_arrays([d, s])
+            return pa.table(
+                {"src": s, "dst": d,
+                 "dir": pa.array([0] * n + [1] * n, pa.int8())}
+            )
         return pa.table({"src": s, "dst": d})
 
     canon_edges = edges.map_batches(canon, batch_format="pyarrow")
@@ -586,7 +597,8 @@ def _hits_init(ndir: str, b: int) -> "pd.DataFrame":
 
 
 @ray.remote
-def _hits_messages(edir: str, b: int, num_buckets: int, vals: pd.DataFrame):
+def _hits_messages(edir: str, b: int, num_buckets: int, vals: pd.DataFrame,
+                   direction: int):
     """Map phase for sender-bucket b: forward each sender's current
     score along its edges (multi-edge rows contribute once each),
     partial-summed by (dst_bucket, dst).  Returns B per-destination
@@ -597,6 +609,7 @@ def _hits_messages(edir: str, b: int, num_buckets: int, vals: pd.DataFrame):
     if not os.path.exists(p):
         return [empty] * num_buckets + [0.0]
     e = pd.read_parquet(p)
+    e = e[e["dir"] == direction]
     m = e.merge(vals.rename(columns={"node": "src", "val": "_v"}), on="src", how="inner")
     parts = m.groupby(["dst_bucket", "dst"], as_index=False)["_v"].sum()
     out = []
@@ -658,20 +671,23 @@ def hits(
     identically is bit-stable.  Multi-edge rows contribute once each.
 
     Execution: the same partition-once / message-exchange loop as
-    pagerank (module docstring), with TWO static edge partitionings —
-    one keyed by src (authority pass) and one keyed by dst (hub pass) —
-    so each half-step is one bucket-to-bucket exchange.  Driver state:
+    pagerank (module docstring).  Both orientations are written in ONE
+    bidirectional partitioning pass (each edge appears twice, keyed by
+    its half-step sender and tagged with a direction flag), so the
+    authority pass and the hub pass are each one bucket-to-bucket
+    exchange over the same static sidecars.  Driver state:
     O(num_buckets) refs + one normalizer scalar per half-step."""
-    fwd_edir, ndir = _partition_graph(edges, src_col, dst_col, num_buckets, work_dir)
-    rev_edir, _ = _partition_graph(edges, dst_col, src_col, num_buckets, None)
+    edir, ndir = _partition_graph(
+        edges, src_col, dst_col, num_buckets, work_dir, bidirectional=True
+    )
 
     hub_refs = [_hits_init.remote(ndir, b) for b in range(num_buckets)]
     auth_refs = hub_refs
 
-    def half_step(edir: str, refs: list) -> list:
+    def half_step(direction: int, refs: list) -> list:
         msg = [
             _hits_messages.options(num_returns=num_buckets + 1).remote(
-                edir, b, num_buckets, refs[b]
+                edir, b, num_buckets, refs[b], direction
             )
             for b in range(num_buckets)
         ]
@@ -684,8 +700,8 @@ def hits(
         ]
 
     for _ in range(iterations):
-        auth_refs = half_step(fwd_edir, hub_refs)
-        hub_refs = half_step(rev_edir, auth_refs)
+        auth_refs = half_step(0, hub_refs)
+        hub_refs = half_step(1, auth_refs)
 
     merged = [
         _hits_merge.remote(auth_refs[b], hub_refs[b]) for b in range(num_buckets)
