@@ -1242,6 +1242,18 @@ def hll_distinct_users(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def hll_grouped_events(sf_dir: str):
+    """Approximate distinct users PER event_type
+    (stages/sketch.py::hll_distinct_grouped — per-(batch, group) HLL
+    sketches, group-bucketed register-max merge)."""
+    from web_graph_ray.stages.sketch import hll_distinct_grouped
+
+    out = hll_distinct_grouped(
+        _t(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # --- crawl pipeline (fixture corpus; rows-only checks) ---------------------
 
 _CRAWL_CACHE: dict[str, Any] = {}
@@ -1423,6 +1435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only
         "distinct_user_count": distinct_user_count,
         "hll_distinct_users": hll_distinct_users,
+        "hll_grouped_events": hll_grouped_events,
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
         "minhash_pairs_documents": minhash_pairs_documents,
@@ -1534,6 +1547,39 @@ def _hll_sql() -> str:
                          then 4096 * ln(4096.0 / zeros) else e end, 1) as estimate,
                    12 as p
             from est
+        """
+
+
+def _hll_grouped_sql() -> str:
+    """Grouped HLL twin: the _hll_sql derivation with event_type carried
+    through every CTE and a final per-group estimate."""
+    h = "fnv"
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
+    h = _sql_xor64(h, f"(({h}) >> 33)")
+    return f"""
+            with v as (
+              select event_type g, list_reduce(
+                       list_prepend(14695981039346656037::hugeint,
+                         list_transform(regexp_extract_all(user_id::varchar, '.'),
+                                        c -> ascii(c)::bigint)),
+                       (h, b) -> {_FNV_SQL_STEP}) fnv
+              from events),
+            hx as (select g, {h} as h from v),
+            rk as (select g, (h % 4096)::bigint idx,
+                          case when (h >> 12) > 0
+                               then 52 - length(bin((h >> 12)::bigint)) + 1
+                               else 53 end rank
+                   from hx),
+            reg as (select g, idx, max(rank) r from rk group by g, idx),
+            s as (select g, sum(pow(2.0, -r)) sp, count(*) used from reg group by g),
+            est as (select g, (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 /
+                           (sp + (4096 - used) * 1.0) e,
+                           (4096 - used) zeros from s)
+            select g as event_type,
+                   round(case when e <= 2.5 * 4096 and zeros > 0
+                         then 4096 * ln(4096.0 / zeros) else e end, 1) as estimate
+            from est order by event_type
         """
 
 
@@ -2157,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": _fingerprint_sql(),
         "hll_distinct_users": _hll_sql(),
+        "hll_grouped_events": _hll_grouped_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "minhash_pairs_documents": _minhash_pairs_sql(),
         "minhash_clusters_documents": _minhash_clusters_sql(),

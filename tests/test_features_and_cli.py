@@ -659,3 +659,34 @@ class TestCountMin:
         sk1 = count_min(ray.data.from_arrow(tbl).repartition(1), "k", width=64, depth=3)
         sk8 = count_min(ray.data.from_arrow(tbl).repartition(8), "k", width=64, depth=3)
         assert np.array_equal(sk1, sk8)
+
+
+class TestGroupedHLL:
+    def test_accuracy_and_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.sketch import hll_distinct_grouped
+
+        # group g has (g+1)*400 distinct values
+        gs, vs = [], []
+        for g in range(3):
+            n = (g + 1) * 400
+            gs.extend([f"g{g}"] * n * 2)           # every value twice
+            vs.extend(list(range(g * 10**6, g * 10**6 + n)) * 2)
+        tbl = pa.Table.from_pydict({"g": pa.array(gs), "v": pa.array(vs)})
+        outs = []
+        for parts in (1, 8):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = (
+                hll_distinct_grouped(ds, "g", "v")
+                .to_pandas()
+                .sort_values("g")
+                .reset_index(drop=True)
+            )
+            outs.append(out)
+        assert outs[0].equals(outs[1])  # sketch merge is order-invariant
+        for g in range(3):
+            true = (g + 1) * 400
+            est = outs[0].loc[outs[0].g == f"g{g}", "estimate"].item()
+            assert abs(est / true - 1) < 0.1, (g, est, true)

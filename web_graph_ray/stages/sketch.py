@@ -14,6 +14,7 @@ carries kilobytes regardless of input size.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -21,7 +22,14 @@ import ray.data
 
 from ..functions.text import _fnv1a
 
-__all__ = ["hll_distinct", "fnv1a64", "frequent_items", "count_min", "count_min_estimate"]
+__all__ = [
+    "hll_distinct",
+    "hll_distinct_grouped",
+    "fnv1a64",
+    "frequent_items",
+    "count_min",
+    "count_min_estimate",
+]
 
 
 _M64 = 0xFFFFFFFFFFFFFFFF
@@ -280,3 +288,49 @@ def count_min_estimate(sketch: np.ndarray, keys) -> np.ndarray:
         idx = (fnv1a64(keyed) % np.uint64(width)).astype(np.int64)
         ests[j] = sketch[j, idx]
     return ests.min(axis=0)
+
+
+def hll_distinct_grouped(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    p: int = 12,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Approximate distinct ``col`` PER ``group_col`` value: one HLL per
+    (batch, group) → group-bucketed register-max merge → estimate.
+    Returns (group_col, estimate) — works at any group cardinality (the
+    shuffle carries one 2^p-byte sketch per group per batch, the merge
+    is per-bucket; no driver state)."""
+    m = 1 << p
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        groups, sketches = [], []
+        for g, sub in df.groupby(group_col, sort=False):
+            registers = np.zeros(m, dtype=np.uint8)
+            _hll_add_batch(registers, sub[col].to_numpy(), p)
+            groups.append(g)
+            sketches.append(registers.tobytes())
+        return pa.Table.from_pydict(
+            {group_col: pa.array(groups), "sketch": pa.array(sketches, pa.binary())}
+        )
+
+    from .relational import bucketed_group_map
+
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_e = [], []
+        for g, sub in df.groupby(group_col, sort=True):
+            merged = np.zeros(m, dtype=np.uint8)
+            for b in sub["sketch"]:
+                merged = np.maximum(merged, np.frombuffer(b, dtype=np.uint8))
+            out_g.append(g)
+            out_e.append(round(_hll_estimate(merged), 1))
+        return pd.DataFrame({group_col: out_g, "estimate": out_e})
+
+    return bucketed_group_map(
+        ds.map_batches(sketch_batch, batch_format="pyarrow"),
+        [group_col],
+        merge_bucket,
+        num_buckets=num_buckets,
+    )
