@@ -386,6 +386,48 @@ def degree_topk_lineitem(sf_dir: str):
     )
 
 
+_BFS_ROUNDS = 3
+
+
+def bfs_layers_lineitem(sf_dir: str):
+    """Multi-source BFS (sources = nodes 0..4) over the directed mix
+    graph, depth ≤ 3 (stages/graph.py::bfs_layers — the CC loop with
+    dist+1 messages and min reduce)."""
+    from web_graph_ray.stages.graph import bfs_layers
+
+    out = bfs_layers(
+        _mix_graph(sf_dir), sources=list(range(5)), rounds=_BFS_ROUNDS
+    ).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["dist", "node"]).reset_index(drop=True)
+
+
+def _bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
+    """DuckDB twin: unrolled min-distance propagation over the same
+    directed mix graph."""
+    sql = """
+            with e0 as (select l_orderkey % 2000 as src,
+                               (l_partkey*31 + l_suppkey) % 2000 as dst
+                        from lineitem),
+            nodes as (select src as node from e0 union select dst from e0),
+            d0 as (select node,
+                          case when node between 0 and 4 then 0 end dist
+                   from nodes)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+            m{k} as (select e.dst node, min(d.dist) + 1 m
+                     from e0 e join d{k-1} d on d.node = e.src
+                     where d.dist is not null group by e.dst),
+            d{k} as (select n.node, least(coalesce(n.dist, m.m), coalesce(m.m, n.dist)) dist
+                     from d{k-1} n left join m{k} m using(node))"""
+    sql += f"""
+            select node, cast(dist as bigint) dist from d{rounds}
+            where dist is not null
+            order by dist, node
+        """
+    return sql
+
+
 _HITS_ITERS = 2
 
 
@@ -1424,6 +1466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": funnel_events,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
+        "bfs_layers_lineitem": bfs_layers_lineitem,
         "degree_topk_lineitem": degree_topk_lineitem,
         "doc_quality": doc_quality,
         "doc_repetition": doc_repetition,
@@ -2009,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
             order by doc_id
         """,
         "hits_lineitem_graph": _hits_sql(),
+        "bfs_layers_lineitem": _bfs_sql(),
         "triangle_count_lineitem": """
             with e0 as (select distinct
                           least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) a,

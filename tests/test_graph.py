@@ -335,3 +335,33 @@ class TestKmeans:
             )
         assert np.array_equal(outs[0][0], outs[1][0])
         assert outs[0][1].equals(outs[1][1])
+
+
+class TestBfsLayers:
+    def test_chain_and_unreachable(self, ray_session):
+        from web_graph_ray.stages.graph import bfs_layers
+
+        # 0->1->2->3->4, plus island 9->10
+        df = pd.DataFrame(
+            {"src": [0, 1, 2, 3, 9], "dst": [1, 2, 3, 4, 10]}
+        )
+        out = (
+            bfs_layers(ray.data.from_pandas(df).repartition(4), [0], rounds=3)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        # depth bounded at 3; node 4 unreached, island unreached
+        assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_source_min(self, ray_session):
+        from web_graph_ray.stages.graph import bfs_layers
+
+        df = pd.DataFrame({"src": [0, 1, 5], "dst": [1, 2, 2]})
+        out = (
+            bfs_layers(ray.data.from_pandas(df), [0, 5], rounds=3)
+            .to_pandas()
+            .set_index("node")["dist"]
+            .to_dict()
+        )
+        assert out == {0: 0, 5: 0, 1: 1, 2: 1}  # 2 via source 5, not via 0->1->2

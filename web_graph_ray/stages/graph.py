@@ -67,6 +67,7 @@ __all__ = [
     "degrees",
     "triangle_count",
     "hits",
+    "bfs_layers",
 ]
 
 
@@ -707,3 +708,90 @@ def hits(
         _hits_merge.remote(auth_refs[b], hub_refs[b]) for b in range(num_buckets)
     ]
     return ray.data.from_pandas_refs(merged)
+
+
+# ---------------------------------------------------------------------------
+# BFS distance layers
+# ---------------------------------------------------------------------------
+
+_BFS_INF = np.int64(1 << 62)
+
+
+@ray.remote
+def _bfs_init(ndir: str, b: int, sources: list) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object"), "dist": []})
+    nodes = pd.read_parquet(p)
+    dist = np.where(nodes["node"].isin(sources), np.int64(0), _BFS_INF)
+    return pd.DataFrame({"node": nodes["node"], "dist": dist.astype("int64")})
+
+
+@ray.remote
+def _bfs_messages(edir: str, b: int, num_buckets: int, dists: pd.DataFrame):
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame({"node": pd.Series([], dtype="object"), "m": []})
+    if not os.path.exists(p):
+        return [empty] * num_buckets
+    e = pd.read_parquet(p)
+    src = dists[dists["dist"] < _BFS_INF]
+    m = e.merge(src.rename(columns={"node": "src", "dist": "m"}), on="src", how="inner")
+    if not len(m):
+        return [empty] * num_buckets
+    m["m"] = m["m"] + 1
+    parts = m.groupby(["dst_bucket", "dst"], as_index=False)["m"].min()
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node"})[["node", "m"]] if g is not None else empty
+        )
+    return out
+
+
+@ray.remote
+def _bfs_reduce(b: int, prev: pd.DataFrame, *parts) -> "pd.DataFrame":
+    live = [x for x in parts if len(x)]
+    if not live:
+        return prev
+    mins = pd.concat(live, ignore_index=True).groupby("node", as_index=False)["m"].min()
+    df = prev.merge(mins, on="node", how="left")
+    df["dist"] = df[["dist", "m"]].min(axis=1).astype("int64")
+    return df[["node", "dist"]]
+
+
+def bfs_layers(
+    edges: "ray.data.Dataset",
+    sources: list,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+    work_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Multi-source BFS over the DIRECTED edge list: (node, dist) with
+    dist = length of the shortest path from any source, bounded by
+    ``rounds`` (unreached nodes are dropped).  Same partition-once /
+    message-exchange loop as connected_components — per round, each
+    reached node forwards dist+1 along its out-edges and receivers take
+    the min.  ``sources`` is a small explicit list (broadcast by value
+    into the B init tasks, never corpus-sized)."""
+    edir, ndir = _partition_graph(edges, src_col, dst_col, num_buckets, work_dir)
+    dist_refs = [_bfs_init.remote(ndir, b, list(sources)) for b in range(num_buckets)]
+    for _ in range(rounds):
+        msg = [
+            _bfs_messages.options(num_returns=num_buckets).remote(
+                edir, b, num_buckets, dist_refs[b]
+            )
+            for b in range(num_buckets)
+        ]
+        dist_refs = [
+            _bfs_reduce.remote(b, dist_refs[b], *[msg[sb][b] for sb in range(num_buckets)])
+            for b in range(num_buckets)
+        ]
+
+    reached = ray.data.from_pandas_refs(dist_refs)
+    return reached.map_batches(
+        lambda df: df[df["dist"] < _BFS_INF], batch_format="pandas"
+    )
