@@ -105,6 +105,31 @@ def join_orders_customers(sf_dir: str):
     )
 
 
+def skew_join_orders_customers(sf_dir: str):
+    """Skew-aware join (stages/relational.py::skew_join): keys with
+    ≥ 12 order rows take the broadcast hot path, the rest the
+    co-partitioned bucket join — result ≡ the plain inner join (the
+    SQL twin), exercised with BOTH paths live at sf0.01."""
+    from web_graph_ray.stages.relational import skew_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    joined = skew_join(orders, cust, ["custkey"], hot_threshold=12)
+    out = (
+        joined.to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .size()
+        .rename(columns={"size": "order_count"})
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def broadcast_join_nation_region(sf_dir: str):
     """Broadcast (map-side) join: region is 5 rows — ray.put once."""
     from web_graph_ray.stages.relational import broadcast_join
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": filter_events,
         "topk_users_by_events": topk_users_by_events,
         "join_orders_customers": join_orders_customers,
+        "skew_join_orders_customers": skew_join_orders_customers,
         "bucket_join_orders_customers": bucket_join_orders_customers,
         "broadcast_join_nation_region": broadcast_join_nation_region,
         "semi_join_customers": semi_join_customers,
@@ -2090,6 +2116,11 @@ def oracle_sql() -> dict[str, str]:
               union all select 2, (select count(*) from b)
               union all select 3, (select count(*) from c))
             order by step
+        """,
+        "skew_join_orders_customers": """
+            select c.c_mktsegment, cast(count(*) as bigint) as order_count
+            from orders o join customer c on c.c_custkey = o.o_custkey
+            group by c.c_mktsegment order by c.c_mktsegment
         """,
         "rollup_lineitem": """
             select coalesce(l_returnflag, 'ALL') as l_returnflag,

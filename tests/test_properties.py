@@ -442,3 +442,41 @@ class TestFunnel:
             ray.data.from_pandas(df), ["view", "click", "purchase"]
         ).to_pandas()
         assert out.steps_completed.item() == 3
+
+
+class TestSkewJoin:
+    def test_equals_plain_join_with_hot_keys(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import bucket_hash_join, skew_join
+
+        rng = np.random.RandomState(4)
+        # key 7 is pathologically hot on the left
+        keys = np.concatenate([rng.randint(0, 40, 600), np.full(400, 7)])
+        left = pd.DataFrame({"k": keys, "lv": np.arange(len(keys))})
+        right = pd.DataFrame({"k": np.arange(40), "rv": np.arange(40) * 10})
+
+        def canon(d):
+            return sorted(map(tuple, d.to_pandas()[["k", "lv", "rv"]].values.tolist()))
+
+        l = ray.data.from_pandas(left).repartition(8)
+        r = ray.data.from_pandas(right).repartition(4)
+        skew = canon(skew_join(l, r, ["k"], hot_threshold=100))
+        plain = canon(bucket_hash_join(l, r, ["k"]))
+        assert skew == plain and len(skew) == 1000
+
+    def test_no_hot_fallback(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import skew_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+        right = pd.DataFrame({"k": [2, 3, 4], "rv": [7, 8, 9]})
+        out = skew_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"],
+            hot_threshold=100,
+        ).to_pandas()
+        assert sorted(out.k.tolist()) == [2, 3]

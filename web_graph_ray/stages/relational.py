@@ -46,6 +46,7 @@ __all__ = [
     "asof_join_partitioned",
     "rollup_agg",
     "funnel_steps",
+    "skew_join",
 ]
 
 
@@ -990,3 +991,77 @@ def funnel_steps(
     return bucketed_group_map(
         ds, [user_col], per_bucket, num_buckets=num_buckets
     )
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    hot_threshold: int = 100_000,
+    max_hot_keys: int = 1024,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Skew-aware inner hash join — result ≡ ``bucket_hash_join`` but a
+    handful of HOT keys can no longer capsize one bucket.  The classic
+    two-path plan (Spark AQE's skew mitigation, Beam's hot-key fanout):
+
+    1. one bucketed count of left keys finds keys with ≥ hot_threshold
+       rows; the hot-key LIST (bounded by ``max_hot_keys``, ids only —
+       never rows) is the only driver state;
+    2. cold rows take the normal co-partitioned bucket join;
+    3. hot LEFT rows stay in place (no shuffle at all) and join against
+       a broadcast of the right side's hot-key rows (small by the join's
+       own assumption: a key hot on the left has few right rows in a
+       star-schema join — assert-guarded via the broadcast gate).
+
+    Falls back to plain bucket_hash_join when nothing is hot."""
+    from .dedup import BROADCAST_BYTES
+
+    counts = bucketed_agg(
+        left.map_batches(lambda df: df[on], batch_format="pandas"),
+        on,
+        out_col="_n",
+        num_buckets=num_buckets,
+    )
+    hot = counts.map_batches(
+        lambda df: df[df["_n"] >= hot_threshold][on], batch_format="pandas"
+    ).to_pandas()
+    if len(hot) == 0:
+        return bucket_hash_join(left, right, on, num_buckets=num_buckets)
+    if len(hot) > max_hot_keys:
+        raise ValueError(
+            f"skew_join: {len(hot)} hot keys exceed max_hot_keys={max_hot_keys}"
+        )
+
+    hot_set = {tuple(r) for r in hot[on].itertuples(index=False)}
+
+    def is_hot(df: pd.DataFrame) -> pd.Series:
+        return pd.Series(
+            [tuple(r) in hot_set for r in df[on].itertuples(index=False)],
+            index=df.index,
+        )
+
+    cold = bucket_hash_join(
+        left.map_batches(lambda df: df[~is_hot(df)], batch_format="pandas"),
+        right.map_batches(lambda df: df[~is_hot(df)], batch_format="pandas"),
+        on,
+        num_buckets=num_buckets,
+    )
+
+    right_hot = right.map_batches(
+        lambda df: df[is_hot(df)], batch_format="pandas"
+    ).to_pandas()
+    if right_hot.memory_usage(deep=True).sum() > BROADCAST_BYTES:
+        raise ValueError(
+            "skew_join: right side's hot-key rows exceed the broadcast gate — "
+            "salt the key upstream instead"
+        )
+    ref = ray.put(right_hot)
+
+    def join_hot(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[is_hot(df)]
+        if not len(l):
+            return l.merge(ray.get(ref), on=on)
+        return l.merge(ray.get(ref), on=on, how="inner")
+
+    return cold.union(left.map_batches(join_hot, batch_format="pandas"))
