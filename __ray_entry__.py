@@ -613,6 +613,59 @@ def unigram_logprob_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def normalize_text_documents(sf_dir: str):
+    """Canonical text normalization (stages/text.py::add_normalized):
+    lowercase → drop non-[a-z0-9 ] → collapse spaces → trim.  Pure
+    batch map, zero shuffles."""
+    from web_graph_ray.stages.text import add_normalized
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(add_normalized, batch_format="pyarrow").select_columns(
+        ["doc_id", "norm_text"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE (l_returnflag, l_linestatus) sum of quantity
+    (stages/relational.py::cube_agg — marginals re-aggregate the base
+    result, one input scan).  Rolled-up keys mapped to 'ALL'."""
+    from web_graph_ray.stages.relational import cube_agg
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = cube_agg(
+        ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+        how="sum", out_col="sum_qty",
+    ).to_pandas()
+    for c in ("l_returnflag", "l_linestatus"):
+        out[c] = out[c].fillna("ALL")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return (
+        out.sort_values(["grouping", "l_returnflag", "l_linestatus"],
+                        kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def histogram_lineitem_price(sf_dir: str):
+    """Fixed-width histogram of l_extendedprice (40 bins of 2500 from
+    0): one vectorized floor-divide per batch + a bucketed count —
+    the classic distribution profile, zero driver state."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def binify(t: pa.Table) -> pa.Table:
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array((p // 2500).astype("int64"))})
+
+    out = bucketed_agg(
+        ds.map_batches(binify, batch_format="pyarrow"), ["bin"], out_col="n"
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bin").reset_index(drop=True)
+
+
 def funnel_events(sf_dir: str):
     """Ordered funnel view → click → purchase with a 24 h step window
     (stages/relational.py::funnel_steps — one user-bucketed exchange,
@@ -1490,6 +1543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents": bigram_logprob_documents,
         "rollup_lineitem": rollup_lineitem,
         "funnel_events": funnel_events,
+        "cube_lineitem": cube_lineitem,
+        "normalize_text_documents": normalize_text_documents,
+        "histogram_lineitem_price": histogram_lineitem_price,
         "triangle_count_lineitem": triangle_count_lineitem,
         "hits_lineitem_graph": hits_lineitem_graph,
         "bfs_layers_lineitem": bfs_layers_lineitem,
@@ -2101,6 +2157,27 @@ def oracle_sql() -> dict[str, str]:
                   group by node)
             select node, out_deg, in_deg, deg from d
             order by deg desc, node limit 20
+        """,
+        "normalize_text_documents": """
+            select doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) as norm_text
+            from documents order by doc_id
+        """,
+        "cube_lineitem": """
+            select coalesce(l_returnflag, 'ALL') as l_returnflag,
+                   coalesce(l_linestatus, 'ALL') as l_linestatus,
+                   cast(sum(l_quantity) as bigint) as sum_qty,
+                   cast(2 * grouping(l_returnflag) + grouping(l_linestatus)
+                        as bigint) as grouping
+            from lineitem
+            group by cube(l_returnflag, l_linestatus)
+            order by grouping, l_returnflag, l_linestatus
+        """,
+        "histogram_lineitem_price": """
+            select cast(floor(l_extendedprice / 2500) as bigint) as bin,
+                   cast(count(*) as bigint) as n
+            from lineitem group by bin order by bin
         """,
         "funnel_events": """
             with a as (select user_id, min(ts) t1 from events

@@ -480,3 +480,39 @@ class TestSkewJoin:
             hot_threshold=100,
         ).to_pandas()
         assert sorted(out.k.tolist()) == [2, 3]
+
+
+class TestCubeAndNormalize:
+    def test_cube_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import cube_agg
+
+        rng = np.random.RandomState(6)
+        df = pd.DataFrame(
+            {"a": rng.choice(list("mn"), 300), "b": rng.choice(list("uv"), 300),
+             "v": rng.randint(0, 50, 300)}
+        )
+        got = cube_agg(
+            ray.data.from_pandas(df).repartition(4), ["a", "b"], "v"
+        ).to_pandas()
+        assert got[got.grouping == 0]["agg"].sum() == df.v.sum()
+        m_a = got[got.grouping == 1].set_index("a")["agg"].to_dict()
+        assert m_a == df.groupby("a")["v"].sum().to_dict()
+        m_b = got[got.grouping == 2].set_index("b")["agg"].to_dict()
+        assert m_b == df.groupby("b")["v"].sum().to_dict()
+        assert got[got.grouping == 3]["agg"].item() == df.v.sum()
+
+    def test_normalize_edge_cases(self):
+        import pyarrow as pa
+
+        from web_graph_ray.stages.text import add_normalized
+
+        batch = pa.Table.from_pydict(
+            {"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+             "text": pa.array(["  Héllo,   World! 42 ", "", "$$$"])}
+        )
+        out = add_normalized(batch)["norm_text"].to_pylist()
+        assert out == ["hllo world 42", "", ""]

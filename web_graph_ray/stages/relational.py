@@ -47,6 +47,7 @@ __all__ = [
     "rollup_agg",
     "funnel_steps",
     "skew_join",
+    "cube_agg",
 ]
 
 
@@ -1065,3 +1066,50 @@ def skew_join(
         return l.merge(ray.get(ref), on=on, how="inner")
 
     return cold.union(left.map_batches(join_hot, batch_format="pandas"))
+
+
+def cube_agg(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    how: str = "sum",
+    out_col: str = "agg",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY CUBE`` semantics for TWO keys: aggregates at
+    (a,b), (a), (b) and () with rolled-up keys null and a ``grouping``
+    bitmask column (bit set = key rolled up, SQL GROUPING() order).
+    Like rollup_agg, every marginal re-aggregates the base (a,b)
+    result — the input is scanned once; sum-of-sums / min-of-mins are
+    exact."""
+    assert len(key_cols) == 2, "cube_agg: exactly two key columns"
+    a, b = key_cols
+    up = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[how]
+    base = bucketed_agg(
+        ds, key_cols, value_col, how=how, out_col=out_col, num_buckets=num_buckets
+    ).materialize()
+
+    def pad(keep: list[str], mask: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({c: df[c] if c in keep else None for c in key_cols})
+            out[out_col] = df[out_col]
+            out["grouping"] = np.int64(mask)
+            return out
+
+        return f
+
+    m_a = bucketed_agg(base, [a], out_col, how=up, out_col=out_col,
+                       num_buckets=num_buckets)
+    m_b = bucketed_agg(base, [b], out_col, how=up, out_col=out_col,
+                       num_buckets=num_buckets)
+    grand = getattr(base, up)(out_col)
+    total = pd.DataFrame({a: [None], b: [None]})
+    total[out_col] = [grand]
+    total["grouping"] = np.int64(3)
+
+    return (
+        base.map_batches(pad(key_cols, 0), batch_format="pandas")
+        .union(m_a.map_batches(pad([a], 1), batch_format="pandas"))
+        .union(m_b.map_batches(pad([b], 2), batch_format="pandas"))
+        .union(ray.data.from_pandas(total))
+    )

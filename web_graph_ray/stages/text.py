@@ -27,6 +27,7 @@ __all__ = [
     "add_simhash",
     "quality_filter",
     "tfidf_topk",
+    "add_normalized",
 ]
 
 
@@ -215,3 +216,27 @@ def tfidf_topk(
         tie_cols=["tok"],
         num_buckets=num_buckets,
     )
+
+
+_NORM_DROP = None  # compiled lazily per process
+
+
+def add_normalized(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    lowercase, strip every char outside [a-z0-9 ], collapse runs of
+    spaces, trim.  The lowercase pass is an Arrow kernel; the two
+    substitutions are compiled-regex C loops (module-level compile,
+    once per worker process)."""
+    global _NORM_DROP
+    if _NORM_DROP is None:
+        import re
+
+        _NORM_DROP = (re.compile(r"[^a-z0-9 ]"), re.compile(r" +"))
+    drop, squeeze = _NORM_DROP
+    import pyarrow.compute as pc
+
+    lowered = pc.utf8_lower(batch[text_col])
+    out = [
+        squeeze.sub(" ", drop.sub("", t)).strip() for t in lowered.to_pylist()
+    ]
+    return batch.append_column("norm_text", pa.array(out, type=pa.string()))
