@@ -130,6 +130,30 @@ def skew_join_orders_customers(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def left_join_customers_orders(sf_dir: str):
+    """LEFT OUTER join customer ← orders, aggregated to per-customer
+    order counts (zero for order-less customers — every left row
+    survives; stages/relational.py::bucket_left_join)."""
+    from web_graph_ray.stages.relational import bucket_left_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas",
+    )
+    joined = bucket_left_join(cust, orders, ["custkey"]).to_pandas()
+    out = (
+        joined.groupby("custkey", as_index=False)["o_orderkey"]
+        .count()
+        .rename(columns={"custkey": "c_custkey", "o_orderkey": "n_orders"})
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def broadcast_join_nation_region(sf_dir: str):
     """Broadcast (map-side) join: region is 5 rows — ray.put once."""
     from web_graph_ray.stages.relational import broadcast_join
@@ -1510,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_users_by_events": topk_users_by_events,
         "join_orders_customers": join_orders_customers,
         "skew_join_orders_customers": skew_join_orders_customers,
+        "left_join_customers_orders": left_join_customers_orders,
         "bucket_join_orders_customers": bucket_join_orders_customers,
         "broadcast_join_nation_region": broadcast_join_nation_region,
         "semi_join_customers": semi_join_customers,
@@ -2193,6 +2218,12 @@ def oracle_sql() -> dict[str, str]:
               union all select 2, (select count(*) from b)
               union all select 3, (select count(*) from c))
             order by step
+        """,
+        "left_join_customers_orders": """
+            select c.c_custkey,
+                   cast(count(o.o_orderkey) as bigint) as n_orders
+            from customer c left join orders o on o.o_custkey = c.c_custkey
+            group by c.c_custkey order by c.c_custkey
         """,
         "skew_join_orders_customers": """
             select c.c_mktsegment, cast(count(*) as bigint) as order_count

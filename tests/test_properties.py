@@ -516,3 +516,38 @@ class TestCubeAndNormalize:
         )
         out = add_normalized(batch)["norm_text"].to_pylist()
         assert out == ["hllo world 42", "", ""]
+
+
+class TestLeftJoin:
+    def test_matches_pandas_left_merge(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import bucket_left_join
+
+        rng = np.random.RandomState(8)
+        left = pd.DataFrame({"k": np.arange(50), "lv": np.arange(50) * 2})
+        right = pd.DataFrame(
+            {"k": rng.randint(0, 30, 120), "rv": rng.randint(0, 9, 120)}
+        )
+        got = (
+            bucket_left_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(4),
+                ["k"],
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how="left")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+            .astype(got.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # keys 30..49 have no right rows but must survive with null rv
+        assert got[got.k >= 30].rv.isna().all()
+        assert set(got.k) == set(range(50))

@@ -48,6 +48,7 @@ __all__ = [
     "funnel_steps",
     "skew_join",
     "cube_agg",
+    "bucket_left_join",
 ]
 
 
@@ -1112,4 +1113,63 @@ def cube_agg(
         .union(m_a.map_batches(pad([a], 1), batch_format="pandas"))
         .union(m_b.map_batches(pad([b], 2), batch_format="pandas"))
         .union(ray.data.from_pandas(total))
+    )
+
+
+def bucket_left_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned LEFT OUTER hash join — the bucket_hash_join plan
+    with how='left': every left row survives; unmatched right-side
+    columns come back null (pandas upcasts their ints to float64 — the
+    standard outer-join dtype reality; aggregate or fillna downstream
+    when an integer type is required)."""
+    left = _as_arrow(left)
+    right = _as_arrow(right)
+    ls, rs = left.schema(), right.schema()
+    lf = {n: t for n, t in zip(ls.names, ls.types)}
+    rf = {n: t for n, t in zip(rs.names, rs.types)}
+    l_extra = [n for n in ls.names if n not in on]
+    r_extra = [n for n in rs.names if n not in on]
+    overlap = set(l_extra) & set(r_extra)
+    if overlap:
+        raise ValueError(
+            "bucket_left_join: non-key columns must be disjoint "
+            f"(shared: {sorted(overlap)}) — rename one side first"
+        )
+    all_cols = on + l_extra + r_extra
+
+    def pad(side: int, have: set):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = []
+            for c in all_cols:
+                typ = lf.get(c, rf.get(c))
+                if c in have or c in on:
+                    arrays.append(t[c].combine_chunks().cast(typ))
+                else:
+                    arrays.append(_pad_array(t.num_rows, typ))
+            arrays.append(pa.array([side] * t.num_rows, type=pa.int8()))
+            return pa.Table.from_arrays(arrays, names=all_cols + ["_side"])
+
+        return f
+
+    lds = left.map_batches(pad(0, set(l_extra)), batch_format="pyarrow")
+    rds = right.map_batches(pad(1, set(r_extra)), batch_format="pyarrow")
+    l_dtypes = {n: lf[n].to_pandas_dtype() for n in l_extra}
+    r_dtypes = {n: rf[n].to_pandas_dtype() for n in r_extra}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][on + l_extra].copy()
+        r = df[df["_side"] == 1][on + r_extra].copy()
+        for c, dt in l_dtypes.items():
+            l[c] = l[c].astype(dt, copy=False)
+        for c, dt in r_dtypes.items():
+            r[c] = r[c].astype(dt, copy=False)
+        return l.merge(r, on=on, how="left")
+
+    return bucketed_group_map(
+        lds.union(rds), on, per_bucket, num_buckets=num_buckets
     )
