@@ -130,6 +130,44 @@ def skew_join_orders_customers(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def full_join_classify(sf_dir: str):
+    """FULL OUTER join of two overlapping key sets (customers ≤ 1000 vs
+    distinct order custkeys ≥ 500), classified into both / left-only /
+    right-only counts (stages/relational.py::bucket_full_join)."""
+    from web_graph_ray.stages.relational import bucket_full_join, bucketed_group_map
+
+    cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda df: df[df["c_custkey"] <= 1000]
+        .rename(columns={"c_custkey": "custkey"})
+        .assign(l_tag=1),
+        batch_format="pandas",
+    )
+    ords = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda df: df[df["o_custkey"] >= 500].rename(
+            columns={"o_custkey": "custkey"}
+        ),
+        batch_format="pandas",
+    )
+    ords = bucketed_group_map(
+        ords,
+        ["custkey"],
+        lambda df: df.drop_duplicates().assign(r_tag=1),
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    j = bucket_full_join(cust, ords, ["custkey"]).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_both": pd.Series([int((j["_matched"] == "both").sum())], dtype="int64"),
+            "n_left_only": pd.Series(
+                [int((j["_matched"] == "left_only").sum())], dtype="int64"
+            ),
+            "n_right_only": pd.Series(
+                [int((j["_matched"] == "right_only").sum())], dtype="int64"
+            ),
+        }
+    )
+
+
 def left_join_customers_orders(sf_dir: str):
     """LEFT OUTER join customer ← orders, aggregated to per-customer
     order counts (zero for order-less customers — every left row
@@ -1535,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customers": join_orders_customers,
         "skew_join_orders_customers": skew_join_orders_customers,
         "left_join_customers_orders": left_join_customers_orders,
+        "full_join_classify": full_join_classify,
         "bucket_join_orders_customers": bucket_join_orders_customers,
         "broadcast_join_nation_region": broadcast_join_nation_region,
         "semi_join_customers": semi_join_customers,
@@ -2218,6 +2257,15 @@ def oracle_sql() -> dict[str, str]:
               union all select 2, (select count(*) from b)
               union all select 3, (select count(*) from c))
             order by step
+        """,
+        "full_join_classify": """
+            with l as (select c_custkey custkey from customer where c_custkey <= 1000),
+            r as (select distinct o_custkey custkey from orders where o_custkey >= 500)
+            select cast(count(*) filter (l.custkey is not null and r.custkey is not null)
+                        as bigint) n_both,
+                   cast(count(*) filter (r.custkey is null) as bigint) n_left_only,
+                   cast(count(*) filter (l.custkey is null) as bigint) n_right_only
+            from l full outer join r on l.custkey = r.custkey
         """,
         "left_join_customers_orders": """
             select c.c_custkey,

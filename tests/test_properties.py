@@ -551,3 +551,33 @@ class TestLeftJoin:
         # keys 30..49 have no right rows but must survive with null rv
         assert got[got.k >= 30].rv.isna().all()
         assert set(got.k) == set(range(50))
+
+
+class TestFullJoin:
+    def test_matches_pandas_outer_merge(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import bucket_full_join
+
+        left = pd.DataFrame({"k": [1, 2, 3, 3], "lv": [10, 20, 30, 31]})
+        right = pd.DataFrame({"k": [3, 4, 4], "rv": [7, 8, 9]})
+        got = (
+            bucket_full_join(
+                ray.data.from_pandas(left).repartition(3),
+                ray.data.from_pandas(right).repartition(2),
+                ["k"],
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on="k", how="outer", indicator="_matched")
+        want["_matched"] = want["_matched"].astype(str)
+        want = (
+            want.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+            .astype(got.dtypes.to_dict())
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert set(got["_matched"]) == {"both", "left_only", "right_only"}

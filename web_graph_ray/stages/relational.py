@@ -49,6 +49,7 @@ __all__ = [
     "skew_join",
     "cube_agg",
     "bucket_left_join",
+    "bucket_full_join",
 ]
 
 
@@ -1172,4 +1173,68 @@ def bucket_left_join(
 
     return bucketed_group_map(
         lds.union(rds), on, per_bucket, num_buckets=num_buckets
+    )
+
+
+def bucket_full_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned FULL OUTER hash join — the bucket plan with
+    how='outer'.  Rows unmatched on either side survive with the other
+    side's columns null (ints upcast to float64, the pandas outer-join
+    dtype reality).  Key-hash co-partitioning makes the per-bucket
+    outer merge exhaustive for its keys, so the union of buckets IS the
+    full outer join."""
+    left = _as_arrow(left)
+    right = _as_arrow(right)
+    ls, rs = left.schema(), right.schema()
+    lf = {n: t for n, t in zip(ls.names, ls.types)}
+    rf = {n: t for n, t in zip(rs.names, rs.types)}
+    l_extra = [n for n in ls.names if n not in on]
+    r_extra = [n for n in rs.names if n not in on]
+    overlap = set(l_extra) & set(r_extra)
+    if overlap:
+        raise ValueError(
+            "bucket_full_join: non-key columns must be disjoint "
+            f"(shared: {sorted(overlap)}) — rename one side first"
+        )
+    all_cols = on + l_extra + r_extra
+
+    def pad(side: int, have: set):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = []
+            for c in all_cols:
+                typ = lf.get(c, rf.get(c))
+                if c in have or c in on:
+                    arrays.append(t[c].combine_chunks().cast(typ))
+                else:
+                    arrays.append(_pad_array(t.num_rows, typ))
+            arrays.append(pa.array([side] * t.num_rows, type=pa.int8()))
+            return pa.Table.from_arrays(arrays, names=all_cols + ["_side"])
+
+        return f
+
+    lds = left.map_batches(pad(0, set(l_extra)), batch_format="pyarrow")
+    rds = right.map_batches(pad(1, set(r_extra)), batch_format="pyarrow")
+    l_dtypes = {n: lf[n].to_pandas_dtype() for n in l_extra}
+    r_dtypes = {n: rf[n].to_pandas_dtype() for n in r_extra}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][on + l_extra].copy()
+        r = df[df["_side"] == 1][on + r_extra].copy()
+        for c, dt in l_dtypes.items():
+            l[c] = l[c].astype(dt, copy=False)
+        for c, dt in r_dtypes.items():
+            r[c] = r[c].astype(dt, copy=False)
+        return l.merge(r, on=on, how="outer", indicator="_matched")
+
+    out = bucketed_group_map(
+        lds.union(rds), on, per_bucket, num_buckets=num_buckets
+    )
+    return out.map_batches(
+        lambda df: df.assign(_matched=df["_matched"].astype(str)),
+        batch_format="pandas",
     )
