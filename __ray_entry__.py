@@ -728,6 +728,46 @@ def histogram_lineitem_price(sf_dir: str):
     return out.sort_values("bin").reset_index(drop=True)
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_events(sf_dir: str):
+    """Pivot: per-user event counts spread into one column per
+    event_type (fixed, declared column set — the distributed-pivot
+    precondition).  One user-bucketed exchange; the per-batch partial
+    pre-counts (user, type) pairs so only count rows shuffle."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        p = g.pivot_table(index="user_id", columns="event_type", values="n",
+                          fill_value=0, aggfunc="sum")
+        p = p.reindex(columns=_PIVOT_TYPES, fill_value=0).astype("int64")
+        p.columns = [f"n_{c}" for c in p.columns]
+        return p.reset_index()
+
+    def add_n(df: pd.DataFrame) -> pd.DataFrame:
+        out = partial(df)
+        return out
+
+    out = bucketed_group_map(
+        ds.map_batches(add_n, batch_format="pandas"),
+        ["user_id"],
+        per_bucket,
+        batch_partial=None,
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def funnel_events(sf_dir: str):
     """Ordered funnel view → click → purchase with a 24 h step window
     (stages/relational.py::funnel_steps — one user-bucketed exchange,
@@ -1607,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents": bigram_logprob_documents,
         "rollup_lineitem": rollup_lineitem,
         "funnel_events": funnel_events,
+        "pivot_events": pivot_events,
         "cube_lineitem": cube_lineitem,
         "normalize_text_documents": normalize_text_documents,
         "histogram_lineitem_price": histogram_lineitem_price,
@@ -2242,6 +2283,15 @@ def oracle_sql() -> dict[str, str]:
             select cast(floor(l_extendedprice / 2500) as bigint) as bin,
                    cast(count(*) as bigint) as n
             from lineitem group by bin order by bin
+        """,
+        "pivot_events": """
+            select user_id,
+                   cast(count(*) filter (event_type = 'click') as bigint) as n_click,
+                   cast(count(*) filter (event_type = 'error') as bigint) as n_error,
+                   cast(count(*) filter (event_type = 'purchase') as bigint) as n_purchase,
+                   cast(count(*) filter (event_type = 'signup') as bigint) as n_signup,
+                   cast(count(*) filter (event_type = 'view') as bigint) as n_view
+            from events group by user_id order by user_id
         """,
         "funnel_events": """
             with a as (select user_id, min(ts) t1 from events
