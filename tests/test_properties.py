@@ -581,3 +581,42 @@ class TestFullJoin:
         )
         pd.testing.assert_frame_equal(got, want)
         assert set(got["_matched"]) == {"both", "left_only", "right_only"}
+
+
+class TestPartitionedSink:
+    def test_write_and_resume_skips_finished(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray
+
+        from web_graph_ray.sources.sinks import finished_partitions, write_partitioned
+
+        df = pd.DataFrame(
+            {"day": ["d1"] * 30 + ["d2"] * 20 + ["d3"] * 10,
+             "v": list(range(60))}
+        )
+        out = str(tmp_path / "sink")
+        s1 = write_partitioned(
+            ray.data.from_pandas(df).repartition(4), out, "day"
+        )
+        assert s1.skipped.tolist() == [False, False, False]
+        assert finished_partitions(out) == {"d1", "d2", "d3"}
+
+        # simulate a failed partition: remove d2's manifest + file
+        import os, shutil
+
+        os.remove(os.path.join(out, "_manifests", "d2.json"))
+        shutil.rmtree(os.path.join(out, "day=d2"))
+
+        s2 = write_partitioned(
+            ray.data.from_pandas(df).repartition(4), out, "day"
+        ).set_index("partition")
+        assert bool(s2.loc["d1", "skipped"]) and bool(s2.loc["d3", "skipped"])
+        assert not bool(s2.loc["d2", "skipped"])
+
+        # every partition readable and complete
+        total = 0
+        for d in ("d1", "d2", "d3"):
+            t = pq.read_table(os.path.join(out, f"day={d}", "part.parquet"))
+            total += t.num_rows
+        assert total == 60
