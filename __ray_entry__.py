@@ -301,6 +301,59 @@ def sessionize_events(sf_dir: str):
     return sessionize(ds, "user_id", "ts", 1800)
 
 
+def lag_delta_events(sf_dir: str):
+    """Navigation window LAG(1): per-user gap to the previous event
+    (whole seconds — each ts floored to the epoch second BEFORE the
+    diff, matching SQL floor(epoch(ts))) and value delta, ordered by
+    (ts, event_id).  stages/relational.py::keyed_lag — one bucketed
+    exchange, vectorized groupby.shift per bucket."""
+    from web_graph_ray.stages.relational import keyed_lag
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = keyed_lag(ds, "user_id", ["ts", "event_id"], ["ts", "value"]).to_pandas()
+    # first event of a user: sentinel -1 / 0.0 (mirrored via coalesce in
+    # the SQL twin) — real gaps are >= 0, so -1 is unambiguous, and it
+    # sidesteps null-representation drift between pandas NA and SQL NULL
+    first = out["ts_prev"].isna().to_numpy()
+    sec = out["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+    psec = out["ts_prev"].fillna(out["ts"]).to_numpy().astype("datetime64[s]").astype("int64")
+    gap = sec - psec
+    gap[first] = -1
+    out["prev_gap_sec"] = gap
+    delta = (out["value"] - out["value_prev"].fillna(out["value"])).round(6)
+    out["value_delta"] = delta.mask(first, 0.0)
+    out = out[["event_id", "prev_gap_sec", "value_delta"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def cumsum_events(sf_dir: str):
+    """Per-user running sum of value + row_number over (ts, event_id)
+    (stages/relational.py::keyed_running — sequential left-to-right
+    accumulation per key, same order as the SQL running frame)."""
+    from web_graph_ray.stages.relational import keyed_running
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = keyed_running(ds, "user_id", ["ts", "event_id"], "value").to_pandas()
+    out["running_sum"] = out["running_sum"].round(6)
+    out = out[["event_id", "rn", "running_sum"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# mirrored verbatim in the stopword_scrub_documents SQL twin
+_SCRUB_STOP = ("the", "a", "of", "and", "row", "table", "value")
+
+
+def stopword_scrub_documents(sf_dir: str):
+    """Token-level stopword scrub (stages/text.py::stopword_scrub):
+    split on single spaces, drop function words, rejoin — plus
+    kept/removed token counts.  Pure batch map, zero shuffles."""
+    from web_graph_ray.stages.text import stopword_scrub
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = stopword_scrub(ds, _SCRUB_STOP).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def asof_join_events_orders(sf_dir: str):
     """As-of join: each event ↔ the user's latest order at event time
     (ties on order date break by max orderkey, pinned both sides)."""
@@ -1633,6 +1686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_hopping_events": window_hopping_events,
         "range_join_events": range_join_events,
         "sessionize_events": sessionize_events,
+        "lag_delta_events": lag_delta_events,
+        "cumsum_events": cumsum_events,
+        "stopword_scrub_documents": stopword_scrub_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2171,6 +2227,41 @@ def oracle_sql() -> dict[str, str]:
             select user_id, min(sec) as session_start, max(sec) as session_end,
                    count(*) as n_events
             from s group by user_id, sid
+        """,
+        "lag_delta_events": """
+            select event_id,
+                   coalesce(floor(epoch(ts))::bigint
+                     - lag(floor(epoch(ts))::bigint)
+                         over (partition by user_id order by ts, event_id),
+                     -1) as prev_gap_sec,
+                   coalesce(round(value - lag(value)
+                         over (partition by user_id order by ts, event_id), 6),
+                     0.0) as value_delta
+            from events order by event_id
+        """,
+        "cumsum_events": """
+            select event_id,
+                   row_number() over (partition by user_id
+                                      order by ts, event_id) as rn,
+                   round(sum(value) over (partition by user_id
+                                          order by ts, event_id
+                                          rows unbounded preceding), 6)
+                     as running_sum
+            from events order by event_id
+        """,
+        "stopword_scrub_documents": """
+            with t as (
+              select doc_id,
+                     string_split(text, ' ') as toks,
+                     list_filter(string_split(text, ' '),
+                                 w -> w not in ('the','a','of','and',
+                                                'row','table','value')) as kept
+              from documents)
+            select doc_id,
+                   array_to_string(kept, ' ') as clean_text,
+                   len(kept)::bigint as kept_tokens,
+                   (len(toks) - len(kept))::bigint as removed_tokens
+            from t order by doc_id
         """,
         "asof_join_events_orders": """
             select e.event_id,

@@ -620,3 +620,92 @@ class TestPartitionedSink:
             t = pq.read_table(os.path.join(out, f"day={d}", "part.parquet"))
             total += t.num_rows
         assert total == 60
+
+
+class TestLagRunningScrub:
+    def test_keyed_lag_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import keyed_lag
+
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, 3000),
+                "o": rng.permutation(3000).astype(np.int64),
+                "v": rng.normal(size=3000),
+            }
+        )
+        got = (
+            keyed_lag(
+                ray.data.from_pandas(df).repartition(5), "k", ["o"], ["v"],
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+        exp["v_prev"] = exp.groupby("k")["v"].shift(1)
+        pd.testing.assert_frame_equal(got[["k", "o", "v", "v_prev"]], exp)
+
+    def test_keyed_running_matches_pandas(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import keyed_running
+
+        rng = np.random.default_rng(32)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 40, 2500),
+                "o": rng.permutation(2500).astype(np.int64),
+                "v": rng.normal(size=2500),
+            }
+        )
+        got = (
+            keyed_running(
+                ray.data.from_pandas(df).repartition(4), "k", ["o"], "v",
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+        exp["running_sum"] = exp.groupby("k")["v"].cumsum()
+        exp["rn"] = (exp.groupby("k").cumcount() + 1).astype("int64")
+        pd.testing.assert_frame_equal(
+            got[["k", "o", "v", "running_sum", "rn"]], exp
+        )
+
+    def test_stopword_scrub_edges(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.text import stopword_scrub
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the cat sat of the mat",
+                    "the the the",          # everything removed
+                    "a  b the  c",          # double spaces -> empty tokens kept
+                    "",                     # one empty token, kept
+                ],
+            }
+        )
+        got = (
+            stopword_scrub(ray.data.from_pandas(df).repartition(2),
+                           ("the", "of", "a"))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["clean_text"].tolist() == ["cat sat mat", "", " b  c", ""]
+        assert got["kept_tokens"].tolist() == [3, 0, 4, 1]
+        assert got["removed_tokens"].tolist() == [3, 3, 2, 0]

@@ -423,6 +423,60 @@ def sessionize(
     )
 
 
+def keyed_lag(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: list[str],
+    lag_cols: list[str],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key LAG(1) navigation window: for every row, the PREVIOUS
+    row's values of ``lag_cols`` under (key, order_cols) ordering —
+    SQL's ``lag(c) over (partition by key order by ...)``.  Appends one
+    ``{c}_prev`` column per lag col (null on each key's first row).
+
+    Scale shape: one key-hash-bucketed exchange (bucketed_group_map —
+    NOT one UDF call per key), then a single mergesort + groupby.shift
+    per bucket, all vectorized.  Partitioning assumption: every row of
+    a key lands in one bucket, so the per-bucket shift is exact."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        for c in lag_cols:
+            df[c + "_prev"] = g[c].shift(1)
+        return df
+
+    return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def keyed_running(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key running aggregate: cumulative sum of ``value_col`` and
+    row number under (key, order_cols) ordering — SQL's
+    ``sum(v) over (partition by key order by ... rows unbounded
+    preceding)`` + ``row_number()``.  Appends ``running_sum`` / ``rn``.
+
+    Accumulation is sequential left-to-right within each key (pandas
+    groupby.cumsum), the same order as the SQL running frame, so
+    float drift vs an oracle stays at rounding-noise level.  Same
+    one-exchange bucket shape as keyed_lag."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        df["running_sum"] = g[value_col].cumsum()
+        df["rn"] = (g.cumcount() + 1).astype("int64")
+        return df
+
+    return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
 # right sides below this estimated size ride one ray.put broadcast (zero
 # shuffle); above it the co-partitioned union path runs.  Module-level so
 # scale-guard tests can force the partitioned path (same pattern as

@@ -28,6 +28,7 @@ __all__ = [
     "quality_filter",
     "tfidf_topk",
     "add_normalized",
+    "stopword_scrub",
 ]
 
 
@@ -216,6 +217,46 @@ def tfidf_topk(
         tie_cols=["tok"],
         num_buckets=num_buckets,
     )
+
+
+def stopword_scrub(
+    docs,
+    stopwords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-level stopword removal — the standard function-word scrub
+    before n-gram dedup / fingerprinting in web-text curation.  Splits
+    on single spaces (exact parity with SQL ``string_split(text, ' ')``
+    — no regex, no collapsing), drops tokens in ``stopwords``, rejoins
+    with single spaces.  Emits (id, clean_text, kept_tokens,
+    removed_tokens).
+
+    Embarrassingly parallel: a pure batch map, zero shuffles.  The hot
+    path is pandas explode/isin/groupby-join — one vectorized pass per
+    batch, no per-row Python loop; the stopword set is a frozenset
+    captured once in the task closure (tiny, ships with the task)."""
+    import pandas as pd
+
+    stop = frozenset(stopwords)
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ").explode()
+        kept = toks[~toks.isin(stop)]
+        clean = kept.groupby(level=0).agg(" ".join)
+        n_kept = kept.groupby(level=0).size()
+        n_all = toks.groupby(level=0).size()
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()}, index=df.index)
+        out["clean_text"] = clean.reindex(df.index).fillna("")
+        out["kept_tokens"] = (
+            n_kept.reindex(df.index).fillna(0).astype("int64").to_numpy()
+        )
+        out["removed_tokens"] = (
+            (n_all - n_kept.reindex(df.index).fillna(0)).astype("int64").to_numpy()
+        )
+        return out.reset_index(drop=True)
+
+    return docs.map_batches(scrub, batch_format="pandas")
 
 
 _NORM_DROP = None  # compiled lazily per process
