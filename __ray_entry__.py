@@ -339,6 +339,19 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def weighted_sample_documents(sf_dir: str):
+    """Efraimidis–Spirakis weighted sample: 20 documents drawn with
+    probability proportional to n_chars (the training-data-mixing
+    primitive; stages/relational.py::weighted_sample — hash-derived
+    uniforms, partial top-k combiner)."""
+    from web_graph_ray.stages.relational import weighted_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = weighted_sample(ds, ["doc_id"], "n_chars", 20).to_pandas()
+    out = out[["doc_id", "n_chars", "w_key"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # mirrored verbatim in the stopword_scrub_documents SQL twin
 _SCRUB_STOP = ("the", "a", "of", "and", "row", "table", "value")
 
@@ -1689,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_delta_events": lag_delta_events,
         "cumsum_events": cumsum_events,
         "stopword_scrub_documents": stopword_scrub_documents,
+        "weighted_sample_documents": weighted_sample_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2249,6 +2263,27 @@ def oracle_sql() -> dict[str, str]:
                      as running_sum
             from events order by event_id
         """,
+        "weighted_sample_documents": """
+            -- Efraimidis-Spirakis keys from the same FNV-1a uniform:
+            -- u = ((h >> 11) + 1) / 2^53, key = round(ln(u)/w, 9)
+            with h as (
+              select doc_id, n_chars,
+                list_reduce(
+                  list_prepend(14695981039346656037::hugeint,
+                    list_transform(
+                      regexp_extract_all(doc_id::varchar, '.'),
+                      c -> ascii(c)::bigint)),
+                  (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                             * 1099511628211) %% 18446744073709551616) as hh
+              from documents)
+            select * from (
+              select doc_id, n_chars,
+                     round(ln(((hh // 2048) + 1)::double / 9007199254740992.0)
+                           / n_chars, 9) as w_key
+              from h
+              order by w_key desc, doc_id limit 20)
+            order by doc_id
+        """.replace('%%', '%'),
         "stopword_scrub_documents": """
             with t as (
               select doc_id,

@@ -709,3 +709,61 @@ class TestLagRunningScrub:
         assert got["clean_text"].tolist() == ["cat sat mat", "", " b  c", ""]
         assert got["kept_tokens"].tolist() == [3, 0, 4, 1]
         assert got["removed_tokens"].tolist() == [3, 3, 2, 0]
+
+
+class TestWeightedSample:
+    def test_matches_local_and_parallelism_invariant(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.functions.numeric import round_half_away
+        from web_graph_ray.stages.relational import weighted_sample
+        from web_graph_ray.stages.sketch import fnv1a64
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {"id": np.arange(5000, dtype=np.int64),
+             "w": rng.integers(1, 1000, 5000).astype(np.int64)}
+        )
+        # local reference: same E-S keys, top-10 by (key desc, id asc)
+        h = fnv1a64(df["id"].astype(str).to_numpy(dtype=object))
+        u = ((h >> np.uint64(11)).astype("float64") + 1.0) / 2.0**53
+        key = round_half_away(np.log(u) / df["w"].to_numpy("float64"), 9)
+        exp = (
+            df.assign(w_key=key)
+            .sort_values(["w_key", "id"], ascending=[False, True])
+            .head(10)
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        for parts in (2, 13):
+            got = (
+                weighted_sample(
+                    ray.data.from_pandas(df).repartition(parts),
+                    ["id"], "w", 10, num_buckets=8,
+                )
+                .to_pandas()[["id", "w", "w_key"]]
+                .sort_values("id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, exp[["id", "w", "w_key"]])
+
+    def test_weight_bias(self, ray_session):
+        """Heavy rows must be overrepresented: sample-mean weight well
+        above the population mean."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import weighted_sample
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {"id": np.arange(20000, dtype=np.int64),
+             "w": rng.integers(1, 100, 20000).astype(np.int64)}
+        )
+        got = weighted_sample(
+            ray.data.from_pandas(df).repartition(4), ["id"], "w", 500,
+        ).to_pandas()
+        assert got["w"].mean() > df["w"].mean() * 1.2

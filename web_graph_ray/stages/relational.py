@@ -36,6 +36,7 @@ __all__ = [
     "first_wins_dedup",
     "grouped_topk",
     "stratified_sample",
+    "weighted_sample",
     "exact_quantile",
     "grouped_quantile",
     "hopping_window_agg",
@@ -680,6 +681,59 @@ def stratified_sample(
         batch_partial=head_n,
     )
     return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    round_to: int = 9,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, Inf. Process. Lett. 97(5), 2006): every row gets
+    sort key ln(u)/w — u a hash-derived uniform in (0, 1], w =
+    ``weight_col`` (> 0) — and the k rows with the LARGEST keys win,
+    which draws rows with probability proportional to weight, the
+    training-data-mixing primitive.  u = ((fnv1a64(key)>>11)+1)/2^53
+    is a pure function of row content, so the sample is
+    parallelism-invariant and SQL-rederivable; u is EXACT in float64
+    ((h>>11)+1 ≤ 2^53, power-of-two divisor).  Keys are rounded
+    (SQL half-away semantics, ties → key_cols asc) so an oracle
+    rounding identically agrees; the ln() libm 1-ulp divergence is
+    ~1e-16 relative and absorbed by the 9-dp round.
+
+    Scale shape: per-batch key computation + partial top-k combiner
+    (grouped_topk under a constant group) — the final exchange carries
+    ≤ k rows per block, never the dataset."""
+    from ..functions.numeric import round_half_away
+    from .sketch import fnv1a64
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "|" + df[c].astype(str)
+        h = fnv1a64(key.to_numpy(dtype=object))
+        u = ((h >> np.uint64(11)).astype("float64") + 1.0) / 9007199254740992.0
+        w = df[weight_col].to_numpy(dtype="float64")
+        out = df.copy()
+        out["w_key"] = round_half_away(np.log(u) / w, round_to)
+        out["_g"] = np.int64(0)
+        return out
+
+    out = grouped_topk(
+        ds.map_batches(add_key, batch_format="pandas"),
+        ["_g"],
+        "w_key",
+        k,
+        descending=True,
+        tie_cols=key_cols,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda df: df.drop(columns=["_g"]), batch_format="pandas"
+    )
 
 
 def exact_quantile(
