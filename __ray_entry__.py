@@ -339,6 +339,19 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def event_paths_users(sf_dir: str):
+    """Per-user chronological event-type path (ordered string_agg —
+    the clickstream/session-path primitive;
+    stages/relational.py::ordered_concat, one bucketed exchange)."""
+    from web_graph_ray.stages.relational import ordered_concat
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    out = ordered_concat(
+        ds, "user_id", ["ts", "event_id"], "event_type"
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def weighted_sample_documents(sf_dir: str):
     """Efraimidis–Spirakis weighted sample: 20 documents drawn with
     probability proportional to n_chars (the training-data-mixing
@@ -1703,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_events": cumsum_events,
         "stopword_scrub_documents": stopword_scrub_documents,
         "weighted_sample_documents": weighted_sample_documents,
+        "event_paths_users": event_paths_users,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2262,6 +2276,12 @@ def oracle_sql() -> dict[str, str]:
                                           rows unbounded preceding), 6)
                      as running_sum
             from events order by event_id
+        """,
+        "event_paths_users": """
+            select user_id,
+                   string_agg(event_type, '>' order by ts, event_id) as path,
+                   count(*) as n_steps
+            from events group by user_id order by user_id
         """,
         "weighted_sample_documents": """
             -- Efraimidis-Spirakis keys from the same FNV-1a uniform:

@@ -767,3 +767,38 @@ class TestWeightedSample:
             ray.data.from_pandas(df).repartition(4), ["id"], "w", 500,
         ).to_pandas()
         assert got["w"].mean() > df["w"].mean() * 1.2
+
+
+class TestOrderedConcat:
+    def test_matches_local_across_partitionings(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import ordered_concat
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 30, 2000),
+                "o": rng.permutation(2000).astype(np.int64),
+                "v": rng.choice(list("abcde"), 2000),
+            }
+        )
+        s = df.sort_values(["k", "o"])
+        exp = (
+            s.groupby("k")["v"].agg(">".join).reset_index()
+            .rename(columns={"v": "path"})
+        )
+        exp["n_steps"] = s.groupby("k")["v"].size().to_numpy().astype("int64")
+        for parts in (1, 7):
+            got = (
+                ordered_concat(
+                    ray.data.from_pandas(df).repartition(parts),
+                    "k", ["o"], "v", num_buckets=8,
+                )
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))

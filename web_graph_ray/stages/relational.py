@@ -37,6 +37,7 @@ __all__ = [
     "grouped_topk",
     "stratified_sample",
     "weighted_sample",
+    "ordered_concat",
     "exact_quantile",
     "grouped_quantile",
     "hopping_window_agg",
@@ -681,6 +682,41 @@ def stratified_sample(
         batch_partial=head_n,
     )
     return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def ordered_concat(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ">",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Ordered per-key string aggregation — SQL's
+    ``string_agg(value, sep ORDER BY ...)`` — the session-path /
+    clickstream primitive.  Emits (key, path, n_steps).
+
+    One key-hash-bucketed exchange; the shuffle carries only
+    (key, order, value) rows (no batch_partial: ordered concat cannot
+    pre-combine without a per-batch order guarantee).  Per bucket: one
+    mergesort + vectorized groupby; the join itself is C-speed
+    str.join per key.  Partitioning assumption: all rows of a key in
+    one bucket, so each per-bucket concat is total."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        g = df.groupby(key_col, sort=False)[value_col]
+        out = g.agg(sep.join).reset_index().rename(columns={value_col: "path"})
+        out["n_steps"] = g.size().to_numpy().astype("int64")
+        return out
+
+    return bucketed_group_map(
+        ds,
+        [key_col],
+        per_bucket,
+        num_buckets=num_buckets,
+        batch_partial=lambda df: df[[key_col, *order_cols, value_col]],
+    )
 
 
 def weighted_sample(
