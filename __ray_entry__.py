@@ -1543,6 +1543,17 @@ def hll_distinct_users(sf_dir: str):
     return pd.DataFrame([out])
 
 
+def kmv_distinct_orders(sf_dir: str):
+    """Approximate distinct l_orderkey via the KMV bottom-k sketch
+    (stages/sketch.py::kmv_distinct — k smallest distinct mixed hashes
+    per block, driver union-merge; pure function of the distinct-hash
+    set, so the SQL twin re-derives the estimate bit-for-bit)."""
+    from web_graph_ray.stages.sketch import kmv_distinct
+
+    out = kmv_distinct(_t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
+    return pd.DataFrame([out])
+
+
 def hll_grouped_events(sf_dir: str):
     """Approximate distinct users PER event_type
     (stages/sketch.py::hll_distinct_grouped — per-(batch, group) HLL
@@ -1749,6 +1760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only
         "distinct_user_count": distinct_user_count,
         "hll_distinct_users": hll_distinct_users,
+        "kmv_distinct_orders": kmv_distinct_orders,
         "hll_grouped_events": hll_grouped_events,
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
@@ -1861,6 +1873,36 @@ def _hll_sql() -> str:
                          then 4096 * ln(4096.0 / zeros) else e end, 1) as estimate,
                    12 as p
             from est
+        """
+
+
+def _kmv_sql() -> str:
+    """KMV twin: same FNV-1a + murmur3-finalizer mixed hash per row,
+    distinct → 1024 smallest → (k-1)·2^64 / h_(k) (exact count when
+    fewer than k distinct hashes).  1023·2^64 is exactly representable
+    in float64 and hugeint→double casts round-to-nearest like numpy,
+    so the estimate matches the engine bit-for-bit before the 2-dp
+    round."""
+    h = "fnv"
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
+    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
+    h = _sql_xor64(h, f"(({h}) >> 33)")
+    return f"""
+            with v as (
+              select list_reduce(
+                       list_prepend(14695981039346656037::hugeint,
+                         list_transform(regexp_extract_all(l_orderkey::varchar, '.'),
+                                        c -> ascii(c)::bigint)),
+                       (h, b) -> {_FNV_SQL_STEP}) fnv
+              from lineitem),
+            hx as (select distinct {h} as h from v),
+            k as (select h from hx order by h limit 1024),
+            m as (select max(h) kth, count(*) n from k)
+            select case when n < 1024 then round(n::double, 2)
+                        else round(1023 * 18446744073709551616.0
+                                   / kth::double, 2) end as estimate,
+                   1024 as k
+            from m
         """
 
 
@@ -2401,8 +2443,8 @@ def oracle_sql() -> dict[str, str]:
             with e0 as (select l_orderkey % 2000 as src,
                                (l_partkey*31 + l_suppkey) % 2000 as dst
                         from lineitem),
-            d as (select node, sum(o) as out_deg, sum(i) as in_deg,
-                         sum(o) + sum(i) as deg
+            d as (select node, sum(o)::bigint as out_deg, sum(i)::bigint as in_deg,
+                         (sum(o) + sum(i))::bigint as deg
                   from (select src node, 1 o, 0 i from e0
                         union all select dst, 0, 1 from e0)
                   group by node)
@@ -2630,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": _fingerprint_sql(),
         "hll_distinct_users": _hll_sql(),
+        "kmv_distinct_orders": _kmv_sql(),
         "hll_grouped_events": _hll_grouped_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "minhash_pairs_documents": _minhash_pairs_sql(),

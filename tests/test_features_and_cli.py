@@ -690,3 +690,35 @@ class TestGroupedHLL:
             true = (g + 1) * 400
             est = outs[0].loc[outs[0].g == f"g{g}", "estimate"].item()
             assert abs(est / true - 1) < 0.1, (g, est, true)
+
+
+class TestKMV:
+    def test_accuracy_and_partition_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.sketch import kmv_distinct
+
+        n = 30000
+        df = pd.DataFrame({"v": np.arange(n, dtype=np.int64) % 20000})
+        ests = []
+        for parts in (2, 9):
+            out = kmv_distinct(
+                ray.data.from_pandas(df).repartition(parts), "v", k=1024
+            )
+            ests.append(out["estimate"])
+        # pure function of the distinct-hash set: partitioning-invariant
+        assert ests[0] == ests[1]
+        assert abs(ests[0] - 20000) / 20000 < 0.1  # ~3/sqrt(k) bound
+
+    def test_exact_below_k(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.sketch import kmv_distinct
+
+        df = pd.DataFrame({"v": np.arange(500, dtype=np.int64) % 200})
+        out = kmv_distinct(ray.data.from_pandas(df).repartition(3), "v", k=1024)
+        assert out["estimate"] == 200.0

@@ -29,6 +29,7 @@ __all__ = [
     "frequent_items",
     "count_min",
     "count_min_estimate",
+    "kmv_distinct",
 ]
 
 
@@ -181,6 +182,37 @@ def hll_distinct(
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged = np.maximum(merged, np.frombuffer(row["sketch"], dtype=np.uint8))
     return {"estimate": round(_hll_estimate(merged), 1), "p": p}
+
+
+def kmv_distinct(ds: "ray.data.Dataset", col: str, k: int = 1024) -> dict:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): keep the
+    k smallest DISTINCT mixed 64-bit hashes; estimate = (k-1)·2^64 /
+    h_(k) when ≥ k distinct hashes exist, else the exact distinct-hash
+    count.  Unlike HLL the sketch is a pure function of the input's
+    distinct-hash SET, so merge order and partitioning are irrelevant
+    and an SQL oracle re-derives the estimate bit-for-bit.
+
+    Scale shape: one bounded k·8-byte sketch per block (np.unique —
+    vectorized), driver merge over ≤ k·blocks values — the HLL merge
+    shape.  Mergeable: union → unique → first k."""
+    from ..functions.numeric import round_half_away
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        h = np.unique(_mix64_vec(_fnv1a_buffers(*_utf8_layout(batch[col]))))
+        return pa.Table.from_pydict({"sketch": pa.array([h[:k].tobytes()])})
+
+    parts = [
+        np.frombuffer(row["sketch"], dtype=np.uint64)
+        for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    ]
+    merged = (
+        np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+    )[:k]
+    if merged.size < k:
+        est = float(merged.size)
+    else:
+        est = (k - 1) * 18446744073709551616.0 / float(merged[k - 1])
+    return {"estimate": float(round_half_away(est, 2)), "k": k}
 
 
 def frequent_items(
