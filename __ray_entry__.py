@@ -339,6 +339,18 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def rank_stats_events(sf_dir: str):
+    """Per-user ranking windows in one pass: ntile(4), percent_rank,
+    cume_dist over (ts, event_id)
+    (stages/relational.py::keyed_rank_stats)."""
+    from web_graph_ray.stages.relational import keyed_rank_stats
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = keyed_rank_stats(ds, "user_id", ["ts", "event_id"]).to_pandas()
+    out = out[["event_id", "tile", "pct_rank", "cume_dist"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def event_paths_users(sf_dir: str):
     """Per-user chronological event-type path (ordered string_agg —
     the clickstream/session-path primitive;
@@ -1728,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_scrub_documents": stopword_scrub_documents,
         "weighted_sample_documents": weighted_sample_documents,
         "event_paths_users": event_paths_users,
+        "rank_stats_events": rank_stats_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2324,6 +2337,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "rank_stats_events": """
+            select event_id,
+                   ntile(4) over w as tile,
+                   round(percent_rank() over w, 9) as pct_rank,
+                   round(cume_dist() over w, 9) as cume_dist
+            from events
+            window w as (partition by user_id order by ts, event_id)
+            order by event_id
         """,
         "weighted_sample_documents": """
             -- Efraimidis-Spirakis keys from the same FNV-1a uniform:

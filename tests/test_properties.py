@@ -802,3 +802,40 @@ class TestOrderedConcat:
                 .reset_index(drop=True)
             )
             pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+class TestRankStats:
+    def test_ntile_fill_and_edges(self, ray_session):
+        """SQL ntile fill: first n%k tiles get ceil(n/k) rows; n<k keys
+        produce one row per tile; single-row keys get pct_rank 0.0."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import keyed_rank_stats
+
+        df = pd.DataFrame(
+            {
+                "k": [1] * 10 + [2] * 3 + [3],
+                "o": np.arange(14, dtype=np.int64),
+            }
+        )
+        got = (
+            keyed_rank_stats(
+                ray.data.from_pandas(df).repartition(3), "k", ["o"],
+                ntile_k=4, num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        # n=10, k=4 -> sizes 3,3,2,2
+        assert got[got["k"] == 1]["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+        # n=3 < k=4 -> tiles 1,2,3
+        assert got[got["k"] == 2]["tile"].tolist() == [1, 2, 3]
+        # single row: tile 1, pct_rank 0, cume_dist 1
+        row = got[got["k"] == 3].iloc[0]
+        assert row["tile"] == 1 and row["pct_rank"] == 0.0 and row["cume_dist"] == 1.0
+        # cume_dist of the last row of every key is 1.0
+        last = got.groupby("k").tail(1)
+        assert (last["cume_dist"] == 1.0).all()

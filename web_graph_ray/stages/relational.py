@@ -38,6 +38,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "ordered_concat",
+    "keyed_rank_stats",
     "exact_quantile",
     "grouped_quantile",
     "hopping_window_agg",
@@ -682,6 +683,51 @@ def stratified_sample(
         batch_partial=head_n,
     )
     return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def keyed_rank_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: list[str],
+    ntile_k: int = 4,
+    round_to: int = 9,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key ranking window functions in one pass — SQL's
+    ``ntile(k)``, ``percent_rank()`` and ``cume_dist()`` over
+    (partition by key order by ...).  Appends ``tile`` (SQL ntile
+    fill: the first n%k tiles get ceil(n/k) rows), ``pct_rank`` =
+    (rn-1)/(n-1) (0.0 for single-row keys, SQL convention) and
+    ``cume_dist`` = rn/n, both rounded half-away for oracle parity.
+    Ordering must be total per key (pass tie-breaking order cols) or
+    rank assignments are implementation-defined.
+
+    One key-hash-bucketed exchange; per bucket a single mergesort +
+    vectorized groupby-transform (no per-key Python)."""
+    from ..functions.numeric import round_half_away
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        g = df.groupby(key_col, sort=False)
+        rn0 = g.cumcount().to_numpy()
+        n = g[order_cols[0]].transform("size").to_numpy()
+        big = n % ntile_k          # tiles 1..big get size_big rows
+        size_big = n // ntile_k + 1
+        size_small = np.maximum(n // ntile_k, 1)
+        cut = big * size_big
+        in_big = rn0 < cut
+        tile = np.where(
+            in_big,
+            rn0 // size_big,
+            big + (rn0 - cut) // size_small,
+        ) + 1
+        df["tile"] = tile.astype("int64")
+        pr = np.where(n > 1, rn0 / np.maximum(n - 1, 1), 0.0)
+        df["pct_rank"] = round_half_away(pr, round_to)
+        df["cume_dist"] = round_half_away((rn0 + 1) / n, round_to)
+        return df
+
+    return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
 
 
 def ordered_concat(
