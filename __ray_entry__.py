@@ -339,6 +339,20 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def mix_corpus_documents(sf_dir: str):
+    """Training-corpus mixing with fractional epoch weights: src0 ×2.5,
+    src1 ×0.5, everything else ×1.0 — rows replicated floor(w) times
+    plus a deterministic-coin extra copy on frac(w)
+    (stages/relational.py::mix_corpus; pure batch map)."""
+    from web_graph_ray.stages.relational import mix_corpus
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = mix_corpus(
+        ds, "source", ["doc_id"], {"src0": 2.5, "src1": 0.5}
+    ).to_pandas()
+    return out.sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+
+
 def rank_stats_events(sf_dir: str):
     """Per-user ranking windows in one pass: ntile(4), percent_rank,
     cume_dist over (ts, event_id)
@@ -1741,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": weighted_sample_documents,
         "event_paths_users": event_paths_users,
         "rank_stats_events": rank_stats_events,
+        "mix_corpus_documents": mix_corpus_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2338,6 +2353,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_steps
             from events group by user_id order by user_id
         """,
+        "mix_corpus_documents": """
+            -- deterministic coin: u = (fnv1a64(doc_id) % 1e6)/1e6, exact
+            with w as (
+              select doc_id, source,
+                case source when 'src0' then 2.5
+                            when 'src1' then 0.5 else 1.0 end wt,
+                (list_reduce(
+                   list_prepend(14695981039346656037::hugeint,
+                     list_transform(regexp_extract_all(doc_id::varchar, '.'),
+                                    c -> ascii(c)::bigint)),
+                   (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                              * 1099511628211) %% 18446744073709551616)
+                 %% 1000000)::double / 1000000.0 u
+              from documents),
+            c as (select doc_id, source,
+                         (floor(wt) + case when u < wt - floor(wt)
+                                           then 1 else 0 end)::bigint n
+                  from w)
+            select doc_id, source, j.j::bigint as epoch
+            from c cross join generate_series(0, 7) j(j)
+            where j.j < n
+            order by doc_id, epoch
+        """.replace('%%', '%'),
         "rank_stats_events": """
             select event_id,
                    ntile(4) over w as tile,

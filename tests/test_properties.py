@@ -839,3 +839,39 @@ class TestRankStats:
         # cume_dist of the last row of every key is 1.0
         last = got.groupby("k").tail(1)
         assert (last["cume_dist"] == 1.0).all()
+
+
+class TestMixCorpus:
+    def test_weights_and_parallelism_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import mix_corpus
+
+        df = pd.DataFrame(
+            {
+                "id": np.arange(6000, dtype=np.int64),
+                "src": np.repeat(["a", "b", "c"], 2000),
+            }
+        )
+        outs = []
+        for parts in (2, 11):
+            got = (
+                mix_corpus(
+                    ray.data.from_pandas(df).repartition(parts),
+                    "src", ["id"], {"a": 3.0, "b": 0.25},
+                )
+                .to_pandas()
+                .sort_values(["id", "epoch"])
+                .reset_index(drop=True)
+            )
+            outs.append(got)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0]
+        by = got.groupby("src").size()
+        assert by["a"] == 6000                      # integer weight: exact 3x
+        assert abs(by["b"] / 2000 - 0.25) < 0.05    # coin on frac(0.25)
+        assert by["c"] == 2000                      # default weight 1.0
+        # epochs are dense 0..n-1 per surviving row
+        assert got[got["src"] == "a"].groupby("id")["epoch"].max().eq(2).all()

@@ -39,6 +39,7 @@ __all__ = [
     "weighted_sample",
     "ordered_concat",
     "keyed_rank_stats",
+    "mix_corpus",
     "exact_quantile",
     "grouped_quantile",
     "hopping_window_agg",
@@ -683,6 +684,52 @@ def stratified_sample(
         batch_partial=head_n,
     )
     return out.map_batches(lambda df: df.drop(columns=["_h"]), batch_format="pandas")
+
+
+def mix_corpus(
+    ds: "ray.data.Dataset",
+    source_col: str,
+    key_cols: list[str],
+    weights: dict,
+    default_weight: float = 1.0,
+    mod: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Training-corpus mixing: replicate/subsample rows per source with
+    FRACTIONAL epoch weights (the Pile/LLaMA data-recipe step).  A row
+    with weight w is emitted floor(w) times plus one more iff its
+    hash-uniform u < frac(w); output gains an ``epoch`` column
+    (0-based copy index).  u = (fnv1a64(key) % mod)/mod is exact in
+    float64 and a pure function of row content, so the mix is
+    parallelism-invariant, resumable, and SQL-rederivable (the same
+    'deterministic coin' pattern as hash_sample).
+
+    Embarrassingly parallel: a pure batch map, zero shuffles; the
+    weights dict is a tiny task-closure broadcast.  Replication is
+    np.repeat on batch indices — no per-row Python."""
+    from .sketch import fnv1a64
+
+    wmap = {str(k): float(v) for k, v in weights.items()}
+    dw = float(default_weight)
+
+    def mix(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_cols[0]].astype(str)
+        for c in key_cols[1:]:
+            key = key + "|" + df[c].astype(str)
+        u = (fnv1a64(key.to_numpy(dtype=object)) % np.uint64(mod)).astype(
+            "float64"
+        ) / float(mod)
+        w = df[source_col].map(wmap).fillna(dw).to_numpy(dtype="float64")
+        base = np.floor(w)
+        n = (base + (u < (w - base))).astype("int64")
+        idx = np.repeat(np.arange(len(df)), n)
+        out = df.iloc[idx].reset_index(drop=True)
+        out["epoch"] = (
+            np.arange(int(n.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(n) - n, n)
+        ).astype("int64")
+        return out
+
+    return ds.map_batches(mix, batch_format="pandas")
 
 
 def keyed_rank_stats(
