@@ -1085,10 +1085,16 @@ class CrawlEngine:
             columns=["to_page_id", "to_hostname", "to_path", "to_url", "emit_key"],
         )
 
+        # ship the denial dict through the object store ONCE (ray.put),
+        # not in the task closure — closures re-pickle per task, a put
+        # is fetched zero-copy per worker (VERDICT r2 "what's wrong" #5)
+        denial_ref = ray.put(denial) if denial else None
+
         def target_rows(t: pa.Table) -> pa.Table:
-            if denial:
+            if denial_ref is not None:
+                dn = ray.get(denial_ref)
                 keep = [
-                    pid not in denial or key < denial[pid]
+                    pid not in dn or key < dn[pid]
                     for pid, key in zip(
                         t["to_page_id"].to_pylist(), t["emit_key"].to_pylist()
                     )
