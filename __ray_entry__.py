@@ -339,6 +339,17 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def quantize_embeddings(sf_dir: str):
+    """Per-vector symmetric int8 quantization audit: scale = max|x|/127
+    and reconstruction MSE (stages/ann.py::quantize_int8 — zero-copy
+    matrix batch map, zero shuffles)."""
+    from web_graph_ray.stages.ann import quantize_int8
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = quantize_int8(ds, round_to=9).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def mix_corpus_documents(sf_dir: str):
     """Training-corpus mixing with fractional epoch weights: src0 ×2.5,
     src1 ×0.5, everything else ×1.0 — rows replicated floor(w) times
@@ -1756,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths_users": event_paths_users,
         "rank_stats_events": rank_stats_events,
         "mix_corpus_documents": mix_corpus_documents,
+        "quantize_embeddings": quantize_embeddings,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2352,6 +2364,26 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "quantize_embeddings": """
+            with s as (
+              select vec_id, embedding,
+                     list_aggregate(list_transform(embedding,
+                                                   x -> abs(x::double)), 'max')
+                       / 127.0 as scale
+              from embeddings),
+            e as (
+              select vec_id, scale,
+                     case when scale = 0 then 0.0
+                          else list_aggregate(
+                                 list_transform(embedding,
+                                   x -> pow(x::double
+                                            - round(x::double / scale) * scale,
+                                            2)),
+                                 'sum') / len(embedding) end as mse
+              from s)
+            select vec_id, round(scale, 9) as scale, round(mse, 9) as mse
+            from e order by vec_id
         """,
         "mix_corpus_documents": """
             -- deterministic coin: u = (fnv1a64(doc_id) % 1e6)/1e6, exact

@@ -722,3 +722,41 @@ class TestKMV:
         df = pd.DataFrame({"v": np.arange(500, dtype=np.int64) % 200})
         out = kmv_distinct(ray.data.from_pandas(df).repartition(3), "v", k=1024)
         assert out["estimate"] == 200.0
+
+
+class TestQuantizeInt8:
+    def test_bounds_and_zero_vector(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from web_graph_ray.stages.ann import quantize_int8
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(200, 16)).astype(np.float32)
+        vecs[7] = 0.0  # all-zero vector edge
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel()), 16
+                ),
+            }
+        )
+        out = (
+            quantize_int8(ray.data.from_arrow(t).repartition(4), round_to=9)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        z = out[out["vec_id"] == 7].iloc[0]
+        assert z["scale"] == 0.0 and z["mse"] == 0.0
+        nz = out[out["vec_id"] != 7]
+        # max quantization error per element is scale/2 -> mse <= scale^2/4
+        assert (nz["mse"] <= nz["scale"] ** 2 / 4 + 1e-12).all()
+        assert (nz["scale"] > 0).all()
+        # scale reproduces max|x|/127 exactly
+        exp = np.abs(vecs).max(axis=1) / 127.0
+        got = out["scale"].to_numpy()
+        assert np.allclose(got, np.round(exp, 9), atol=5e-10)

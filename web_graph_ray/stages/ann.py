@@ -36,6 +36,7 @@ __all__ = [
     "ivf_cosine_topk",
     "cosine_pairs",
     "kmeans",
+    "quantize_int8",
 ]
 
 ROUND = 6
@@ -338,6 +339,46 @@ def ivf_cosine_topk(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
     )
     return cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+
+
+def quantize_int8(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = ROUND,
+) -> "ray.data.Dataset":
+    """Per-vector symmetric int8 quantization audit — the
+    quantized-ANN-index build step: scale = max|x|/127, q_i =
+    round_half_away(x_i/scale), reconstruction = q·scale.  Emits
+    (id, scale, mse) per vector (both rounded, SQL half-away) so the
+    quantization error budget is checkable downstream.  All-zero
+    vectors get scale 0 / mse 0.
+
+    Embarrassingly parallel: a pure batch map over the zero-copy
+    (n, d) matrix (``_batch_matrix``), zero shuffles.  Per-row sums
+    are sequential left-to-right (d < numpy's 128-element pairwise
+    threshold), matching SQL list_aggregate order, so an oracle
+    agrees bit-for-bit before the round."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        amax = np.abs(m).max(axis=1) if m.size else np.zeros(len(batch))
+        scale = amax / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = round_half_away(m / safe[:, None], 0)
+        err = m - q * safe[:, None]
+        mse = (err * err).sum(axis=1) / m.shape[1] if m.size else np.zeros(0)
+        return pa.Table.from_pydict(
+            {
+                id_col: batch[id_col].combine_chunks()
+                if isinstance(batch[id_col], pa.ChunkedArray)
+                else batch[id_col],
+                "scale": pa.array(round_half_away(scale, round_to)),
+                "mse": pa.array(round_half_away(mse, round_to)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def kmeans(
