@@ -116,6 +116,10 @@ def bench_queries() -> dict:
         "kmeans_embeddings",
         "hits_lineitem_graph",
         "quality_filter_documents",
+        "rank_stats_events",
+        "weighted_sample_documents",
+        "mix_corpus_documents",
+        "quantize_embeddings",
     ]
     out = {}
     qs = entrymod.queries()
