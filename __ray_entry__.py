@@ -339,6 +339,79 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+_BPE_MERGES = 8
+
+
+def bpe_merges_documents(sf_dir: str):
+    """Distributed BPE merge-rule learning over the document corpus
+    (stages/bpe.py::bpe_learn): first 8 merges, whitespace words +
+    </w> markers, (count desc, pair asc) tie-breaks.  Corpus read
+    once; per round one bucketed pair-count exchange + a per-block
+    argmax reduction."""
+    from web_graph_ray.stages.bpe import bpe_learn
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return bpe_learn(ds, _BPE_MERGES)
+
+
+def _bpe_sql(k: int) -> str:
+    """k-step unrolled BPE twin: each step counts adjacent token pairs
+    (weighted by word count), picks the (count desc, pair asc) argmax,
+    and applies the greedy non-overlapping merge via gaps-and-islands
+    parity (within each run of consecutive candidate positions, the
+    even offsets merge — exactly the left-to-right greedy semantics)."""
+    ctes = ["""
+            w0 as (select word, count(*)::bigint cnt
+                   from (select unnest(string_split(text, ' ')) word
+                         from documents)
+                   group by word),
+            v0 as (select word, cnt,
+                          list_append(regexp_extract_all(word, '.'), '</w>') toks
+                   from w0)"""]
+    bests = []
+    for s in range(1, k + 1):
+        p, b, ex, isl, nv = (f"p{s}", f"b{s}", f"e{s}", f"i{s}", f"v{s}")
+        prev = f"v{s - 1}"
+        ctes.append(f"""
+            {p} as (select toks[j] a, toks[j+1] b, sum(cnt)::bigint c
+                    from {prev}, unnest(range(1, len(toks))) u(j)
+                    group by 1, 2),
+            {b} as (select a, b, c from {p} order by c desc, a, b limit 1),
+            {ex} as (select word, cnt, j, toks[j] tok,
+                            (j < len(toks) and toks[j] = bb.a
+                             and toks[j+1] = bb.b) cand
+                     from {prev} cross join {b} bb,
+                          unnest(range(1, len(toks) + 1)) u(j)),
+            {isl} as (select *, case when cand then
+                           j - row_number() over (partition by word, cand
+                                                  order by j)
+                         end grp from {ex}),
+            {nv} as (
+              select word, cnt,
+                     list(case when chosen then tok || nxt else tok end
+                          order by j) toks
+              from (select *,
+                           coalesce(lag(chosen) over (partition by word
+                                                      order by j),
+                                    false) skp,
+                           lead(tok) over (partition by word order by j) nxt
+                    from (select *,
+                                 cand and ((j - min(j) over
+                                            (partition by word, grp))
+                                           % 2 = 0) as chosen
+                          from {isl}))
+              where not skp
+              group by word, cnt)""")
+        bests.append(
+            f"select {s}::bigint rank, a as left_tok, b as right_tok,"
+            f" c as cnt from {b}"
+        )
+    return (
+        "with " + ",".join(ctes) + "\n"
+        + "\nunion all ".join(bests) + "\norder by rank"
+    )
+
+
 def quantize_embeddings(sf_dir: str):
     """Per-vector symmetric int8 quantization audit: scale = max|x|/127
     and reconstruction MSE (stages/ann.py::quantize_int8 — zero-copy
@@ -1768,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_stats_events": rank_stats_events,
         "mix_corpus_documents": mix_corpus_documents,
         "quantize_embeddings": quantize_embeddings,
+        "bpe_merges_documents": bpe_merges_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2365,6 +2439,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_steps
             from events group by user_id order by user_id
         """,
+        "bpe_merges_documents": _bpe_sql(_BPE_MERGES),
         "quantize_embeddings": """
             with s as (
               select vec_id, embedding,

@@ -760,3 +760,70 @@ class TestQuantizeInt8:
         exp = np.abs(vecs).max(axis=1) / 127.0
         got = out["scale"].to_numpy()
         assert np.allclose(got, np.round(exp, 9), atol=5e-10)
+
+
+class TestBPE:
+    @staticmethod
+    def _ref_bpe(words, k):
+        from collections import Counter
+
+        wc = Counter(words)
+        vocab = {w: list(w) + ["</w>"] for w in wc}
+        merges = []
+        for r in range(1, k + 1):
+            pc = Counter()
+            for w, toks in vocab.items():
+                for pair in zip(toks, toks[1:]):
+                    pc[pair] += wc[w]
+            if not pc:
+                break
+            pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((r, pair[0], pair[1], pc[pair]))
+            a, b = pair
+            for w, toks in vocab.items():
+                out, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_matches_scalar_reference(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.bpe import bpe_learn
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat aaa aaaa abab ababab",
+            "banana bandana",
+            "low lower lowest slow slowest",
+        ]
+        exp = pd.DataFrame(
+            self._ref_bpe(" ".join(texts).split(" "), 6),
+            columns=["rank", "left_tok", "right_tok", "cnt"],
+        ).astype({"rank": "int64", "cnt": "int64"})
+        for parts in (1, 3):
+            ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(parts)
+            got = bpe_learn(ds, 6, num_buckets=4)
+            pd.testing.assert_frame_equal(got, exp)
+
+    def test_overlapping_runs_merge_greedily(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.bpe import merge_tokens
+
+        # 'aaaa' -> greedy (a,a): positions 0,2 merge -> [aa, aa, </w>]
+        assert merge_tokens(list("aaaa") + ["</w>"], "a", "a", "aa") == [
+            "aa", "aa", "</w>",
+        ]
+        # 'aaa' -> [aa, a, </w>]
+        assert merge_tokens(list("aaa") + ["</w>"], "a", "a", "aa") == [
+            "aa", "a", "</w>",
+        ]
