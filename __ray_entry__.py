@@ -354,12 +354,25 @@ def bpe_merges_documents(sf_dir: str):
     return bpe_learn(ds, _BPE_MERGES)
 
 
-def _bpe_sql(k: int) -> str:
-    """k-step unrolled BPE twin: each step counts adjacent token pairs
-    (weighted by word count), picks the (count desc, pair asc) argmax,
-    and applies the greedy non-overlapping merge via gaps-and-islands
-    parity (within each run of consecutive candidate positions, the
-    even offsets merge — exactly the left-to-right greedy semantics)."""
+def bpe_token_counts_documents(sf_dir: str):
+    """BPE encode: per-document token count under the 8-merge learned
+    vocabulary (stages/bpe.py::bpe_token_counts — co-partitioned
+    vocab join, per-doc bucketed sum)."""
+    from web_graph_ray.stages.bpe import bpe_token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = bpe_token_counts(ds, _BPE_MERGES).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _bpe_ctes(k: int) -> str:
+    """Shared k-step unrolled BPE CTE chain: each step counts adjacent
+    token pairs (weighted by word count), picks the (count desc, pair
+    asc) argmax, and applies the greedy non-overlapping merge via
+    gaps-and-islands parity (within each run of consecutive candidate
+    positions, the even offsets merge — exactly the left-to-right
+    greedy semantics).  Exposes b1..bk (the merges) and vk (the final
+    tokenized vocabulary)."""
     ctes = ["""
             w0 as (select word, count(*)::bigint cnt
                    from (select unnest(string_split(text, ' ')) word
@@ -402,13 +415,35 @@ def _bpe_sql(k: int) -> str:
                           from {isl}))
               where not skp
               group by word, cnt)""")
-        bests.append(
-            f"select {s}::bigint rank, a as left_tok, b as right_tok,"
-            f" c as cnt from {b}"
-        )
+    return ",".join(ctes)
+
+
+def _bpe_sql(k: int) -> str:
+    bests = [
+        f"select {s}::bigint rank, a as left_tok, b as right_tok,"
+        f" c as cnt from b{s}"
+        for s in range(1, k + 1)
+    ]
     return (
-        "with " + ",".join(ctes) + "\n"
+        "with " + _bpe_ctes(k) + "\n"
         + "\nunion all ".join(bests) + "\norder by rank"
+    )
+
+
+def _bpe_counts_sql(k: int) -> str:
+    """Encode twin: per-doc word multiplicities joined to the final
+    vocabulary's per-word token lengths (v{k} from the shared chain)."""
+    return (
+        "with " + _bpe_ctes(k) + f""",
+            dv as (select doc_id, word, count(*)::bigint m
+                   from (select doc_id,
+                                unnest(string_split(text, ' ')) word
+                         from documents)
+                   group by 1, 2),
+            tl as (select word, len(toks)::bigint nt from v{k})
+            select doc_id, sum(m * nt)::bigint as n_bpe_tokens
+            from dv join tl using (word)
+            group by doc_id order by doc_id"""
     )
 
 
@@ -1842,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_corpus_documents": mix_corpus_documents,
         "quantize_embeddings": quantize_embeddings,
         "bpe_merges_documents": bpe_merges_documents,
+        "bpe_token_counts_documents": bpe_token_counts_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2440,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
             from events group by user_id order by user_id
         """,
         "bpe_merges_documents": _bpe_sql(_BPE_MERGES),
+        "bpe_token_counts_documents": _bpe_counts_sql(_BPE_MERGES),
         "quantize_embeddings": """
             with s as (
               select vec_id, embedding,

@@ -827,3 +827,38 @@ class TestBPE:
         assert merge_tokens(list("aaa") + ["</w>"], "a", "a", "aa") == [
             "aa", "a", "</w>",
         ]
+
+    def test_token_counts_match_scalar_encode(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.bpe import bpe_token_counts, merge_tokens
+
+        texts = ["low lower lowest", "slow slowest low", "newer newest new"]
+        k = 5
+        merges = self._ref_bpe(" ".join(texts).split(" "), k)
+
+        def encode_len(word):
+            toks = list(word) + ["</w>"]
+            for _, a, b, _c in merges:
+                toks = merge_tokens(toks, a, b, a + b)
+            return len(toks)
+
+        exp = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "n_bpe_tokens": [
+                    sum(encode_len(w) for w in t.split(" ")) for t in texts
+                ],
+            }
+        ).astype({"doc_id": "int64", "n_bpe_tokens": "int64"})
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+        ).repartition(2)
+        got = (
+            bpe_token_counts(ds, k, num_buckets=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-__all__ = ["bpe_learn"]
+__all__ = ["bpe_learn", "bpe_token_counts"]
 
 END = "</w>"
 
@@ -57,11 +57,14 @@ def bpe_learn(
     k: int,
     text_col: str = "text",
     num_buckets: int = 32,
-) -> pd.DataFrame:
+    return_vocab: bool = False,
+):
     """Learn the first ``k`` BPE merges; returns a DataFrame
     (rank, left_tok, right_tok, cnt) with cnt = the pair's weighted
     count at merge time.  Deterministic: ties break on the
-    lexicographically smallest (left_tok, right_tok)."""
+    lexicographically smallest (left_tok, right_tok).  With
+    ``return_vocab`` also returns the final tokenized vocabulary
+    Dataset (word, cnt, toks) for the encode step."""
     from .relational import bucketed_agg
 
     def words_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -146,6 +149,66 @@ def bpe_learn(
 
         vocab = vocab.map_batches(apply_merge, batch_format="pandas").materialize()
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         merges, columns=["rank", "left_tok", "right_tok", "cnt"]
     ).astype({"rank": "int64", "cnt": "int64"})
+    return (out, vocab) if return_vocab else out
+
+
+def bpe_token_counts(
+    docs,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "pd.DataFrame":
+    """BPE ENCODE step: per-document token count under the vocabulary
+    learned by ``bpe_learn(k)`` — the sizing pass of a tokenizer
+    pipeline.  Returns a Dataset of (id, n_bpe_tokens).
+
+    Distributed shape: per-batch (doc, word, occurrences) partial
+    counts → one co-partitioned ``bucket_hash_join`` against the
+    learned vocab's per-word token lengths (no broadcast at any vocab
+    size) → per-doc bucketed sum.  The heavy merge loop ran once per
+    DISTINCT word inside bpe_learn; encode never re-merges."""
+    from .relational import bucket_hash_join, bucketed_agg
+
+    _, vocab = bpe_learn(
+        docs, k, text_col=text_col, num_buckets=num_buckets, return_vocab=True
+    )
+
+    def word_lens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"word": df["word"],
+             "nt": [len(t) for t in df["toks"]]}
+        ).astype({"nt": "int64"})
+
+    lens = vocab.map_batches(word_lens, batch_format="pandas")
+
+    def doc_words(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df.set_index(id_col)[text_col]
+            .str.split(" ")
+            .explode()
+            .rename("word")
+        )
+        out = s.groupby([s.index, s]).size().rename("m").reset_index()
+        return out.astype({"m": "int64"})
+
+    dw = docs.map_batches(doc_words, batch_format="pandas")
+    joined = bucket_hash_join(dw, lens, ["word"], num_buckets=num_buckets)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col],
+             "n_bpe_tokens": (df["m"] * df["nt"]).astype("int64")}
+        )
+
+    return bucketed_agg(
+        joined.map_batches(weigh, batch_format="pandas"),
+        [id_col],
+        value_col="n_bpe_tokens",
+        how="sum",
+        out_col="n_bpe_tokens",
+        num_buckets=num_buckets,
+    )
