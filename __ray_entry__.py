@@ -339,6 +339,23 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def curate_documents(sf_dir: str):
+    """End-to-end curation recipe as ONE streaming pipeline — quality
+    gate (C4/Gopher composite) → exact first-wins dedup on text →
+    stopword scrub — no intermediate materialization; the only
+    exchange is the dedup's bucketed winner election.  Emits the
+    surviving docs' kept/removed token counts."""
+    from web_graph_ray.stages.relational import first_wins_dedup
+    from web_graph_ray.stages.text import quality_filter, stopword_scrub
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    q = quality_filter(ds).select_columns(["doc_id", "text"])
+    d = first_wins_dedup(q, ["text"], "doc_id")
+    out = stopword_scrub(d, _SCRUB_STOP).to_pandas()
+    out = out[["doc_id", "kept_tokens", "removed_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 _BPE_MERGES = 8
 
 
@@ -1878,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": quantize_embeddings,
         "bpe_merges_documents": bpe_merges_documents,
         "bpe_token_counts_documents": bpe_token_counts_documents,
+        "curate_documents": curate_documents,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2474,6 +2492,47 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "curate_documents": """
+            with q as (select doc_id,
+                         len(regexp_extract_all(text, '[A-Za-z0-9]+')) as n_tokens,
+                         cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+                           / greatest(length(text), 1) as alpha_ratio,
+                         cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double)
+                           / greatest(length(text), 1) as digit_ratio
+                       from documents),
+            l as (select doc_id, unnest(string_split(text, chr(10))) line from documents),
+            lm as (select doc_id, sum(c) n_lines, sum(c - 1) dup_lines
+                   from (select doc_id, line, count(*) c from l group by doc_id, line)
+                   group by doc_id),
+            toks as (select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') t
+                     from documents),
+            g2 as (select doc_id,
+                          unnest(list_transform(generate_series(0, len(t)-2),
+                                 i -> array_to_string(t[i+1:i+2], ' '))) g
+                   from toks where len(t) >= 2),
+            c2 as (select doc_id, max(cnt) m, sum(cnt) tot
+                   from (select doc_id, g, count(*) cnt from g2 group by doc_id, g)
+                   group by doc_id),
+            f as (select q.doc_id, q.n_tokens, q.alpha_ratio, q.digit_ratio,
+                         coalesce(cast(c2.m as double) / c2.tot, 0.0) top_bigram_frac,
+                         cast(lm.dup_lines as double) / lm.n_lines dup_line_frac
+                  from q join lm using(doc_id) left join c2 using(doc_id)),
+            surv as (select doc_id from f
+                     where n_tokens between 25 and 90
+                       and alpha_ratio >= 0.5 and digit_ratio <= 0.2
+                       and top_bigram_frac <= 0.06 and dup_line_frac <= 0.3),
+            d as (select dd.doc_id, dd.text from documents dd join surv using(doc_id)),
+            keep as (select min(doc_id) doc_id from d group by text),
+            o as (select d.doc_id,
+                         string_split(d.text, ' ') tk,
+                         list_filter(string_split(d.text, ' '),
+                                     w -> w not in ('the','a','of','and',
+                                                    'row','table','value')) kp
+                  from d join keep using(doc_id))
+            select doc_id, len(kp)::bigint as kept_tokens,
+                   (len(tk) - len(kp))::bigint as removed_tokens
+            from o order by doc_id
         """,
         "bpe_merges_documents": _bpe_sql(_BPE_MERGES),
         "bpe_token_counts_documents": _bpe_counts_sql(_BPE_MERGES),

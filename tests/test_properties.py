@@ -710,6 +710,27 @@ class TestLagRunningScrub:
         assert got["kept_tokens"].tolist() == [3, 0, 4, 1]
         assert got["removed_tokens"].tolist() == [3, 3, 2, 0]
 
+    def test_stopword_scrub_permuted_index(self, ray_session):
+        """Batches arriving with a permuted (non-monotonic) index —
+        e.g. out of a dedup stage — must not misalign removed_tokens."""
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.text import stopword_scrub
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2], "text": ["the x", "y the the", "z"]},
+            index=[2, 0, 1],
+        )
+        got = (
+            stopword_scrub(ray.data.from_pandas(df), ("the",))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["kept_tokens"].tolist() == [1, 1, 1]
+        assert got["removed_tokens"].tolist() == [1, 2, 0]
+
 
 class TestWeightedSample:
     def test_matches_local_and_parallelism_invariant(self, ray_session):

@@ -251,8 +251,14 @@ def stopword_scrub(
         out["kept_tokens"] = (
             n_kept.reindex(df.index).fillna(0).astype("int64").to_numpy()
         )
+        # reindex BOTH series to df.index before the subtraction: label
+        # alignment alone returns union-SORTED order, which to_numpy()
+        # would misalign against out's rows whenever the incoming batch
+        # index is a permutation (e.g. after a dedup stage)
         out["removed_tokens"] = (
-            (n_all - n_kept.reindex(df.index).fillna(0)).astype("int64").to_numpy()
+            (n_all.reindex(df.index).fillna(0) - n_kept.reindex(df.index).fillna(0))
+            .astype("int64")
+            .to_numpy()
         )
         return out.reset_index(drop=True)
 
