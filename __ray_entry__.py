@@ -339,6 +339,22 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def mode_event_type_users(sf_dir: str):
+    """Grouped MODE: each user's most frequent event_type (ties →
+    lexicographically smallest) — pure composition of bucketed_agg +
+    grouped_topk(k=1), no new operator."""
+    from web_graph_ray.stages.relational import bucketed_agg, grouped_topk
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    counts = bucketed_agg(ds, ["user_id", "event_type"], how="count", out_col="n")
+    out = grouped_topk(
+        counts, ["user_id"], "n", 1, descending=True, tie_cols=["event_type"]
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = out[["user_id", "event_type", "n"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def curate_documents(sf_dir: str):
     """End-to-end curation recipe as ONE streaming pipeline — quality
     gate (C4/Gopher composite) → exact first-wins dedup on text →
@@ -1896,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": bpe_merges_documents,
         "bpe_token_counts_documents": bpe_token_counts_documents,
         "curate_documents": curate_documents,
+        "mode_event_type_users": mode_event_type_users,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2492,6 +2509,14 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "mode_event_type_users": """
+            select user_id, event_type, n from (
+              select user_id, event_type, count(*)::bigint n,
+                     row_number() over (partition by user_id
+                                        order by count(*) desc, event_type) rn
+              from events group by user_id, event_type)
+            where rn = 1 order by user_id
         """,
         "curate_documents": """
             with q as (select doc_id,
