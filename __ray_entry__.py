@@ -339,6 +339,51 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def retention_events(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week; for each
+    (cohort_week, week_offset) the count of distinct users active at
+    that offset.  Composition: per-user min week (bucketed agg) →
+    co-partitioned join back → distinct triple dedup → bucketed count.
+    All exchanges key on user_id or the small (cohort, offset) pairs."""
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        first_wins_dedup,
+    )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_week(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (
+            df["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 604800
+        )
+        return pd.DataFrame({"user_id": df["user_id"], "wk": wk})
+
+    weeks = ds.map_batches(to_week, batch_format="pandas")
+    first = bucketed_agg(weeks, ["user_id"], value_col="wk", how="min", out_col="cw")
+    joined = bucket_hash_join(weeks, first, ["user_id"])
+
+    def offsets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "cohort_week": df["cw"].astype("int64"),
+                "week_offset": (df["wk"] - df["cw"]).astype("int64"),
+            }
+        )
+
+    triples = first_wins_dedup(
+        joined.map_batches(offsets, batch_format="pandas"),
+        ["user_id", "cohort_week", "week_offset"],
+        ["user_id"],
+    )
+    out = bucketed_agg(
+        triples, ["cohort_week", "week_offset"], how="count", out_col="n_users"
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
 def mode_event_type_users(sf_dir: str):
     """Grouped MODE: each user's most frequent event_type (ties →
     lexicographically smallest) — pure composition of bucketed_agg +
@@ -1913,6 +1958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_documents": bpe_token_counts_documents,
         "curate_documents": curate_documents,
         "mode_event_type_users": mode_event_type_users,
+        "retention_events": retention_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2509,6 +2555,18 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "retention_events": """
+            with w as (select user_id,
+                              floor(epoch(ts))::bigint // 604800 wk
+                       from events),
+            f as (select user_id, min(wk) cw from w group by user_id),
+            a as (select distinct w.user_id, f.cw,
+                         (w.wk - f.cw)::bigint wo
+                  from w join f using (user_id))
+            select cw as cohort_week, wo as week_offset,
+                   count(*)::bigint as n_users
+            from a group by 1, 2 order by 1, 2
         """,
         "mode_event_type_users": """
             select user_id, event_type, n from (
