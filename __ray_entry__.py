@@ -339,6 +339,38 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def rolling_avg_events(sf_dir: str):
+    """Per-user rolling mean over the last 3 events (2 preceding +
+    current, ordered by ts/event_id) — built on keyed_lag with the
+    EXACT arithmetic of the SQL twin (explicit 3-term sum / least(rn,3),
+    not pandas' online rolling accumulator, so both sides agree
+    bit-for-bit before the round)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        v = df["value"]
+        s = (
+            v
+            + g["value"].shift(1).fillna(0.0)
+            + g["value"].shift(2).fillna(0.0)
+        )
+        n = np.minimum(g.cumcount().to_numpy() + 1, 3)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "rolling_avg": round_half_away(s.to_numpy() / n, 6),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def retention_events(sf_dir: str):
     """Cohort retention: users grouped by first-activity week; for each
     (cohort_week, week_offset) the count of distinct users active at
@@ -1959,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": curate_documents,
         "mode_event_type_users": mode_event_type_users,
         "retention_events": retention_events,
+        "rolling_avg_events": rolling_avg_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2555,6 +2588,16 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "rolling_avg_events": """
+            select event_id,
+                   round((value
+                          + coalesce(lag(value) over w, 0.0)
+                          + coalesce(lag(value, 2) over w, 0.0))
+                         / least(row_number() over w, 3), 6) as rolling_avg
+            from events
+            window w as (partition by user_id order by ts, event_id)
+            order by event_id
         """,
         "retention_events": """
             with w as (select user_id,
