@@ -339,6 +339,32 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def transitions_events(sf_dir: str):
+    """Markov transition counts: per-user consecutive event-type pairs
+    (prev_type → type, ordered by ts/event_id), counted corpus-wide —
+    the sequence-model prep step.  keyed_lag composition + bucketed
+    count; first events (no predecessor) are excluded."""
+    from web_graph_ray.stages.relational import bucketed_agg, keyed_lag
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    lagged = keyed_lag(ds, "user_id", ["ts", "event_id"], ["event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type_prev"].notna()]
+        return pd.DataFrame(
+            {"prev_type": df["event_type_prev"], "next_type": df["event_type"]}
+        )
+
+    out = bucketed_agg(
+        lagged.map_batches(pairs, batch_format="pandas"),
+        ["prev_type", "next_type"],
+        how="count",
+        out_col="n",
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def rolling_avg_events(sf_dir: str):
     """Per-user rolling mean over the last 3 events (2 preceding +
     current, ordered by ts/event_id) — built on keyed_lag with the
@@ -1992,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type_users": mode_event_type_users,
         "retention_events": retention_events,
         "rolling_avg_events": rolling_avg_events,
+        "transitions_events": transitions_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2588,6 +2615,17 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "transitions_events": """
+            with t as (select event_type,
+                              lag(event_type) over (partition by user_id
+                                                    order by ts, event_id)
+                                as prev_type
+                       from events)
+            select prev_type, event_type as next_type,
+                   count(*)::bigint as n
+            from t where prev_type is not null
+            group by 1, 2 order by 1, 2
         """,
         "rolling_avg_events": """
             select event_id,
