@@ -339,6 +339,17 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def hist_quantiles_lineitem(sf_dir: str):
+    """Approximate price quantiles from a mergeable 8192-bin histogram
+    sketch (stages/sketch.py::hist_quantile — min/max pre-pass, one
+    bounded counter sketch per block, counter-sum merge; error ≤ one
+    bin width)."""
+    from web_graph_ray.stages.sketch import hist_quantile
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    return hist_quantile(ds, "l_extendedprice", qs=(0.5, 0.95))
+
+
 def transitions_events(sf_dir: str):
     """Markov transition counts: per-user consecutive event-type pairs
     (prev_type → type, ordered by ts/event_id), counted corpus-wide —
@@ -2019,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_events": retention_events,
         "rolling_avg_events": rolling_avg_events,
         "transitions_events": transitions_events,
+        "hist_quantiles_lineitem": hist_quantiles_lineitem,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2615,6 +2627,25 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "hist_quantiles_lineitem": """
+            with s as (select min(l_extendedprice) lo,
+                              max(l_extendedprice) hi,
+                              count(*)::bigint n
+                       from lineitem),
+            b as (select least(greatest(floor((l_extendedprice - s.lo)
+                                / ((s.hi - s.lo) / 8192.0)), 0), 8191)::bigint bin
+                  from lineitem, s),
+            c as (select bin, count(*)::bigint c from b group by bin),
+            cum as (select bin, sum(c) over (order by bin) cm from c),
+            ans as (select q.q,
+                           (select min(bin) from cum
+                            where cm >= ceil(q.q * (select n from s))) bn
+                    from (values (0.5), (0.95)) q(q))
+            select q, round((select lo from s) + (bn + 1)
+                            * (((select hi from s) - (select lo from s))
+                               / 8192.0), 6) as est
+            from ans order by q
         """,
         "transitions_events": """
             with t as (select event_type,

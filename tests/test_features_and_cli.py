@@ -862,3 +862,38 @@ class TestBPE:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestHistQuantile:
+    def test_error_bound_and_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.sketch import hist_quantile
+
+        rng = np.random.default_rng(5)
+        v = rng.normal(100.0, 15.0, 20000)
+        df = pd.DataFrame({"x": v})
+        outs = []
+        for parts in (2, 9):
+            out = hist_quantile(
+                ray.data.from_pandas(df).repartition(parts), "x",
+                qs=(0.25, 0.5, 0.9), bins=4096,
+            )
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+        width = (v.max() - v.min()) / 4096
+        for q, est in outs[0].itertuples(index=False):
+            true = np.quantile(v, q)
+            assert abs(est - true) <= 2 * width + 1e-9
+
+    def test_constant_column(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.sketch import hist_quantile
+
+        df = pd.DataFrame({"x": [7.5] * 100})
+        out = hist_quantile(ray.data.from_pandas(df), "x", qs=(0.5,))
+        assert out["est"].tolist() == [7.5]

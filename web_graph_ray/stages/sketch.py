@@ -30,6 +30,7 @@ __all__ = [
     "count_min",
     "count_min_estimate",
     "kmv_distinct",
+    "hist_quantile",
 ]
 
 
@@ -182,6 +183,61 @@ def hll_distinct(
     for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
         merged = np.maximum(merged, np.frombuffer(row["sketch"], dtype=np.uint8))
     return {"estimate": round(_hll_estimate(merged), 1), "p": p}
+
+
+def hist_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple = (0.5, 0.95),
+    bins: int = 8192,
+    round_to: int = 6,
+) -> "pd.DataFrame":
+    """Approximate quantiles from a mergeable fixed-width histogram —
+    the one-merge-pass alternative to ``relational.exact_quantile``'s
+    iterative narrowing (error ≤ one bin width = range/bins).  Pass 1
+    is a min/max aggregate; pass 2 bins every value (np.bincount) into
+    one bounded ``bins``-counter sketch per block, merged by counter
+    sum (the Count-Min merge shape).  Answer per q: the upper edge of
+    the first bin whose cumulative count reaches ceil(q·n).
+
+    Deterministic and SQL-rederivable: bin = clip(floor((v-lo)/width),
+    0, bins-1) with width = (hi-lo)/bins evaluates identically in
+    numpy and DuckDB (same IEEE expression tree)."""
+    import pandas as pd
+
+    from ..functions.numeric import round_half_away
+
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(col), ray.data.aggregate.Max(col)
+    )
+    lo, hi = float(stats[f"min({col})"]), float(stats[f"max({col})"])
+    n = ds.count()
+    if hi == lo:
+        return pd.DataFrame(
+            {"q": list(qs), "est": [round_half_away(hi, round_to)] * len(qs)}
+        )
+    width = (hi - lo) / bins
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        v = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+        idx = np.clip(
+            np.floor((v - lo) / width).astype(np.int64), 0, bins - 1
+        )
+        counts = np.bincount(idx, minlength=bins).astype(np.int64)
+        return pa.Table.from_pydict({"sketch": pa.array([counts.tobytes()])})
+
+    merged = np.zeros(bins, dtype=np.int64)
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all():
+        merged += np.frombuffer(row["sketch"], dtype=np.int64)
+    cum = np.cumsum(merged)
+    out = []
+    for q in qs:
+        k = int(np.ceil(q * n))
+        b = int(np.searchsorted(cum, k, side="left"))
+        out.append(
+            (q, float(round_half_away(lo + (b + 1) * width, round_to)))
+        )
+    return pd.DataFrame(out, columns=["q", "est"])
 
 
 def kmv_distinct(ds: "ray.data.Dataset", col: str, k: int = 1024) -> dict:
