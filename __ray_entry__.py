@@ -1725,6 +1725,31 @@ def grouped_stats_events(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def outlier_events(sf_dir: str):
+    """Z-score anomaly filter: events whose value deviates more than
+    2σ from their event_type's mean — the data-cleaning staple.  The
+    per-type stats are the grouped_stats result ROUNDED at 6 dp before
+    the comparison (both sides), so the filter boundary is identical
+    engine-vs-oracle despite the differing float summation paths.
+    Stats (5 rows) broadcast via ray.put; the filter is a pure batch
+    map."""
+    from web_graph_ray.stages.relational import broadcast_join
+
+    stats = grouped_stats_events(sf_dir)[
+        ["event_type", "mean_value", "std_value"]
+    ]
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    joined = broadcast_join(ds, stats, on="event_type")
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        dev = (df["value"] - df["mean_value"]).abs()
+        out = df[dev > 2.0 * df["std_value"]]
+        return out[["event_id", "event_type", "value"]]
+
+    out = joined.map_batches(flag, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def grouped_median_events(sf_dir: str):
     """Exact per-group median (percentile_disc semantics) of event
     values by event_type — one bucketed exchange, k-th-smallest per
@@ -2031,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg_events": rolling_avg_events,
         "transitions_events": transitions_events,
         "hist_quantiles_lineitem": hist_quantiles_lineitem,
+        "outlier_events": outlier_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2627,6 +2653,20 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "outlier_events": """
+            with st as (
+              select event_type,
+                     round(sum(value) / count(*), 6) as m,
+                     round(sqrt(greatest(
+                         sum(value * value) / count(*)
+                         - (sum(value) / count(*)) * (sum(value) / count(*)),
+                         0.0)), 6) as sd
+              from events group by event_type)
+            select e.event_id, e.event_type, e.value
+            from events e join st using (event_type)
+            where abs(e.value - st.m) > 2.0 * st.sd
+            order by event_id
         """,
         "hist_quantiles_lineitem": """
             with s as (select min(l_extendedprice) lo,
