@@ -339,6 +339,21 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def global_rank_lineitem(sf_dir: str):
+    """TeraSort-shape global row_number over (price, orderkey,
+    linenumber) (stages/relational.py::global_rank — value-range
+    partition, per-bucket counts → prefix offsets, local sort)."""
+    from web_graph_ray.stages.relational import global_rank
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = global_rank(
+        ds, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    out = out[["rank", "l_orderkey", "l_linenumber", "l_extendedprice"]]
+    return out.sort_values("rank").reset_index(drop=True)
+
+
 def hist_quantiles_lineitem(sf_dir: str):
     """Approximate price quantiles from a mergeable 8192-bin histogram
     sketch (stages/sketch.py::hist_quantile — min/max pre-pass, one
@@ -2057,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_events": transitions_events,
         "hist_quantiles_lineitem": hist_quantiles_lineitem,
         "outlier_events": outlier_events,
+        "global_rank_lineitem": global_rank_lineitem,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2653,6 +2669,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "global_rank_lineitem": """
+            select row_number() over (order by l_extendedprice,
+                                      l_orderkey, l_linenumber) as rank,
+                   l_orderkey, l_linenumber, l_extendedprice
+            from lineitem order by rank
         """,
         "outlier_events": """
             with st as (

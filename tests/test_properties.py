@@ -896,3 +896,50 @@ class TestMixCorpus:
         assert by["c"] == 2000                      # default weight 1.0
         # epochs are dense 0..n-1 per surviving row
         assert got[got["src"] == "a"].groupby("id")["epoch"].max().eq(2).all()
+
+
+class TestGlobalRank:
+    def test_total_order_and_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import global_rank
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(5000, dtype=np.int64),
+                "v": rng.choice([1.0, 2.5, 7.0, 7.0, 9.9], 5000)
+                + rng.integers(0, 3, 5000),
+            }
+        )
+        exp = df.sort_values(["v", "id"]).reset_index(drop=True)
+        exp["rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+        for parts in (2, 9):
+            got = (
+                global_rank(
+                    ray.data.from_pandas(df).repartition(parts),
+                    "v", ["id"], num_buckets=16,
+                )
+                .to_pandas()
+                .sort_values("rank")
+                .reset_index(drop=True)[["id", "v", "rank"]]
+            )
+            pd.testing.assert_frame_equal(got, exp[["id", "v", "rank"]])
+
+    def test_constant_column(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import global_rank
+
+        df = pd.DataFrame({"id": np.arange(50, dtype=np.int64), "v": 3.0})
+        got = (
+            global_rank(ray.data.from_pandas(df).repartition(3), "v", ["id"])
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert got["id"].tolist() == list(range(50))
+        assert got["rank"].tolist() == list(range(1, 51))
