@@ -339,6 +339,29 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def distinct_users_hourly(sf_dir: str):
+    """Distinct active users per 1-hour window — windowed COUNT
+    DISTINCT via (hour, user) first-wins dedup then a bucketed count
+    (exact at any parallelism, no per-window set state)."""
+    from web_graph_ray.stages.relational import bucketed_agg, first_wins_dedup
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_hour(df: pd.DataFrame) -> pd.DataFrame:
+        hr = (
+            df["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 3600
+        ) * 3600
+        return pd.DataFrame({"window_start": hr, "user_id": df["user_id"]})
+
+    hours = ds.map_batches(to_hour, batch_format="pandas")
+    distinct = first_wins_dedup(hours, ["window_start", "user_id"], ["user_id"])
+    out = bucketed_agg(
+        distinct, ["window_start"], how="count", out_col="n_users"
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
 def global_rank_lineitem(sf_dir: str):
     """TeraSort-shape global row_number over (price, orderkey,
     linenumber) (stages/relational.py::global_rank — value-range
@@ -2073,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles_lineitem": hist_quantiles_lineitem,
         "outlier_events": outlier_events,
         "global_rank_lineitem": global_rank_lineitem,
+        "distinct_users_hourly": distinct_users_hourly,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2669,6 +2693,11 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "distinct_users_hourly": """
+            select (floor(epoch(ts))::bigint // 3600) * 3600 as window_start,
+                   count(distinct user_id)::bigint as n_users
+            from events group by 1 order by 1
         """,
         "global_rank_lineitem": """
             select row_number() over (order by l_extendedprice,
