@@ -339,6 +339,28 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def value_share_events(sf_dir: str):
+    """Ratio-to-report window: each event's share of its user's total
+    value (value / per-user sum, 6-dp) — one bucketed exchange, a
+    vectorized groupby-transform per bucket."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("user_id")["value"].transform("sum").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "share": round_half_away(df["value"].to_numpy() / tot, 6),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def distinct_users_hourly(sf_dir: str):
     """Distinct active users per 1-hour window — windowed COUNT
     DISTINCT via (hour, user) first-wins dedup then a bucketed count
@@ -2097,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": outlier_events,
         "global_rank_lineitem": global_rank_lineitem,
         "distinct_users_hourly": distinct_users_hourly,
+        "value_share_events": value_share_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2693,6 +2716,12 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "value_share_events": """
+            select event_id,
+                   round(value / sum(value) over (partition by user_id), 6)
+                     as share
+            from events order by event_id
         """,
         "distinct_users_hourly": """
             select (floor(epoch(ts))::bigint // 3600) * 3600 as window_start,
