@@ -120,6 +120,8 @@ def bench_queries() -> dict:
         "weighted_sample_documents",
         "mix_corpus_documents",
         "quantize_embeddings",
+        "global_rank_lineitem",
+        "curate_documents",
     ]
     out = {}
     qs = entrymod.queries()
