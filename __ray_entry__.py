@@ -339,6 +339,73 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def corr_value_timeofday(sf_dir: str):
+    """Per-type Pearson correlation between event value and
+    second-of-day, via the explicit 5-moment formula (n, Σx, Σy, Σxy,
+    Σx², Σy²) mirrored verbatim in SQL — the (n,Σ,Σ²) combiner family
+    extended to two variables.  One small shuffle of 6 numbers per
+    (group, block)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy(dtype="float64")
+        y = (
+            df["ts"].to_numpy().astype("datetime64[s]").astype("int64") % 86400
+        ).astype("float64")
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "n": 1.0, "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x, "syy": y * y}
+        )
+        return t.groupby("event_type", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).sum()
+        n = g["n"].to_numpy()
+        num = n * g["sxy"].to_numpy() - g["sx"].to_numpy() * g["sy"].to_numpy()
+        den = np.sqrt(
+            (n * g["sxx"].to_numpy() - g["sx"].to_numpy() ** 2)
+            * (n * g["syy"].to_numpy() - g["sy"].to_numpy() ** 2)
+        )
+        return pd.DataFrame(
+            {"event_type": g["event_type"],
+             "corr": round_half_away(num / den, 6)}
+        )
+
+    out = bucketed_group_map(
+        ds, ["event_type"], final, batch_partial=partial
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_span_events(sf_dir: str):
+    """Per-user activity span: first/last event second, duration, and
+    the first/last event's value (one bucketed exchange, vectorized
+    sort + groupby first/last per bucket)."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        sec = pd.Series(
+            df["ts"].to_numpy().astype("datetime64[s]").astype("int64"),
+            index=df.index,
+        )
+        g = df.assign(sec=sec).groupby("user_id", sort=False)
+        out = g.agg(
+            t_first=("sec", "first"), t_last=("sec", "last"),
+            v_first=("value", "first"), v_last=("value", "last"),
+        ).reset_index()
+        out["span_sec"] = (out["t_last"] - out["t_first"]).astype("int64")
+        return out[["user_id", "t_first", "t_last", "span_sec", "v_first", "v_last"]]
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def value_share_events(sf_dir: str):
     """Ratio-to-report window: each event's share of its user's total
     value (value / per-user sum, 6-dp) — one bucketed exchange, a
@@ -2120,6 +2187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_lineitem": global_rank_lineitem,
         "distinct_users_hourly": distinct_users_hourly,
         "value_share_events": value_share_events,
+        "corr_value_timeofday": corr_value_timeofday,
+        "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
         "concomp_lineitem_graph": concomp_lineitem_graph,
@@ -2716,6 +2785,37 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "corr_value_timeofday": """
+            -- explicit 5-moment Pearson (NOT corr()): identical float
+            -- combination as the engine before the 6-dp round
+            with m as (select event_type,
+                              count(*)::double n,
+                              sum(value) sx,
+                              sum((floor(epoch(ts))::bigint % 86400)::double) sy,
+                              sum(value * (floor(epoch(ts))::bigint % 86400)::double) sxy,
+                              sum(value * value) sxx,
+                              sum((floor(epoch(ts))::bigint % 86400)::double
+                                  * (floor(epoch(ts))::bigint % 86400)::double) syy
+                       from events group by event_type)
+            select event_type,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                         6) as corr
+            from m order by event_type
+        """,
+        "user_span_events": """
+            with o as (select user_id, floor(epoch(ts))::bigint sec, value,
+                              row_number() over (partition by user_id
+                                                 order by ts, event_id) rn,
+                              count(*) over (partition by user_id) n
+                       from events)
+            select user_id,
+                   min(sec) as t_first, max(sec) as t_last,
+                   (max(sec) - min(sec)) as span_sec,
+                   max(case when rn = 1 then value end) as v_first,
+                   max(case when rn = n then value end) as v_last
+            from o group by user_id order by user_id
         """,
         "value_share_events": """
             select event_id,
