@@ -339,6 +339,33 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def dedup_stats_documents(sf_dir: str):
+    """Corpus duplication profile in one row: total docs, distinct
+    texts (hash-group count, never text shuffles — texts are FNV-hashed
+    per batch first), duplicate fraction at 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    ds = _t(sf_dir, "documents", ["text"])
+    n = ds.count()
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": fnv1a64(df["text"].to_numpy(dtype=object)).astype("int64")}
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    uniq = bucketed_agg(hashed, ["h"], how="count", out_col="c").count()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "n_distinct": pd.Series([uniq], dtype="int64"),
+            "dup_frac": [float(round_half_away(1.0 - uniq / n, 6))],
+        }
+    )
+
+
 def corr_value_timeofday(sf_dir: str):
     """Per-type Pearson correlation between event value and
     second-of-day, via the explicit 5-moment formula (n, Σx, Σy, Σxy,
@@ -2188,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hourly": distinct_users_hourly,
         "value_share_events": value_share_events,
         "corr_value_timeofday": corr_value_timeofday,
+        "dedup_stats_documents": dedup_stats_documents,
         "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -2785,6 +2813,16 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "dedup_stats_documents": """
+            -- engine counts distinct 64-bit FNV text hashes; collision
+            -- probability at corpus scale is ~n^2/2^64, so distinct text
+            -- is the exact twin
+            select count(*)::bigint as n_docs,
+                   count(distinct text)::bigint as n_distinct,
+                   round(1.0 - count(distinct text)::double / count(*), 6)
+                     as dup_frac
+            from documents
         """,
         "corr_value_timeofday": """
             -- explicit 5-moment Pearson (NOT corr()): identical float
