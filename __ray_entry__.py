@@ -2118,6 +2118,14 @@ def crawl_counters(sf_dir: str):
     return pd.DataFrame(_crawl_engine(sf_dir).counters())
 
 
+def crawl_lineage(sf_dir: str):
+    """Per-round checkpoint lineage: commit record per MANIFEST —
+    stage timings, cumulative processed count, partition count, and
+    the config each round ran under (the north-rule lineage+metrics
+    surface)."""
+    return pd.DataFrame(_crawl_engine(sf_dir).lineage())
+
+
 def crawl_rejects(sf_dir: str):
     """Rejects side output (S6): one row per unparseable href met
     during extraction — the observable replacement for the reference's
@@ -2268,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_top_hosts": crawl_top_hosts,
         "crawl_counters": crawl_counters,
         "crawl_rejects": crawl_rejects,
+        "crawl_lineage": crawl_lineage,
         "crawl_pagerank": crawl_pagerank,
         "crawl_components": crawl_components,
     }

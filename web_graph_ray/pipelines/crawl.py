@@ -1127,6 +1127,24 @@ class CrawlEngine:
             out.append(m["counters"])
         return out
 
+    def lineage(self) -> list[dict]:
+        """Per-round commit lineage (the north-rule checkpoint record):
+        round, per-stage wall timings, cumulative processed count,
+        frontier partition count, and the config the round ran under —
+        one flat dict per committed MANIFEST."""
+        out = []
+        for r in self._committed_rounds():
+            m = read_json(os.path.join(round_dir(self.work, r), "MANIFEST.json"))
+            row = {"round": m["round"],
+                   "processed_total": m["processed_total"],
+                   "n_frontier_buckets": len(m.get("frontier_buckets", []))}
+            for k, v in sorted(m.get("timing", {}).items()):
+                row[f"t_{k}"] = round(float(v), 3)
+            for k, v in sorted(m.get("config", {}).items()):
+                row[f"cfg_{k}"] = v
+            out.append(row)
+        return out
+
     # -- materialized adjacency indexes (serving story) ---------------------
 
     INDEX_ROW_GROUP = 16_384  # small row groups ⇒ in-file filter pruning
