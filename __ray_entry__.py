@@ -339,6 +339,39 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def doc_embedding_norms(sf_dir: str):
+    """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) with
+    each vector's L2 norm computed zero-copy (ann._batch_matrix) —
+    the text×vector pipeline shape.  Co-partitioned bucket join, no
+    broadcast at any corpus size."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.ann import _batch_matrix
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def norms(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        m = _batch_matrix(batch, "embedding")
+        nrm = np.sqrt((m * m).sum(axis=1)) if m.size else np.zeros(len(batch))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["vec_id"].combine_chunks()
+                if isinstance(batch["vec_id"], pa.ChunkedArray)
+                else batch["vec_id"],
+                "norm": pa.array(round_half_away(nrm, 6)),
+            }
+        )
+
+    embs = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        norms, batch_format="pyarrow"
+    )
+    out = bucket_hash_join(docs, embs, ["doc_id"]).to_pandas()
+    out = out[["doc_id", "n_chars", "norm"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def dedup_stats_documents(sf_dir: str):
     """Corpus duplication profile in one row: total docs, distinct
     texts (hash-group count, never text shuffles — texts are FNV-hashed
@@ -2224,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_share_events": value_share_events,
         "corr_value_timeofday": corr_value_timeofday,
         "dedup_stats_documents": dedup_stats_documents,
+        "doc_embedding_norms": doc_embedding_norms,
         "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -2822,6 +2856,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "doc_embedding_norms": """
+            select d.doc_id, d.n_chars,
+                   round(sqrt(list_aggregate(
+                       list_transform(e.embedding,
+                                      x -> x::double * x::double), 'sum')),
+                         6) as norm
+            from documents d join embeddings e on e.vec_id = d.doc_id
+            order by d.doc_id
         """,
         "dedup_stats_documents": """
             -- engine counts distinct 64-bit FNV text hashes; collision
