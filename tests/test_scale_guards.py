@@ -395,3 +395,41 @@ class TestSessionizeManyKeys:
         got = out[out.user_id.isin(sample)]
         assert len(got) == exp_rows
         assert out["n_events"].sum() == n_events
+
+
+class TestWideOpScaleGuards:
+    def test_global_rank_driver_state_is_o_buckets(
+        self, ray_session, driver_probe
+    ):
+        """global_rank's only driver materialization is the per-bucket
+        count table (≤ buckets·blocks partial rows), never the data."""
+        from web_graph_ray.stages.relational import global_rank
+
+        n = 50_000
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "v": rng.normal(size=n)}
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = global_rank(ds, "v", ["id"], num_buckets=32)
+        # consume distributed (count), not via to_pandas
+        assert out.count() == n
+        assert max(driver_probe, default=0) <= 32 * 8, driver_probe
+
+    def test_weighted_sample_driver_rows_bounded_by_k(
+        self, ray_session, driver_probe
+    ):
+        """weighted_sample never materializes the dataset: the partial
+        top-k combiner bounds every exchange at k rows per block."""
+        from web_graph_ray.stages.relational import weighted_sample
+
+        n = 50_000
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64),
+             "w": rng.integers(1, 50, n).astype(np.int64)}
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        out = weighted_sample(ds, ["id"], "w", 100)
+        assert out.count() == 100
+        assert max(driver_probe, default=0) <= 1000, driver_probe
