@@ -339,6 +339,36 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def packing_stats_documents(sf_dir: str):
+    """Sequence-packing estimate for training at max_len 128: per-doc
+    whitespace token counts → chunks = ceil(tokens/128), tail-slot
+    waste = chunks·128 − tokens; one row of corpus totals + utilization
+    (6 dp).  Pure batch map + one tiny aggregate."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    max_len = 128
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").str.len().to_numpy(dtype="int64")
+        chunks = -(-toks // max_len)
+        return pd.DataFrame(
+            {"n_tokens": [int(toks.sum())], "n_chunks": [int(chunks.sum())]}
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n_tokens, n_chunks = int(agg["n_tokens"]), int(agg["n_chunks"])
+    return pd.DataFrame(
+        {
+            "n_tokens": pd.Series([n_tokens], dtype="int64"),
+            "n_chunks": pd.Series([n_chunks], dtype="int64"),
+            "utilization": [
+                float(round_half_away(n_tokens / (n_chunks * max_len), 6))
+            ],
+        }
+    )
+
+
 def doc_embedding_norms(sf_dir: str):
     """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) with
     each vector's L2 norm computed zero-copy (ann._batch_matrix) —
@@ -2258,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_value_timeofday": corr_value_timeofday,
         "dedup_stats_documents": dedup_stats_documents,
         "doc_embedding_norms": doc_embedding_norms,
+        "packing_stats_documents": packing_stats_documents,
         "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -2856,6 +2887,17 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "packing_stats_documents": """
+            with t as (select len(string_split(text, ' '))::bigint nt
+                       from documents),
+            a as (select sum(nt)::bigint n_tokens,
+                         sum((nt + 127) // 128)::bigint n_chunks
+                  from t)
+            select n_tokens, n_chunks,
+                   round(n_tokens::double / (n_chunks * 128), 6)
+                     as utilization
+            from a
         """,
         "doc_embedding_norms": """
             select d.doc_id, d.n_chars,
