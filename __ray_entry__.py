@@ -339,6 +339,43 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def profile_lineitem(sf_dir: str):
+    """Column profiler (the ingest data-quality audit): per-column
+    null count / min / max / 6-dp mean for the lineitem measures, via
+    per-batch partial stats reduced on the driver (one tiny row per
+    column per block)."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _t(sf_dir, "lineitem", cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c]
+            rows.append(
+                (c, int(v.isna().sum()), float(v.min()), float(v.max()),
+                 float(v.to_numpy(dtype="float64").sum()), len(v))
+            )
+        return pd.DataFrame(
+            rows, columns=["col", "n_nulls", "vmin", "vmax", "vsum", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n_nulls=("n_nulls", "sum"), vmin=("vmin", "min"),
+             vmax=("vmax", "max"), vsum=("vsum", "sum"), n=("n", "sum"))
+    )
+    agg["n_nulls"] = agg["n_nulls"].astype("int64")
+    agg["mean_val"] = round_half_away(
+        agg["vsum"].to_numpy() / agg["n"].to_numpy(), 6
+    )
+    out = agg[["col", "n_nulls", "vmin", "vmax", "mean_val"]]
+    return out.sort_values("col").reset_index(drop=True)
+
+
 def packing_stats_documents(sf_dir: str):
     """Sequence-packing estimate for training at max_len 128: per-doc
     whitespace token counts → chunks = ceil(tokens/128), tail-slot
@@ -2289,6 +2326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stats_documents": dedup_stats_documents,
         "doc_embedding_norms": doc_embedding_norms,
         "packing_stats_documents": packing_stats_documents,
+        "profile_lineitem": profile_lineitem,
         "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -2887,6 +2925,27 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "profile_lineitem": """
+            select * from (
+              select 'l_quantity' as col,
+                     (count(*) - count(l_quantity))::bigint as n_nulls,
+                     min(l_quantity) as vmin, max(l_quantity) as vmax,
+                     round(sum(l_quantity) / count(l_quantity), 6) as mean_val
+              from lineitem
+              union all
+              select 'l_extendedprice',
+                     (count(*) - count(l_extendedprice))::bigint,
+                     min(l_extendedprice), max(l_extendedprice),
+                     round(sum(l_extendedprice) / count(l_extendedprice), 6)
+              from lineitem
+              union all
+              select 'l_discount',
+                     (count(*) - count(l_discount))::bigint,
+                     min(l_discount), max(l_discount),
+                     round(sum(l_discount) / count(l_discount), 6)
+              from lineitem)
+            order by col
         """,
         "packing_stats_documents": """
             with t as (select len(string_split(text, ' '))::bigint nt
