@@ -339,6 +339,44 @@ def cumsum_events(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def weighted_mean_lineitem(sf_dir: str):
+    """Grouped WEIGHTED mean: quantity-weighted average price per
+    (returnflag, linestatus) — explicit Σ(w·x)/Σ(w) partial combiner
+    mirrored verbatim in SQL (one small shuffle of 2 numbers per
+    group per block)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "wx": df["l_quantity"].to_numpy(dtype="float64")
+                * df["l_extendedprice"].to_numpy(dtype="float64"),
+                "w": df["l_quantity"].to_numpy(dtype="float64"),
+            }
+        )
+        return t.groupby(keys, as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[["wx", "w"]].sum()
+        g["wavg_price"] = round_half_away(
+            g["wx"].to_numpy() / g["w"].to_numpy(), 6
+        )
+        return g[keys + ["wavg_price"]]
+
+    out = bucketed_group_map(ds, keys, final, batch_partial=partial).to_pandas()
+    return out.sort_values(keys).reset_index(drop=True)
+
+
 def profile_lineitem(sf_dir: str):
     """Column profiler (the ingest data-quality audit): per-column
     null count / min / max / 6-dp mean for the lineitem measures, via
@@ -2327,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_norms": doc_embedding_norms,
         "packing_stats_documents": packing_stats_documents,
         "profile_lineitem": profile_lineitem,
+        "weighted_mean_lineitem": weighted_mean_lineitem,
         "user_span_events": user_span_events,
         "asof_join_events_orders": asof_join_events_orders,
         "pagerank_lineitem_graph": pagerank_lineitem_graph,
@@ -2925,6 +2964,14 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' order by ts, event_id) as path,
                    count(*) as n_steps
             from events group by user_id order by user_id
+        """,
+        "weighted_mean_lineitem": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity * l_extendedprice)
+                         / sum(l_quantity), 6) as wavg_price
+            from lineitem
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
         """,
         "profile_lineitem": """
             select * from (
