@@ -2312,8 +2312,78 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Driver registry.
+
+    ORDER MATTERS: the correctness driver grades a fixed-size prefix of this
+    dict (round 3 recorded exactly the first 50 entries).  The registry is
+    therefore ROTATED each round so every entry accumulates a driver-green
+    row across rounds — see SURVEY.md §2.8 for the rotation ledger.
+
+    Round-4 order: (a) the 30 entries with no driver row in any round,
+    (b) 20 entries last checked in round 2 (code touched since), then
+    (c) 5 rows-only r2-green entries deferred to round 5, and (d) the 50
+    entries already green in CORRECTNESS_r03.json.
+    """
     return {
-        # relational / aggregate (SQL-checked)
+        # --- (a) never driver-checked (round-3 additions) -------------------
+        "profile_lineitem": profile_lineitem,
+        "weighted_mean_lineitem": weighted_mean_lineitem,
+        "user_span_events": user_span_events,
+        "decontaminate_documents": decontaminate_documents,
+        "quality_filter_documents": quality_filter_documents,
+        "tfidf_topk_documents": tfidf_topk_documents,
+        "count_min_events": count_min_events,
+        "bigram_logprob_documents": bigram_logprob_documents,
+        "rollup_lineitem": rollup_lineitem,
+        "funnel_events": funnel_events,
+        "pivot_events": pivot_events,
+        "cube_lineitem": cube_lineitem,
+        "normalize_text_documents": normalize_text_documents,
+        "histogram_lineitem_price": histogram_lineitem_price,
+        "doc_repetition": doc_repetition,
+        "ivf_ann_topk": ivf_ann_topk,
+        "kmeans_embeddings": kmeans_embeddings,
+        "kmv_distinct_orders": kmv_distinct_orders,
+        "hll_grouped_events": hll_grouped_events,
+        "multimodal_audio_features": multimodal_audio_features,
+        "degree_topk_lineitem": degree_topk_lineitem,
+        "bfs_layers_lineitem": bfs_layers_lineitem,
+        "triangle_count_lineitem": triangle_count_lineitem,
+        "passage_dedup_documents": passage_dedup_documents,
+        "pagerank_lineitem_graph": pagerank_lineitem_graph,
+        "concomp_lineitem_graph": concomp_lineitem_graph,
+        "hits_lineitem_graph": hits_lineitem_graph,
+        "crawl_lineage": crawl_lineage,
+        "crawl_pagerank": crawl_pagerank,
+        "crawl_components": crawl_components,
+        # --- (b) last driver-checked in round 2 ------------------------------
+        "asof_join_events_orders": asof_join_events_orders,
+        "exact_dedup_documents": exact_dedup_documents,
+        "ngram_dedup_documents": ngram_dedup_documents,
+        "doc_quality": doc_quality,
+        "token_counts_documents": token_counts_documents,
+        "ann_cosine_topk": ann_cosine_topk,
+        "cosine_near_dup_pairs": cosine_near_dup_pairs,
+        "hll_distinct_users": hll_distinct_users,
+        "minhash_pairs_documents": minhash_pairs_documents,
+        "minhash_clusters_documents": minhash_clusters_documents,
+        "simhash_pairs_documents": simhash_pairs_documents,
+        "lsh_ann_topk": lsh_ann_topk,
+        "crawl_pages": crawl_pages,
+        "crawl_links": crawl_links,
+        "crawl_visits": crawl_visits,
+        "crawl_texts": crawl_texts,
+        "crawl_text_features": crawl_text_features,
+        "crawl_top_hosts": crawl_top_hosts,
+        "crawl_counters": crawl_counters,
+        "crawl_rejects": crawl_rejects,
+        # --- (c) r2-green rows-only entries, deferred to the round-5 window --
+        "distinct_user_count": distinct_user_count,
+        "langid_documents": langid_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "multimodal_image_features": multimodal_image_features,
+        "multimodal_video_frames": multimodal_video_frames,
+        # --- (d) green in CORRECTNESS_r03.json (r3 registry order) -----------
         "q1_lineitem_agg": q1_lineitem_agg,
         "filter_events": filter_events,
         "topk_users_by_events": topk_users_by_events,
@@ -2364,63 +2434,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stats_documents": dedup_stats_documents,
         "doc_embedding_norms": doc_embedding_norms,
         "packing_stats_documents": packing_stats_documents,
-        "profile_lineitem": profile_lineitem,
-        "weighted_mean_lineitem": weighted_mean_lineitem,
-        "user_span_events": user_span_events,
-        "asof_join_events_orders": asof_join_events_orders,
-        "pagerank_lineitem_graph": pagerank_lineitem_graph,
-        "concomp_lineitem_graph": concomp_lineitem_graph,
-        # text / dedup / similarity (SQL-checked)
-        "exact_dedup_documents": exact_dedup_documents,
-        "ngram_dedup_documents": ngram_dedup_documents,
-        "decontaminate_documents": decontaminate_documents,
-        "passage_dedup_documents": passage_dedup_documents,
-        "quality_filter_documents": quality_filter_documents,
-        "tfidf_topk_documents": tfidf_topk_documents,
-        "count_min_events": count_min_events,
-        "bigram_logprob_documents": bigram_logprob_documents,
-        "rollup_lineitem": rollup_lineitem,
-        "funnel_events": funnel_events,
-        "pivot_events": pivot_events,
-        "cube_lineitem": cube_lineitem,
-        "normalize_text_documents": normalize_text_documents,
-        "histogram_lineitem_price": histogram_lineitem_price,
-        "triangle_count_lineitem": triangle_count_lineitem,
-        "hits_lineitem_graph": hits_lineitem_graph,
-        "bfs_layers_lineitem": bfs_layers_lineitem,
-        "degree_topk_lineitem": degree_topk_lineitem,
-        "doc_quality": doc_quality,
-        "doc_repetition": doc_repetition,
-        "token_counts_documents": token_counts_documents,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ivf_ann_topk": ivf_ann_topk,
-        "kmeans_embeddings": kmeans_embeddings,
-        "cosine_near_dup_pairs": cosine_near_dup_pairs,
-        # rows-only
-        "distinct_user_count": distinct_user_count,
-        "hll_distinct_users": hll_distinct_users,
-        "kmv_distinct_orders": kmv_distinct_orders,
-        "hll_grouped_events": hll_grouped_events,
-        "langid_documents": langid_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "minhash_pairs_documents": minhash_pairs_documents,
-        "minhash_clusters_documents": minhash_clusters_documents,
-        "simhash_pairs_documents": simhash_pairs_documents,
-        "lsh_ann_topk": lsh_ann_topk,
-        "multimodal_image_features": multimodal_image_features,
-        "multimodal_audio_features": multimodal_audio_features,
-        "multimodal_video_frames": multimodal_video_frames,
-        "crawl_pages": crawl_pages,
-        "crawl_links": crawl_links,
-        "crawl_visits": crawl_visits,
-        "crawl_texts": crawl_texts,
-        "crawl_text_features": crawl_text_features,
-        "crawl_top_hosts": crawl_top_hosts,
-        "crawl_counters": crawl_counters,
-        "crawl_rejects": crawl_rejects,
-        "crawl_lineage": crawl_lineage,
-        "crawl_pagerank": crawl_pagerank,
-        "crawl_components": crawl_components,
     }
 
 
