@@ -376,6 +376,61 @@ class TestMultimodalStages:
         with _pytest.raises(NotImplementedError):
             stage(batch)
 
+    def test_pyav_fallback_time_base_math(self, monkeypatch):
+        """The PyAV codec seam converts container duration (av.time_base
+        units, i.e. microseconds) to seconds and seek targets from seconds
+        back to time_base units.  Exercised with a stubbed ``av`` module
+        since neither decord nor PyAV ship in this container."""
+        import sys
+        import types
+        from fractions import Fraction
+
+        import numpy as np
+
+        from web_graph_ray.stages import multimodal as mm
+
+        seeks = []
+
+        class _Frame:
+            def reformat(self, width, height, format):
+                self._shape = (height, width)
+                return self
+
+            def to_ndarray(self):
+                return np.zeros((*self._shape, 3), dtype=np.uint8)
+
+        class _Container:
+            duration = 5_000_000  # 5 s in av.time_base (µs) units
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def seek(self, offset):
+                seeks.append(offset)
+
+            def decode(self, video=0):
+                yield _Frame()
+
+        fake_av = types.ModuleType("av")
+        fake_av.time_base = Fraction(1, 1_000_000)
+        fake_av.open = lambda *_a, **_k: _Container()
+        monkeypatch.setitem(sys.modules, "av", fake_av)
+        # a None sys.modules entry makes `import decord` raise ImportError,
+        # so the loader deterministically falls through to av
+        monkeypatch.setitem(sys.modules, "decord", None)
+
+        codec = mm._load_video_codec()
+        assert codec is not None
+        duration, frame_at = codec
+        assert duration(b"x") == 5.0
+        px = frame_at(b"x", 2.0, 8, 6)
+        assert px.shape == (8, 6, 3)
+        # seek target is t / time_base = 2.0 s -> 2_000_000 µs, not int(2e-6)=0
+        assert seeks == [2_000_000]
+
     def test_audio_features_shape(self, ray_session):
         from web_graph_ray.stages.multimodal import AudioFeatures
 

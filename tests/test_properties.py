@@ -467,6 +467,33 @@ class TestSkewJoin:
         plain = canon(bucket_hash_join(l, r, ["k"]))
         assert skew == plain and len(skew) == 1000
 
+    def test_right_side_skew_detected(self, ray_session):
+        """ADVICE r3: a key hot only on the RIGHT side must also be
+        routed through the hot path (hot detection unions counts from
+        both sides), with the result still ≡ the plain bucket join."""
+        import numpy as np
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.stages.relational import bucket_hash_join, skew_join
+
+        rng = np.random.RandomState(11)
+        left = pd.DataFrame(
+            {"k": rng.randint(0, 40, 500), "lv": np.arange(500)}
+        )
+        # key 7 is pathologically hot on the right only
+        rk = np.concatenate([np.arange(40), np.full(400, 7)])
+        right = pd.DataFrame({"k": rk, "rv": np.arange(len(rk)) * 10})
+
+        def canon(d):
+            return sorted(map(tuple, d.to_pandas()[["k", "lv", "rv"]].values.tolist()))
+
+        l = ray.data.from_pandas(left).repartition(8)
+        r = ray.data.from_pandas(right).repartition(4)
+        skew = canon(skew_join(l, r, ["k"], hot_threshold=100))
+        plain = canon(bucket_hash_join(l, r, ["k"]))
+        assert skew == plain and len(skew) > 0
+
     def test_no_hot_fallback(self, ray_session):
         import pandas as pd
         import ray
@@ -896,6 +923,31 @@ class TestMixCorpus:
         assert by["c"] == 2000                      # default weight 1.0
         # epochs are dense 0..n-1 per surviving row
         assert got[got["src"] == "a"].groupby("id")["epoch"].max().eq(2).all()
+
+    def test_non_string_source_column_weights_apply(self, ray_session):
+        """ADVICE r3: integer source columns must still hit their
+        configured weight (keys are stringified on BOTH sides of the
+        lookup), not silently fall to default_weight."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import mix_corpus
+
+        df = pd.DataFrame(
+            {
+                "id": np.arange(300, dtype=np.int64),
+                "src": np.repeat(np.array([1, 2, 3], dtype=np.int64), 100),
+            }
+        )
+        got = mix_corpus(
+            ray.data.from_pandas(df).repartition(3),
+            "src", ["id"], {1: 3.0, 2: 0.0},
+        ).to_pandas()
+        by = got.groupby("src").size().to_dict()
+        assert by.get(1, 0) == 300   # weight 3.0 -> exact 3 copies
+        assert by.get(2, 0) == 0     # weight 0.0 -> dropped entirely
+        assert by.get(3, 0) == 100   # unlisted -> default weight 1.0
 
 
 class TestGlobalRank:

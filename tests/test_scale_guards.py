@@ -274,6 +274,50 @@ class TestAsofJoinPartitioned:
         matched = [t for t in got if t[3] != -1]
         assert 0 < len(matched) <= n_l
 
+    def test_broadcast_right_order_not_in_right_cols(self, ray_session):
+        """ADVICE r3: a right_order column that is not in right_cols must
+        work on BOTH sides of the ASOF_BROADCAST_BYTES gate with identical
+        results and the same output layout (left cols + right_cols)."""
+        import web_graph_ray.stages.relational as rel
+
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame(
+            {
+                "key": rng.integers(0, 20, 2000),
+                "ts": rng.integers(0, 10_000, 2000).astype("int64"),
+                "lval": np.arange(2000, dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "key": rng.integers(0, 20, 500),
+                # coarse grid -> exact-ts ties broken only by rord
+                "rts": (rng.integers(0, 10_000, 500) // 100 * 100).astype("int64"),
+                "rval": np.arange(500, dtype="int64"),
+                "rord": rng.permutation(500).astype("int64"),
+            }
+        )
+        lds = ray.data.from_pandas(left).repartition(4)
+        rds = ray.data.from_pandas(right).repartition(2)
+        kw = dict(
+            key_col="key", left_ts="ts", right_ts="rts",
+            right_cols=["rval"], right_order=["rord"],
+        )
+        bc_ds = rel.asof_join(lds, rds, **kw)
+        bc = bc_ds.to_pandas()
+        # tie-break column used for ordering but projected out of the result
+        assert list(bc.columns) == ["key", "ts", "lval", "rval"]
+        old = rel.ASOF_BROADCAST_BYTES
+        rel.ASOF_BROADCAST_BYTES = 0
+        try:
+            part = rel.asof_join(lds, rds, **kw).to_pandas()
+        finally:
+            rel.ASOF_BROADCAST_BYTES = old
+        canon = lambda df: sorted(
+            map(tuple, df.fillna(-1)[["key", "ts", "lval", "rval"]].values.tolist())
+        )
+        assert canon(bc) == canon(part) and len(bc) == 2000
+
 
 class TestTtlRollingSidecar:
     def test_o1_file_reads_per_round(self, tmp_path, monkeypatch):

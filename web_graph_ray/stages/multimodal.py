@@ -117,12 +117,16 @@ def _load_video_codec():
             import av
 
             def duration(payload: bytes) -> float:
+                # container.duration is expressed in av.time_base units
+                # (av.time_base = Fraction(1, 1_000_000)), so seconds =
+                # duration * time_base, and a seek target in those units
+                # is t / time_base.
                 with av.open(io.BytesIO(payload)) as c:
-                    return float(c.duration or 0) / av.time_base
+                    return float((c.duration or 0) * av.time_base)
 
             def frame_at(payload: bytes, t: float, h: int, w: int) -> np.ndarray:
                 with av.open(io.BytesIO(payload)) as c:
-                    c.seek(int(t * av.time_base))
+                    c.seek(int(t / av.time_base))
                     for frame in c.decode(video=0):
                         return (
                             frame.reformat(width=w, height=h, format="rgb24")

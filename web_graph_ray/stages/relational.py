@@ -522,9 +522,12 @@ def asof_join(
                 right_order=right_order, num_buckets=num_buckets,
             )
         right = right.to_pandas()
-    r = right[[key_col, right_ts] + right_cols].sort_values(
-        [right_ts] + (right_order or []), kind="mergesort"
-    )
+    # keep right_order columns through the sort even when they are not in
+    # right_cols (the partitioned path's r_keep semantics), then project
+    # the merge output back to left columns + right_cols so both paths
+    # return the same layout regardless of the broadcast-size gate
+    sel = list(dict.fromkeys([key_col, right_ts] + right_cols + (right_order or [])))
+    r = right[sel].sort_values([right_ts] + (right_order or []), kind="mergesort")
     ref = ray.put(r)
 
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -537,7 +540,7 @@ def asof_join(
             direction="backward",
             suffixes=("", "_r"),
         )
-        return out
+        return out[list(df.columns) + list(right_cols)]
 
     return left.map_batches(per_batch, batch_format="pandas")
 
@@ -781,7 +784,10 @@ def mix_corpus(
         u = (fnv1a64(key.to_numpy(dtype=object)) % np.uint64(mod)).astype(
             "float64"
         ) / float(mod)
-        w = df[source_col].map(wmap).fillna(dw).to_numpy(dtype="float64")
+        # weights keys are stringified above, so the lookup column must be
+        # stringified too — a non-string source column would otherwise
+        # silently fall to default_weight for every row
+        w = df[source_col].astype(str).map(wmap).fillna(dw).to_numpy(dtype="float64")
         base = np.floor(w)
         n = (base + (u < (w - base))).astype("int64")
         idx = np.repeat(np.arange(len(df)), n)
@@ -1308,27 +1314,44 @@ def skew_join(
     handful of HOT keys can no longer capsize one bucket.  The classic
     two-path plan (Spark AQE's skew mitigation, Beam's hot-key fanout):
 
-    1. one bucketed count of left keys finds keys with ≥ hot_threshold
-       rows; the hot-key LIST (bounded by ``max_hot_keys``, ids only —
-       never rows) is the only driver state;
+    1. one bucketed count of keys PER SIDE finds keys with
+       ≥ hot_threshold rows on either side (a key skewed only on the
+       right would otherwise still capsize one cold bucket); the hot-key
+       LIST (bounded by ``max_hot_keys``, ids only — never rows) is the
+       only driver state;
     2. cold rows take the normal co-partitioned bucket join;
     3. hot LEFT rows stay in place (no shuffle at all) and join against
        a broadcast of the right side's hot-key rows (small by the join's
        own assumption: a key hot on the left has few right rows in a
-       star-schema join — assert-guarded via the broadcast gate).
+       star-schema join — assert-guarded via the broadcast gate; a key
+       hot on the RIGHT trips that gate loudly → salt upstream).
 
     Falls back to plain bucket_hash_join when nothing is hot."""
     from .dedup import BROADCAST_BYTES
 
+    def keys_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[on]
+
     counts = bucketed_agg(
-        left.map_batches(lambda df: df[on], batch_format="pandas"),
+        left.map_batches(keys_only, batch_format="pandas"),
         on,
         out_col="_n",
         num_buckets=num_buckets,
+    ).union(
+        bucketed_agg(
+            right.map_batches(keys_only, batch_format="pandas"),
+            on,
+            out_col="_n",
+            num_buckets=num_buckets,
+        )
     )
-    hot = counts.map_batches(
-        lambda df: df[df["_n"] >= hot_threshold][on], batch_format="pandas"
-    ).to_pandas()
+    hot = (
+        counts.map_batches(
+            lambda df: df[df["_n"] >= hot_threshold][on], batch_format="pandas"
+        )
+        .to_pandas()
+        .drop_duplicates(on)
+    )
     if len(hot) == 0:
         return bucket_hash_join(left, right, on, num_buckets=num_buckets)
     if len(hot) > max_hot_keys:
@@ -1336,13 +1359,13 @@ def skew_join(
             f"skew_join: {len(hot)} hot keys exceed max_hot_keys={max_hot_keys}"
         )
 
-    hot_set = {tuple(r) for r in hot[on].itertuples(index=False)}
+    hot_idx = pd.MultiIndex.from_frame(hot[on])
 
-    def is_hot(df: pd.DataFrame) -> pd.Series:
-        return pd.Series(
-            [tuple(r) in hot_set for r in df[on].itertuples(index=False)],
-            index=df.index,
-        )
+    def is_hot(df: pd.DataFrame) -> np.ndarray:
+        # vectorized membership — no per-row Python tuples on the hot loop
+        if len(on) == 1:
+            return df[on[0]].isin(hot_idx.get_level_values(0)).to_numpy()
+        return pd.MultiIndex.from_frame(df[on]).isin(hot_idx)
 
     cold = bucket_hash_join(
         left.map_batches(lambda df: df[~is_hot(df)], batch_format="pandas"),
