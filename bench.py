@@ -134,7 +134,7 @@ def bench_queries() -> dict:
     return out
 
 
-def run_once() -> dict:
+def run_once(crawl_only: bool = False) -> dict:
     import logging
 
     import ray
@@ -153,7 +153,7 @@ def run_once() -> dict:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     crawl = bench_crawl()
-    queries = bench_queries()
+    queries = {} if crawl_only else bench_queries()
     total = crawl["crawl_sec"] + sum(queries.values())
     result = {
         "metric": "crawl pages fetched/sec + operator pipeline seconds",
@@ -165,41 +165,71 @@ def run_once() -> dict:
         "crawl": crawl,
     }
     ray.shutdown()
+    if not crawl_only and os.environ.get("WG_BENCH_AB", "1") != "0":
+        # one same-session alternation vs the previous round's code: this
+        # process's numbers are the HEAD sample; one fresh child process
+        # runs the previous round-boundary commit on the same warm corpus
+        # (BENCH_r{N}.json then carries {prev, head} pairs per pipeline —
+        # the drift-free signal VERDICT r3 asked for).
+        ref = os.environ.get("WG_AB_REF") or _prev_round_ref()
+        if ref is not None:
+            try:
+                wt = _ab_worktree(ref)
+                prev = _run_child(NUM_CPUS, cwd=wt)
+                common = sorted(set(result["queries"]) & set(prev["queries"]))
+                result["ab"] = {
+                    "prev_ref": ref,
+                    "pairs": {
+                        k: {"prev": prev["queries"][k], "head": result["queries"][k]}
+                        for k in common
+                    },
+                }
+            except Exception as exc:  # A/B is advisory — never fail the bench
+                result["ab"] = {"error": f"{type(exc).__name__}: {exc}"}
     return result
 
 
-def run_scaling() -> dict:
-    def run(ncpu: int, extra: list[str] | None = None) -> dict | None:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)] + (extra or []),
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1]) if not extra else None
+def _run_child(ncpu: int, extra: list[str] | None = None, cwd: str | None = None):
+    """One fresh-process bench run (crawl-only unless extra says otherwise)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), WG_BENCH_AB="0")
+    path = os.path.join(cwd, "bench.py") if cwd else os.path.abspath(__file__)
+    out = subprocess.run(
+        [sys.executable, path] + (extra or []),
+        env=env, capture_output=True, text=True, check=True, cwd=cwd,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1]) if "--gen-only" not in (extra or []) else None
 
+
+def run_scaling() -> dict:
     # N and 4N, both below this VM's parallel-throughput ceiling: pure
     # single-process extraction scales 4→16 procs at ~1.0 efficiency
     # here but degrades ~0.73 beyond 16 (host/bandwidth limit), so
     # 4 vs 16 isolates the ENGINE's scaling from the box's ceiling.
     #
-    # Each level runs REPEATS fresh processes and keeps the fastest:
-    # this shared VM shows ±25% wall-time swings at 16 procs from
-    # co-tenant interference (the 4-cpu level is stable ±5%), and
-    # min-of-k is the standard way to benchmark the code rather than
-    # the neighbors.
+    # Noise protocol (VERDICT r3 item 2): the two levels run
+    # INTERLEAVED (lo,hi,lo,hi,...) so slow co-tenant drift hits both
+    # levels equally, efficiency is computed from the MEDIAN of ≥3
+    # runs per level (median-of-k rejects the one-off co-tenant spike
+    # that min-of-k can land on), and every raw wall time is recorded.
     lo_cpus, hi_cpus = 4, 16
-    repeats = int(os.environ.get("WG_SCALING_REPEATS", "2"))
-    run(32, ["--gen-only"])  # build corpus + index at full parallelism,
-    #                          so both timed levels start warm
-    lo_runs = [run(lo_cpus) for _ in range(repeats)]
-    hi_runs = [run(hi_cpus) for _ in range(repeats)]
-    lo = min(lo_runs, key=lambda r: r["crawl"]["crawl_sec"])
-    hi = min(hi_runs, key=lambda r: r["crawl"]["crawl_sec"])
+    repeats = int(os.environ.get("WG_SCALING_REPEATS", "3"))
+    _run_child(32, ["--gen-only"])  # build corpus + index at full
+    #                                 parallelism, so both levels start warm
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(_run_child(lo_cpus, ["--crawl-only"]))
+        hi_runs.append(_run_child(hi_cpus, ["--crawl-only"]))
+
+    def med(runs):
+        s = sorted(runs, key=lambda r: r["crawl"]["crawl_sec"])
+        return s[len(s) // 2]
+
+    lo, hi = med(lo_runs), med(hi_runs)
     ratio = hi_cpus / lo_cpus
     speedup = lo["crawl"]["crawl_sec"] / hi["crawl"]["crawl_sec"]
     eff = speedup / ratio
     summary = {
-        "metric": "crawl scaling efficiency (N→4N cpus, fresh processes, best of %d)" % repeats,
+        "metric": "crawl scaling efficiency (N→4N cpus, interleaved fresh processes, median of %d)" % repeats,
         "cpus": [lo_cpus, hi_cpus],
         "crawl_sec": [lo["crawl"]["crawl_sec"], hi["crawl"]["crawl_sec"]],
         "crawl_sec_all_runs": {
@@ -216,6 +246,71 @@ def run_scaling() -> dict:
     return summary
 
 
+def _prev_round_ref() -> str | None:
+    """Most recent driver round-boundary commit ('round N: ...')."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--grep=^round [0-9]", "--format=%H %s", "-1"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        return out.split()[0] if out else None
+    except Exception:
+        return None
+
+
+def _ab_worktree(ref: str) -> str:
+    """Check out ``ref`` once into a /tmp git worktree (cached)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = f"/tmp/wg_ab/{ref[:12]}"
+    if not os.path.exists(os.path.join(wt, "bench.py")):
+        os.makedirs("/tmp/wg_ab", exist_ok=True)
+        shutil.rmtree(wt, ignore_errors=True)
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, ref],
+            cwd=repo, check=True, capture_output=True,
+        )
+    return wt
+
+
+def run_ab() -> dict:
+    """Same-session A/B vs the previous round's code (VERDICT r3 item 4):
+    alternate fresh-process runs of HEAD and the last round-boundary
+    commit (checked out once into a /tmp git worktree, sharing the warm
+    /tmp corpus + index), so per-pipeline deltas are attributable to
+    code rather than co-tenant drift.  Pairs = {prev, head} seconds."""
+    ref = os.environ.get("WG_AB_REF") or _prev_round_ref()
+    if ref is None:
+        return {"error": "no previous round-boundary commit found"}
+    wt = _ab_worktree(ref)
+    reps = int(os.environ.get("WG_AB_REPEATS", "2"))
+    _run_child(NUM_CPUS, ["--gen-only"])  # warm corpus+index for both sides
+    pairs = {"head": [], "prev": []}
+    for _ in range(reps):  # interleaved: head, prev, head, prev, ...
+        pairs["head"].append(_run_child(NUM_CPUS))
+        pairs["prev"].append(_run_child(NUM_CPUS, cwd=wt))
+
+    def med_queries(runs):
+        keys = set.intersection(*(set(r["queries"]) for r in runs))
+        return {
+            k: sorted(r["queries"][k] for r in runs)[len(runs) // 2] for k in keys
+        }
+
+    head_q, prev_q = med_queries(pairs["head"]), med_queries(pairs["prev"])
+    common = sorted(set(head_q) & set(prev_q))
+    return {
+        "metric": "same-session A/B, HEAD vs previous round (median of %d interleaved fresh runs)" % reps,
+        "prev_ref": ref,
+        "num_cpus": NUM_CPUS,
+        "pairs": {k: {"prev": prev_q[k], "head": head_q[k]} for k in common},
+        "crawl_raw": {
+            "head": [r["crawl"]["crawl_sec"] for r in pairs["head"]],
+            "prev": [r["crawl"]["crawl_sec"] for r in pairs["prev"]],
+        },
+        "head_only": sorted(set(head_q) - set(prev_q)),
+    }
+
+
 def _update_baseline_md(s: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     begin, end = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
@@ -230,10 +325,10 @@ def _update_baseline_md(s: dict) -> None:
 Scaling efficiency {s['cpus'][0]}→{s['cpus'][1]} cpus: **{s['scaling_efficiency']}**
 (speedup {s['speedup']}× over a {s['cpus'][1] // s['cpus'][0]}× cpu ratio; corpus:
 {BENCH_PAGES} synthetic pages, identical input both levels, page cache warm;
-best of {len(s.get('crawl_sec_all_runs', {}).get('lo', [1]))} fresh runs per
-level — this shared VM shows ±25% co-tenant swings at 16 procs; all runs:
+INTERLEAVED lo/hi fresh processes, MEDIAN of
+{len(s.get('crawl_sec_all_runs', {}).get('lo', [1]))} runs per level —
+this shared VM shows ±25% co-tenant swings at 16 procs; all runs:
 lo={s.get('crawl_sec_all_runs', {}).get('lo')} hi={s.get('crawl_sec_all_runs', {}).get('hi')}).
-Operator pipeline seconds at {s['cpus'][1]} cpus: {json.dumps(s['hi']['queries'])}
 {end}"""
     with open(path) as f:
         text = f.read()
@@ -366,5 +461,9 @@ if __name__ == "__main__":
         print(json.dumps(run_index_micro()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ab" in sys.argv:
+        print(json.dumps(run_ab()))
+    elif "--crawl-only" in sys.argv:
+        print(json.dumps(run_once(crawl_only=True)))
     else:
         print(json.dumps(run_once()))
