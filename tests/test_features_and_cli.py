@@ -442,9 +442,10 @@ class TestMultimodalStages:
         assert len(out) == 12
         assert all(len(f) == 4 * 5 for f in out["features"])
 
-    def test_image_strict_without_codec_raises(self):
-        """PIL is absent from this container, so strict mode must stay an
-        honest stub (codec selection ran in __init__ and found nothing)."""
+    def test_image_strict_without_pil_uses_stdlib_png_tier(self):
+        """PIL is absent from this container, so strict mode selects the
+        stdlib-png tier: real PNG payloads decode, anything else raises
+        the honest NotImplementedError."""
         import pytest as _pytest
 
         import pyarrow as pa
@@ -452,7 +453,7 @@ class TestMultimodalStages:
         from web_graph_ray.stages.multimodal import ImageDecode
 
         stage = ImageDecode(decoder="strict")
-        assert stage.codec is None
+        assert stage.codec_tier == "stdlib-png" and stage.codec is not None
         batch = pa.Table.from_pydict(
             {"item_id": pa.array([1], type=pa.int64()),
              "payload": pa.array([b"x"], type=pa.binary())}
@@ -485,7 +486,7 @@ class TestMultimodalStages:
         from web_graph_ray.stages.multimodal import ImageDecode
 
         stage = ImageDecode(height=4, width=6, decoder="strict")
-        assert stage.codec is not None
+        assert stage.codec_tier == "pil" and stage.codec is not None
         out = stage(
             pa.Table.from_pydict(
                 {"item_id": pa.array([1], type=pa.int64()),
@@ -511,7 +512,7 @@ class TestMultimodalStages:
         from web_graph_ray.stages.multimodal import AudioFeatures
 
         stage = AudioFeatures(frames=4, feat_dim=5, decoder="strict")
-        assert stage.codec is not None
+        assert stage.codec_tier == "soundfile" and stage.codec is not None
         out = stage(
             pa.Table.from_pydict(
                 {"item_id": pa.array([1], type=pa.int64()),
@@ -521,6 +522,190 @@ class TestMultimodalStages:
         feats = np.asarray(out["features"][0].as_py())
         assert feats.shape == (4 * 5,)
         assert np.isfinite(feats).all() and (feats != 0).any()
+
+
+def _encode_png(pixels, ctype: int, filters=None, palette=None) -> bytes:
+    """Minimal test-side PNG encoder: 8-bit, non-interlaced, one chosen
+    filter type per scanline (forward-filtered so the decoder's
+    unfilter path is genuinely exercised)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    channels = pixels.shape[2] if pixels.ndim == 3 else 1
+    bpp = channels
+    flat = pixels.reshape(h, w * channels).astype(np.int32)
+    filters = filters or [0] * h
+    out = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        row = flat[y]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row.copy()
+            enc[bpp:] = (row[bpp:] - row[:-bpp]) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = row.copy()
+            for x in range(len(row)):
+                left = row[x - bpp] if x >= bpp else 0
+                enc[x] = (row[x] - ((left + prev[x]) >> 1)) % 256
+        elif f == 4:
+            enc = row.copy()
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                enc[x] = (row[x] - pred) % 256
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    body += chunk(b"IDAT", zlib.compress(bytes(out)))
+    body += chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def _encode_wav(samples, framerate=16000, sampwidth=2, nch=1) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(sampwidth)
+        wf.setframerate(framerate)
+        if sampwidth == 2:
+            wf.writeframes((samples * 32767).astype("<i2").tobytes())
+        else:
+            wf.writeframes(((samples * 127) + 128).astype(np.uint8).tobytes())
+    return bio.getvalue()
+
+
+class TestStdlibCodecTier:
+    """VERDICT r3 item 6: strict mode must REALLY decode PNG/WAV in this
+    wheel-less container via the stdlib tier."""
+
+    def test_png_roundtrip_all_filters(self):
+        import numpy as np
+
+        from web_graph_ray.stages.multimodal import _png_to_rgb
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)
+        for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+            got = _png_to_rgb(_encode_png(img, ctype=2, filters=filters))
+            assert (got == img).all(), filters
+
+    def test_png_color_types(self):
+        import numpy as np
+
+        from web_graph_ray.stages.multimodal import _png_to_rgb
+
+        rng = np.random.RandomState(4)
+        gray = rng.randint(0, 256, (4, 6, 1), dtype=np.uint8)
+        assert (_png_to_rgb(_encode_png(gray, ctype=0)) == np.repeat(gray, 3, 2)).all()
+        rgba = rng.randint(0, 256, (4, 6, 4), dtype=np.uint8)
+        assert (_png_to_rgb(_encode_png(rgba, ctype=6)) == rgba[..., :3]).all()
+        palette = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.randint(0, 16, (4, 6, 1), dtype=np.uint8)
+        got = _png_to_rgb(_encode_png(idx, ctype=3, palette=palette))
+        assert (got == palette[idx[..., 0]]).all()
+
+    def test_wav_decode_mono_and_stereo(self):
+        import numpy as np
+
+        from web_graph_ray.stages.multimodal import _wav_to_float
+
+        t = np.linspace(0, 1, 800, endpoint=False)
+        mono = np.sin(2 * np.pi * 5 * t).astype(np.float64)
+        got = _wav_to_float(_encode_wav(mono))
+        assert got.shape == (800,) and abs(got - mono).max() < 1e-3
+        stereo = np.stack([mono, -mono], axis=1).reshape(-1)
+        got2 = _wav_to_float(_encode_wav(stereo, nch=2))
+        assert got2.shape == (800,) and abs(got2).max() < 1e-3  # L/R cancel
+
+    def test_strict_image_and_audio_end_to_end(self, ray_session):
+        """Real decode through the actor-pool stages — the brief-mandated
+        family exercisable end-to-end without any wheels."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from web_graph_ray.stages.multimodal import AudioFeatures, ImageDecode
+
+        rng = np.random.RandomState(5)
+        pngs = [
+            _encode_png(
+                rng.randint(0, 256, (10, 12, 3), dtype=np.uint8),
+                ctype=2, filters=[4, 3, 2, 1, 0, 4, 3, 2, 1, 0],
+            )
+            for _ in range(6)
+        ]
+        ds = ray.data.from_arrow(pa.table({
+            "item_id": pa.array(range(6), pa.int64()),
+            "payload": pa.array(pngs, pa.binary()),
+        }))
+        out = ds.map_batches(
+            ImageDecode,
+            fn_constructor_kwargs={"height": 8, "width": 8, "decoder": "strict"},
+            batch_format="pyarrow", batch_size=3, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 6
+        assert all(len(p) == 8 * 8 * 3 for p in out["pixels"])
+        assert out["mean_intensity"].between(1, 255).all()
+
+        t = np.linspace(0, 1, 1600, endpoint=False)
+        wavs = [
+            _encode_wav(0.5 * np.sin(2 * np.pi * (50 + 10 * i) * t)) for i in range(6)
+        ]
+        ads = ray.data.from_arrow(pa.table({
+            "item_id": pa.array(range(6), pa.int64()),
+            "payload": pa.array(wavs, pa.binary()),
+        }))
+        aout = ads.map_batches(
+            AudioFeatures,
+            fn_constructor_kwargs={"frames": 4, "feat_dim": 5, "decoder": "strict"},
+            batch_format="pyarrow", batch_size=3, concurrency=2,
+        ).to_pandas()
+        assert len(aout) == 6
+        feats = np.stack([np.asarray(f) for f in aout["features"]])
+        assert np.isfinite(feats).all() and (feats != 0).any()
+
+    def test_audio_strict_without_soundfile_uses_stdlib_tier(self):
+        import pytest as _pytest
+
+        import pyarrow as pa
+
+        from web_graph_ray.stages.multimodal import AudioFeatures
+
+        stage = AudioFeatures(decoder="strict")
+        assert stage.codec_tier == "stdlib-wav"
+        batch = pa.Table.from_pydict(
+            {"item_id": pa.array([1], type=pa.int64()),
+             "payload": pa.array([b"not a wav"], type=pa.binary())}
+        )
+        with _pytest.raises(NotImplementedError):
+            stage(batch)
 
 
 class TestPassageDedup:

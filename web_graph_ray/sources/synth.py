@@ -28,7 +28,10 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-__all__ = ["CorpusConfig", "page_url", "render_page", "render_pages_table", "seed_urls", "write_corpus"]
+__all__ = [
+    "CorpusConfig", "page_url", "render_page", "render_pages_table",
+    "seed_urls", "write_corpus", "encode_png_rgb", "encode_wav_mono",
+]
 
 _EPOCH_US = 1_700_000_000_000_000  # fixed base timestamp (us)
 
@@ -352,3 +355,56 @@ def write_corpus(out_dir: str, cfg: CorpusConfig, row_group_size: int = 4096) ->
     path = os.path.join(out_dir, "pages.parquet")
     pq.write_table(render_pages_table(cfg), path, row_group_size=row_group_size)
     return path
+
+
+# -- deterministic multimodal fixture payloads --------------------------------
+# Minimal REAL containers (baseline PNG / PCM WAV) so the strict-mode
+# stdlib codec tier (stages/multimodal.py) is exercisable end-to-end in a
+# wheel-less environment; both are pure functions of their inputs.
+
+
+def encode_png_rgb(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a baseline PNG (8-bit RGB,
+    filter 0 per scanline, non-interlaced, one IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    raw = bytearray()
+    flat = np.asarray(pixels, dtype=np.uint8).reshape(h, w * 3)
+    for y in range(h):
+        raw.append(0)
+        raw.extend(flat[y].tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav_mono(samples, framerate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] as 16-bit mono PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(
+            (np.clip(np.asarray(samples), -1.0, 1.0) * 32767).astype("<i2").tobytes()
+        )
+    return bio.getvalue()

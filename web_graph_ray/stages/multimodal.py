@@ -1,17 +1,22 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages — Ray-side plumbing, tiered codecs.
 
 Design for opaque ``binary`` payload columns with typed metadata
-(mime/width/height/duration).  The decode/resize/feature kernels use
-PIL / soundfile / av — none of which exist in this container — so the
-codec boundary is resolved opportunistically once per actor:
+(mime/width/height/duration).  The codec boundary is resolved
+opportunistically once per actor, in THREE tiers:
 
-- ``decoder="strict"`` try-imports the real codec in ``__init__``
-  (PIL for images, soundfile for audio, av/decord for video) and uses
-  it when importable; only when the wheel is truly absent does the
-  stage raise NotImplementedError (the honest prod stub)
-- ``decoder="fake"``  produces deterministic pseudo-decodes derived
+- real wheels when importable (PIL for images, soundfile for audio,
+  decord/av for video);
+- a stdlib tier for images/audio when they are not: a pure
+  numpy+zlib PNG decoder (8-bit gray/RGB/palette/alpha, non-interlaced,
+  all five scanline filters, nearest-neighbor resize) and a
+  ``wave``-module WAV decoder feeding the same spectral-feature kernel
+  — so strict mode REALLY decodes PNG/WAV fixtures even in a
+  wheel-less container (video has no stdlib container parser, so its
+  strict mode still raises without decord/av);
+- ``decoder="fake"`` produces deterministic pseudo-decodes derived
   from the payload bytes, so the Ray-side plumbing (schemas, batch
-  sizing, actor-pool shape, output layout) is fully exercised in tests
+  sizing, actor-pool shape, output layout) is exercised without any
+  decodable payloads.
 
 The stage SHAPE is the real deliverable: a callable class (actor pool —
 model/codec load happens once per actor in ``__init__``), small batch
@@ -46,11 +51,146 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 
+# -- stdlib decoders (tier 2: no wheels, real decode) ------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_to_rgb(payload: bytes) -> np.ndarray:
+    """Pure numpy+zlib PNG decode → (H, W, 3) uint8.  Supports the
+    common baseline: 8-bit depth, color types 0/2/3/4/6, non-interlaced,
+    all five scanline filters (the serial Sub/Average/Paeth recursions
+    run per-byte — fixture-scale images, not a throughput path)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise NotImplementedError(
+            "stdlib image tier decodes PNG only (payload has no PNG signature); "
+            "install PIL for other formats or run with decoder='fake'"
+        )
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"stdlib PNG tier: unsupported depth={depth}/interlace={interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("malformed PNG: scanline size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        f, rec = int(ftypes[y]), rows[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            rec = (rec + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b, c = prev[x], (prev[x - bpp] if x >= bpp else 0)
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"malformed PNG: filter type {f}")
+        out[y] = rec
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 2:
+        return img
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("malformed PNG: palette image without PLTE")
+        return np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)[img[..., 0]]
+    if ctype == 4:
+        return np.repeat(img[..., :1], 3, axis=2)
+    return np.ascontiguousarray(img[..., :3])  # 6: drop alpha
+
+
+def _resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (pixel-center sampling)."""
+    ih, iw = img.shape[:2]
+    ys = np.minimum(((np.arange(h) + 0.5) * ih / h).astype(np.int64), ih - 1)
+    xs = np.minimum(((np.arange(w) + 0.5) * iw / w).astype(np.int64), iw - 1)
+    return img[ys][:, xs]
+
+
+def _wav_to_float(payload: bytes) -> np.ndarray:
+    """stdlib ``wave`` decode → mono float32 in [-1, 1)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            nch, sw = wf.getnchannels(), wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            "stdlib audio tier decodes WAV only; install soundfile for "
+            "other formats or run with decoder='fake'"
+        ) from exc
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"stdlib WAV tier: unsupported sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def _spectral_features(wav: np.ndarray, frames: int, feat_dim: int) -> np.ndarray:
+    """Frame-sampled log-magnitude spectrum features: ``frames`` equal
+    windows, first ``feat_dim`` rFFT bins each (numpy-only MFCC
+    stand-in) — shared by the soundfile and stdlib-WAV tiers."""
+    n = max(len(wav) // frames, 1)
+    out = np.zeros((frames, feat_dim), dtype=np.float64)
+    for i in range(frames):
+        win = wav[i * n : (i + 1) * n]
+        if len(win):
+            spec = np.abs(np.fft.rfft(win, n=max(2 * feat_dim, len(win))))
+            out[i] = np.log1p(spec[:feat_dim])
+    return out
+
+
 # -- opportunistic codec loaders -------------------------------------------
-# Each returns a decode callable when the real library is importable, else
-# None.  Called once per actor in __init__ (never per batch/row), so a
-# worker pays the import exactly once and the selection is visible in the
-# actor's state for tests to assert on.
+# Each returns (tier_name, decode_callable); the stdlib tier is always
+# available for images/audio, so strict mode really decodes PNG/WAV in a
+# wheel-less container.  Called once per actor in __init__ (never per
+# batch/row), so a worker pays the import exactly once and the selection
+# is visible in the actor's state for tests to assert on.
 
 def _load_image_codec():
     try:
@@ -62,9 +202,14 @@ def _load_image_codec():
             img = Image.open(io.BytesIO(payload)).convert("RGB").resize((w, h))
             return np.asarray(img, dtype=np.uint8)
 
-        return decode
+        return ("pil", decode)
     except ImportError:
-        return None
+        pass
+
+    def decode(payload: bytes, h: int, w: int) -> np.ndarray:
+        return _resize_nearest(_png_to_rgb(payload), h, w)
+
+    return ("stdlib-png", decode)
 
 
 def _load_audio_codec():
@@ -77,20 +222,16 @@ def _load_audio_codec():
             wav, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
-            # frame-sampled log-magnitude spectrum features: `frames` equal
-            # windows, first `feat_dim` rFFT bins each (numpy-only MFCC stand-in)
-            n = max(len(wav) // frames, 1)
-            out = np.zeros((frames, feat_dim), dtype=np.float64)
-            for i in range(frames):
-                win = wav[i * n : (i + 1) * n]
-                if len(win):
-                    spec = np.abs(np.fft.rfft(win, n=max(2 * feat_dim, len(win))))
-                    out[i] = np.log1p(spec[:feat_dim])
-            return out
+            return _spectral_features(wav, frames, feat_dim)
 
-        return decode
+        return ("soundfile", decode)
     except ImportError:
-        return None
+        pass
+
+    def decode(payload: bytes, frames: int, feat_dim: int) -> np.ndarray:
+        return _spectral_features(_wav_to_float(payload), frames, feat_dim)
+
+    return ("stdlib-wav", decode)
 
 
 def _load_video_codec():
@@ -152,17 +293,16 @@ class ImageDecode:
         # per-actor setup: codec import/selection happens once here
         self.h, self.w = height, width
         self.decoder = decoder
-        self.codec = _load_image_codec() if decoder == "strict" else None
+        self.codec_tier, self.codec = (
+            _load_image_codec() if decoder == "strict" else (None, None)
+        )
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.decoder == "fake":
             return _fake_pixels(payload, self.h, self.w)
-        if self.codec is not None:
-            return self.codec(payload, self.h, self.w)
-        raise NotImplementedError(
-            "image codecs (PIL) are not available in this environment; "
-            "run with decoder='fake' for plumbing tests"
-        )
+        # strict: the stdlib-png tier guarantees a codec; non-PNG payloads
+        # without PIL raise NotImplementedError inside the decode
+        return self.codec(payload, self.h, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels = [self._decode(p) for p in batch["payload"].to_pylist()]
@@ -256,19 +396,18 @@ class AudioFeatures:
     def __init__(self, frames: int = 16, feat_dim: int = 13, decoder: str = "strict"):
         self.frames, self.feat_dim = frames, feat_dim
         self.decoder = decoder
-        self.codec = _load_audio_codec() if decoder == "strict" else None
+        self.codec_tier, self.codec = (
+            _load_audio_codec() if decoder == "strict" else (None, None)
+        )
 
     def _features(self, payload: bytes) -> np.ndarray:
         if self.decoder == "fake":
             seed = int.from_bytes(hashlib.sha1(payload).digest()[:8], "big")
             rng = np.random.Generator(np.random.PCG64(seed))
             return rng.standard_normal((self.frames, self.feat_dim))
-        if self.codec is not None:
-            return self.codec(payload, self.frames, self.feat_dim)
-        raise NotImplementedError(
-            "audio codecs (soundfile) are not available in this environment; "
-            "run with decoder='fake' for plumbing tests"
-        )
+        # strict: the stdlib-wav tier guarantees a codec; non-WAV payloads
+        # without soundfile raise NotImplementedError inside the decode
+        return self.codec(payload, self.frames, self.feat_dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._features(p) for p in batch["payload"].to_pylist()]
