@@ -477,3 +477,31 @@ class TestWideOpScaleGuards:
         out = weighted_sample(ds, ["id"], "w", 100)
         assert out.count() == 100
         assert max(driver_probe, default=0) <= 1000, driver_probe
+
+
+class TestAnnExactQueryGuard:
+    def test_query_count_gate_routes_to_ivf(self, ray_session):
+        """VERDICT r3 item 8: the exact ANN path holds k x |queries| x
+        blocks candidate rows on the driver — beyond MAX_EXACT_QUERIES it
+        must refuse loudly (with the IVF/LSH routing hint) rather than
+        melt the driver; under the gate it still answers."""
+        import pytest as _pytest
+
+        import web_graph_ray.stages.ann as ann
+
+        rng = np.random.default_rng(9)
+        ds = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(200, dtype=np.int64),
+                    "embedding": list(rng.normal(size=(200, 8))),
+                }
+            )
+        ).repartition(4)
+        small = rng.normal(size=(3, 8))
+        out = ann.cosine_topk(ds, small, k=5)
+        assert len(out) == 15
+
+        too_many = rng.normal(size=(ann.MAX_EXACT_QUERIES + 1, 8))
+        with _pytest.raises(ValueError, match="ivf_cosine_topk"):
+            ann.cosine_topk(ds, too_many, k=5)

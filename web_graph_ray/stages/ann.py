@@ -41,6 +41,13 @@ __all__ = [
 
 ROUND = 6
 
+# exact-path guard: cosine_topk collects k×|queries|×blocks candidate
+# rows on the driver AND broadcasts the full query matrix to every task —
+# both scale linearly in |queries|.  Beyond this many queries route to
+# ivf_cosine_topk / lsh_cosine_topk instead (the same loud-failure
+# pattern as the join/dedup BROADCAST_BYTES gates).
+MAX_EXACT_QUERIES = 4096
+
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     """Embedding column → (n, d) float64 matrix without a Python-object
@@ -76,8 +83,20 @@ def cosine_topk(
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row; returns a small pandas
     frame (query_id, vec_id, score) — k×|queries| rows, sorted by
-    (query_id, -score, vec_id) with deterministic tie-breaks."""
+    (query_id, -score, vec_id) with deterministic tie-breaks.
+
+    Scale guard: driver candidate rows and the broadcast query matrix
+    are both O(|queries|); above ``MAX_EXACT_QUERIES`` this raises with
+    a routing hint to the IVF/LSH paths (whose per-query work is
+    bucketed, not corpus-wide)."""
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    if len(q) > MAX_EXACT_QUERIES:
+        raise ValueError(
+            f"cosine_topk: {len(q)} queries exceed MAX_EXACT_QUERIES="
+            f"{MAX_EXACT_QUERIES} (driver holds k x |queries| x blocks "
+            "candidates); use ivf_cosine_topk or lsh_cosine_topk for "
+            "large query sets"
+        )
     q_ref = ray.put(q)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
