@@ -80,6 +80,140 @@ class TestHttpFetcherOutcomes:
         assert ct["p1"] == "text/html"  # parameters stripped before the gate
 
 
+class FakeHTTPResponse:
+    """Shape of http.client.HTTPResponse: status/headers/read/isclosed."""
+
+    def __init__(self, body=b"<html>x</html>", status=200, headers=None):
+        self._buf, self._len = io.BytesIO(body), len(body)
+        self.status = status
+        self.headers = {"Content-Type": "text/html"} if headers is None else headers
+
+    def read(self, n=-1):
+        return self._buf.read() if n is None or n < 0 else self._buf.read(n)
+
+    def isclosed(self):
+        return self._buf.tell() >= self._len
+
+
+class FakeConn:
+    def __init__(self, script=None):
+        # script: list of FakeHTTPResponse | Exception, served in order;
+        # None = endless default responses
+        self.script = script
+        self.requests: list[tuple] = []
+        self.closed = False
+
+    def request(self, method, path, headers=None):
+        self.requests.append((method, path, dict(headers or {})))
+
+    def getresponse(self):
+        if self.script is None:
+            return FakeHTTPResponse()
+        item = self.script.pop(0)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+
+    def close(self):
+        self.closed = True
+
+
+class TestHttpKeepAlive:
+    """VERDICT r3 item 9: reference-ST4 transport parity — host-keyed
+    connection reuse, stale-socket retry, redirects, DNS memo."""
+
+    def _fetcher(self, scripts=None, **kw):
+        made = []
+
+        def factory(scheme, host, port, timeout):
+            conn = FakeConn((scripts or {}).get(host))
+            made.append((host, conn))
+            return conn
+
+        f = HttpFetcher(conn_factory=factory, **kw)
+        return f, made
+
+    def test_connections_reused_per_host(self):
+        f, made = self._fetcher()
+        rows = [("p1", "http://a.example/x", 0), ("p2", "http://a.example/y", 0),
+                ("p3", "http://b.example/z", 0)]
+        out = f.retrieve(rows)
+        assert set(out) == {"p1", "p2", "p3"}
+        hosts = [h for h, _ in made]
+        assert hosts.count("a.example") == 1 and hosts.count("b.example") == 1
+        a_conn = made[0][1]
+        assert [p for _, p, _ in a_conn.requests] == ["/x", "/y"]
+        # Host header carried explicitly (plain HTTP dials the resolved IP)
+        assert a_conn.requests[0][2]["Host"] == "a.example"
+
+    def test_stale_keepalive_retries_once_on_fresh_conn(self):
+        scripts = {"a.example": [ConnectionResetError("stale"), FakeHTTPResponse()]}
+        # first conn serves the error then would serve the response, but a
+        # fresh conn gets a fresh script copy — model this with a factory
+        # that serves the error only from the FIRST connection
+        made = []
+
+        def factory(scheme, host, port, timeout):
+            conn = FakeConn([ConnectionResetError("stale")] if not made else None)
+            made.append(conn)
+            return conn
+
+        f = HttpFetcher(conn_factory=factory)
+        out = f.retrieve([("p1", "http://a.example/x", 0)])
+        assert "p1" in out and len(made) == 2
+        assert made[0].closed  # stale conn evicted and closed
+
+    def test_redirect_followed_and_relative_location(self):
+        scripts = {
+            "a.example": [
+                FakeHTTPResponse(b"", 301, {"Location": "/moved"}),
+                FakeHTTPResponse(b"<html>dest</html>"),
+            ]
+        }
+        f, made = self._fetcher(scripts)
+        out = f.retrieve([("p1", "http://a.example/x", 0)])
+        assert out["p1"][0] == b"<html>dest</html>"
+        # same kept-alive connection served both hops
+        assert len(made) == 1
+        assert [p for _, p, _ in made[0][1].requests] == ["/x", "/moved"]
+
+    def test_oversized_body_evicts_connection(self):
+        scripts = {"a.example": [FakeHTTPResponse(b"y" * 100), FakeHTTPResponse(b"ok")]}
+        f, made = self._fetcher(scripts, max_bytes=10)
+        out = f.retrieve([("p1", "http://a.example/x", 0),
+                          ("p2", "http://a.example/y", 0)])
+        assert "p1" not in out and "p2" in out
+        # half-read keep-alive socket is not reusable: second fetch got a
+        # fresh connection
+        assert len(made) == 2 and made[0][1].closed
+
+    def test_lru_bound_closes_oldest(self):
+        f, made = self._fetcher(max_conns=1)
+        f.retrieve([("p1", "http://a.example/x", 0)])
+        f.retrieve([("p2", "http://b.example/y", 0)])
+        assert made[0][1].closed and not made[1][1].closed
+
+    def test_dns_memo_bounded_and_cached(self, monkeypatch):
+        import socket
+
+        calls = []
+
+        def fake_gai(host, port):
+            calls.append(host)
+            return [(socket.AF_INET, socket.SOCK_STREAM, 6, "", (f"10.0.0.{len(calls)}", 0))]
+
+        monkeypatch.setattr(socket, "getaddrinfo", fake_gai)
+        f = HttpFetcher(dns_cache_size=2)
+        assert f._resolve("a") == "10.0.0.1"
+        assert f._resolve("a") == "10.0.0.1"  # memo hit
+        assert calls == ["a"]
+        f._resolve("b")
+        f._resolve("c")  # evicts the LRU entry ("a")
+        f._resolve("a")
+        assert calls == ["a", "b", "c", "a"]
+
+
 class TestHttpCrawlEquivalence:
     def test_http_crawl_equals_corpus_crawl(self, ray_session, tmp_path_factory):
         """A crawl through the HTTP seam (fake opener serving the corpus

@@ -162,18 +162,49 @@ class FetchSim:
         return apply_fetch(batch, self.retrieve, self.filters)
 
 
-class HttpFetcher:
-    """Live-HTTP fetcher (stdlib urllib): per-worker init-once client
-    config, per-URL GET with timeout + response-size cap, Content-Type
-    taken from the response header (parameters stripped, as the
-    reference's HappyResponse does before the gate).
+class _KeepAliveResponse:
+    """Context-manager adapter over http.client.HTTPResponse: exposes
+    status/headers/read like urllib's response; on exit, a response
+    whose body was NOT fully drained evicts its connection (a half-read
+    keep-alive socket cannot be reused)."""
 
-    This is the SEAM for pointing the engine at a live frontier — the
-    reference's keep-alive/DoH client (linkprocessor.go:51-75) maps
-    onto ``_open``; swap it via the ``opener`` hook (also how tests
-    inject responses, since this sandbox has no network).  Retrieval
-    errors (timeout, DNS, non-2xx) are "dead", matching the
-    reference's log-and-drop (linkprocessor.go:188-192)."""
+    def __init__(self, resp, evict) -> None:
+        self._resp, self._evict = resp, evict
+        self.status = getattr(resp, "status", 200)
+        self.headers = resp.headers
+
+    def read(self, n: int = -1):
+        return self._resp.read(n)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not getattr(self._resp, "isclosed", lambda: True)():
+            self._evict()
+        return False
+
+
+class HttpFetcher:
+    """Live-HTTP fetcher (stdlib http.client): per-worker init-once
+    client state with HOST-KEYED KEEP-ALIVE connection reuse and a
+    bounded DNS memo — transport parity with the reference's pooled
+    client + cached DoH resolver (linkprocessor.go:51-75, ST4).  Per-URL
+    GET with timeout + response-size cap + redirect following (urllib
+    parity, ≤5 hops), Content-Type taken from the response header
+    (parameters stripped, as the reference's HappyResponse does before
+    the gate).
+
+    This is the SEAM for pointing the engine at a live frontier — swap
+    the whole transport via the ``opener`` hook, or only the socket
+    layer via ``conn_factory`` (how tests inject responses, since this
+    sandbox has no network).  Retrieval errors (timeout, DNS, non-2xx)
+    are "dead", matching the reference's log-and-drop
+    (linkprocessor.go:188-192).  Connection notes: plain-HTTP
+    connections dial the memoized IP with an explicit Host header;
+    HTTPS dials by name (SNI/verification own the resolve).  A stale
+    kept-alive socket gets one transparent retry on a fresh
+    connection."""
 
     def __init__(
         self,
@@ -182,18 +213,115 @@ class HttpFetcher:
         max_bytes: int = 4 << 20,
         user_agent: str = "web-graph-ray/1.0",
         opener=None,
+        conn_factory=None,
+        max_conns: int = 32,
+        dns_cache_size: int = 1000,    # reference dns.MaxCacheEntries(1000)
+        max_redirects: int = 5,
     ) -> None:
+        from collections import OrderedDict
+
         self.filters = filters
         self.timeout_s = timeout_s
         self.max_bytes = max_bytes
         self.user_agent = user_agent
         self._opener = opener or self._open
+        self._conn_factory = conn_factory
+        self.max_conns = max_conns
+        self.dns_cache_size = dns_cache_size
+        self.max_redirects = max_redirects
+        self._conns: "OrderedDict[tuple, object]" = OrderedDict()
+        self._dns: "OrderedDict[str, str]" = OrderedDict()
+
+    # -- transport ----------------------------------------------------------
+
+    def _resolve(self, host: str) -> str:
+        ip = self._dns.get(host)
+        if ip is None:
+            import socket
+
+            try:
+                ip = socket.getaddrinfo(host, None)[0][4][0]
+            except OSError:
+                ip = host  # let the connect fail with its own error
+            if len(self._dns) >= self.dns_cache_size:
+                self._dns.popitem(last=False)
+            self._dns[host] = ip
+        else:
+            self._dns.move_to_end(host)
+        return ip
+
+    def _make_conn(self, scheme: str, host: str, port):
+        if self._conn_factory is not None:
+            return self._conn_factory(scheme, host, port, self.timeout_s)
+        import http.client
+
+        if scheme == "https":
+            return http.client.HTTPSConnection(host, port, timeout=self.timeout_s)
+        return http.client.HTTPConnection(
+            self._resolve(host), port or 80, timeout=self.timeout_s
+        )
+
+    def _connection(self, key: tuple):
+        conn = self._conns.pop(key, None)
+        if conn is None:
+            conn = self._make_conn(*key)
+        self._conns[key] = conn  # LRU: most recent at the end
+        while len(self._conns) > self.max_conns:
+            _, old = self._conns.popitem(last=False)
+            try:
+                old.close()
+            except Exception:
+                pass
+        return conn
+
+    def _evict(self, key: tuple, conn) -> None:
+        try:
+            conn.close()
+        except Exception:
+            pass
+        if self._conns.get(key) is conn:
+            del self._conns[key]
+
+    def _request(self, url: str):
+        from urllib.parse import urlsplit
+
+        parts = urlsplit(url)
+        host = parts.hostname or ""
+        key = (parts.scheme or "http", host, parts.port)
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        headers = {
+            "User-Agent": self.user_agent,
+            "Host": host + (f":{parts.port}" if parts.port else ""),
+        }
+        for attempt in (0, 1):
+            conn = self._connection(key)
+            try:
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+                return _KeepAliveResponse(resp, lambda: self._evict(key, conn))
+            except Exception:
+                # stale keep-alive socket: evict and retry once fresh
+                self._evict(key, conn)
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
 
     def _open(self, url: str):
-        import urllib.request
+        from urllib.parse import urljoin
 
-        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
-        return urllib.request.urlopen(req, timeout=self.timeout_s)
+        for _hop in range(self.max_redirects + 1):
+            resp = self._request(url)
+            if resp.status in (301, 302, 303, 307, 308):
+                loc = resp.headers.get("Location")
+                if loc:
+                    resp.read()  # drain so the connection stays reusable
+                    resp.__exit__()
+                    url = urljoin(url, loc)
+                    continue
+            return resp
+        raise OSError(f"too many redirects for {url}")
 
     def retrieve(self, rows: list[tuple]) -> dict:
         out: dict[str, tuple] = {}
