@@ -117,3 +117,27 @@ class TestCompactIndex:
             assert qa.page(pid) == qb.page(pid)
             assert qa.links_to(pid).to_pandas().values.tolist() == \
                 qb.links_to(pid).to_pandas().values.tolist()
+
+
+class TestEmptyRoundCompact:
+    def test_recompact_with_zero_emission_new_round(self, crawled):
+        """A new committed round with ZERO emissions (a finished crawl's
+        last round can discover nothing) must no-op-merge, not crash
+        read_parquet with an empty path list."""
+        from web_graph_ray.state.checkpoint import atomic_write_json, read_json
+
+        eng = crawled
+        m = eng.compact()
+        man_path = os.path.join(eng.work, "index", "MANIFEST.json")
+        # pages()/links() over a rounds subset with no files at all
+        future = [m["through_round"] + 7]
+        assert eng.pages(rounds=future).count() == 0
+        assert eng.links(rounds=future).count() == 0
+        # roll the manifest back one round and re-compact incrementally;
+        # result must equal the current index regardless of whether the
+        # re-scanned round produced emissions
+        rolled = dict(m, through_round=m["through_round"] - 1)
+        atomic_write_json(rolled, man_path)
+        m2 = eng.compact()
+        assert m2["n_pages"] == m["n_pages"] and m2["n_links"] == m["n_links"]
+        assert m2["through_round"] == m["through_round"]

@@ -71,12 +71,28 @@ from ..stages.canonicalize import (
     seed_frontier_rows,
     write_frontier_by_bucket,
 )
-from ..stages.extract import emit_key_self, make_extract_emitter
+from ..stages.extract import EMISSIONS_SCHEMA, emit_key_self, make_extract_emitter
 from ..stages.fetch import make_fetcher
 
 __all__ = ["CrawlEngine"]
 
 PROCESSED_SCHEMA = FRONTIER_SCHEMA.append(pa.field("status", pa.string()))
+# visited_delta sidecar layout: processed rows + the committing round
+VISITED_SCHEMA = PROCESSED_SCHEMA.append(pa.field("round", pa.int32()))
+
+
+def _read_cols_or_empty(files: list[str], columns: list[str], schema: pa.Schema):
+    """``read_parquet(columns=...)`` that tolerates an empty file list —
+    a ``rounds`` subset can legitimately have zero emissions (e.g. the
+    final round of a finished crawl discovered nothing), and
+    ``compact()`` must still no-op-merge it instead of crashing."""
+    if files:
+        return ray.data.read_parquet(files, columns=columns)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {c: pa.array([], type=schema.field(c).type) for c in columns}
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1014,8 +1030,10 @@ class CrawlEngine:
         (winners-of-winners = winners)."""
         from ..stages.relational import first_wins_dedup
 
-        ds = ray.data.read_parquet(
-            self._link_files(rounds), columns=["page_id", "to_page_id", "text", "emit_key"]
+        ds = _read_cols_or_empty(
+            self._link_files(rounds),
+            ["page_id", "to_page_id", "text", "emit_key"],
+            EMISSIONS_SCHEMA,
         )
         winners = first_wins_dedup(ds, ["page_id", "to_page_id"], "emit_key")
         cols = ["from_page_id", "to_page_id", "text"] + (
@@ -1036,9 +1054,10 @@ class CrawlEngine:
         seam); the denial censor always reads ALL committed rounds, so
         a subset's winners stay mergeable with earlier winners."""
         vd = self._visited_files(rounds)
-        selfs = ray.data.read_parquet(
+        selfs = _read_cols_or_empty(
             vd,
-            columns=["page_id", "hostname", "path", "url", "seq", "round", "status", "priority"],
+            ["page_id", "hostname", "path", "url", "seq", "round", "status", "priority"],
+            VISITED_SCHEMA,
         )
 
         def self_rows(t: pa.Table) -> pa.Table:
@@ -1080,9 +1099,10 @@ class CrawlEngine:
             ):
                 denial[pid] = emit_key_self(r, s, p)
 
-        targets = ray.data.read_parquet(
+        targets = _read_cols_or_empty(
             self._link_files(rounds),
-            columns=["to_page_id", "to_hostname", "to_path", "to_url", "emit_key"],
+            ["to_page_id", "to_hostname", "to_path", "to_url", "emit_key"],
+            EMISSIONS_SCHEMA,
         )
 
         # ship the denial dict through the object store ONCE (ray.put),
