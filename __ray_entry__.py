@@ -2036,6 +2036,34 @@ def multimodal_audio_decode_wav(sf_dir: str):
     )
 
 
+def redact_pii_documents(sf_dir: str):
+    """PII redaction scrub (stages/text.py::redact_pii): emails → <EMAIL>,
+    IPv4 → <IP>, phone-shaped digit runs → <PHONE>, applied sequentially,
+    plus the count of spans removed.  Pure Arrow RE2 kernels per batch,
+    zero shuffles; the SQL twin runs the same RE2 patterns through
+    DuckDB's regexp_replace/regexp_extract_all in the same order."""
+    from web_graph_ray.stages.text import redact_pii
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(redact_pii, batch_format="pyarrow").select_columns(
+        ["doc_id", "redacted", "pii_count"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_documents_windows(sf_dir: str):
+    """Fixed-window character chunking with overlap
+    (stages/text.py::chunk_documents, size=120 / stride=100): the 1→N
+    flat map that feeds context-window-sized pieces to downstream
+    tokenize/embed stages.  Vectorized one-slice-kernel-per-chunk-index;
+    no shuffle.  Twin: generate_series × substring."""
+    from web_graph_ray.stages.text import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, size=120, stride=100).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
     with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
@@ -2533,6 +2561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     PNG/WAV decode, structurally SQL-inexpressible) -------------
         "multimodal_image_decode_png": multimodal_image_decode_png,
         "multimodal_audio_decode_wav": multimodal_audio_decode_wav,
+        "redact_pii_documents": redact_pii_documents,
+        "chunk_documents_windows": chunk_documents_windows,
     }
 
 
@@ -3767,5 +3797,44 @@ def oracle_sql() -> dict[str, str]:
             from embeddings e1 join embeddings e2 on e1.vec_id < e2.vec_id
             where list_cosine_similarity(cast(e1.embedding as double[]),
                                          cast(e2.embedding as double[])) >= 0.4
+        """,
+        # Same RE2 patterns, same order as stages/text.py::PII_PATTERNS —
+        # both engines run RE2, so span semantics agree by construction.
+        "redact_pii_documents": r"""
+            with s1 as (
+              select doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) c1,
+                     regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') t
+              from documents),
+            s2 as (
+              select doc_id, c1,
+                     len(regexp_extract_all(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) c2,
+                     regexp_replace(t,
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                         '<IP>', 'g') t
+              from s1),
+            s3 as (
+              select doc_id, c1, c2,
+                     len(regexp_extract_all(t, '\+?\d[\d -]{7,}\d')) c3,
+                     regexp_replace(t, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') t
+              from s2)
+            select doc_id, t as redacted, (c1 + c2 + c3)::bigint as pii_count
+            from s3 order by doc_id
+        """,
+        # Chunk k covers codepoints [k*stride, k*stride+size),
+        # k = 0 .. (len-1) // stride — identical to chunk_documents(120, 100).
+        "chunk_documents_windows": """
+            with n as (
+              select doc_id, text,
+                     unnest(generate_series(0,
+                         greatest(length(text) - 1, 0) // 100)) as chunk_id
+              from documents)
+            select doc_id, chunk_id,
+                   substring(text, cast(chunk_id * 100 + 1 as bigint), 120) as chunk
+            from n order by doc_id, chunk_id
         """,
     }

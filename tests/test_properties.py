@@ -995,3 +995,113 @@ class TestGlobalRank:
         )
         assert got["id"].tolist() == list(range(50))
         assert got["rank"].tolist() == list(range(1, 51))
+
+
+class TestRedactPii:
+    def test_patterns_and_counts(self):
+        import pyarrow as pa
+
+        from web_graph_ray.stages.text import redact_pii
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at jane.doe+spam@example.co.uk today",
+                        "server 10.0.255.3 rebooted; backup 192.168.1.1 ok",
+                        "call +1 555-123-4567 or 0044 2071234567",
+                        "no pii here",
+                    ]
+                ),
+            }
+        )
+        out = redact_pii(batch)
+        red = out["redacted"].to_pylist()
+        assert red[0] == "mail me at <EMAIL> today"
+        assert red[1] == "server <IP> rebooted; backup <IP> ok"
+        assert red[2] == "call <PHONE> or <PHONE>"
+        assert red[3] == "no pii here"
+        assert out["pii_count"].to_pylist() == [1, 2, 2, 0]
+
+    def test_ip_not_double_counted_as_phone(self):
+        import pyarrow as pa
+
+        from web_graph_ray.stages.text import redact_pii
+
+        # an IPv4 is digit-heavy; after the <IP> replacement the phone
+        # pattern must not fire on the token (tokens are digit-free)
+        out = redact_pii(
+            pa.table({"text": pa.array(["ip 123.45.67.89 end"])})
+        )
+        assert out["redacted"].to_pylist() == ["ip <IP> end"]
+        assert out["pii_count"].to_pylist() == [1]
+
+
+class TestChunkDocuments:
+    def test_overlap_and_coverage(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.text import chunk_documents
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1, 2], dtype="int64"),
+                "text": ["x" * 5, "abcdefghij" * 25, ""],  # 5, 250, 0 chars
+            }
+        )
+        out = (
+            chunk_documents(
+                ray.data.from_pandas(docs).repartition(2), size=120, stride=100
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        # doc 0: single short chunk; doc 1: offsets 0/100/200; doc 2: one empty
+        assert out.groupby("doc_id")["chunk_id"].count().tolist() == [1, 3, 1]
+        d1 = out[out.doc_id == 1]["chunk"].tolist()
+        src = "abcdefghij" * 25
+        assert d1 == [src[0:120], src[100:220], src[200:320]]
+        # consecutive chunks overlap by size - stride
+        assert d1[0][-20:] == d1[1][:20]
+        assert out[out.doc_id == 2]["chunk"].tolist() == [""]
+
+    def test_parallelism_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.text import chunk_documents
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array(range(40), dtype="int64"),
+                "text": [("w%d " % i) * (7 * i) for i in range(40)],
+            }
+        )
+        ref = None
+        for parts in (1, 8):
+            got = (
+                chunk_documents(
+                    ray.data.from_pandas(docs).repartition(parts),
+                    size=64, stride=50,
+                )
+                .to_pandas()
+                .sort_values(["doc_id", "chunk_id"])
+                .reset_index(drop=True)
+            )
+            if ref is None:
+                ref = got
+            else:
+                pd.testing.assert_frame_equal(got, ref)
+
+    def test_rejects_bad_stride(self, ray_session):
+        import pytest
+        import ray.data
+
+        from web_graph_ray.stages.text import chunk_documents
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "abc"}])
+        with pytest.raises(ValueError):
+            chunk_documents(ds, size=10, stride=20)

@@ -27,6 +27,8 @@ __all__ = [
     "tfidf_topk",
     "add_normalized",
     "stopword_scrub",
+    "redact_pii",
+    "chunk_documents",
 ]
 
 
@@ -391,3 +393,96 @@ def add_normalized(batch: pa.Table, text_col: str = "text") -> pa.Table:
     squeezed = pc.replace_substring_regex(dropped, pattern=r" +", replacement=" ")
     out = pc.utf8_trim(squeezed, characters=" ")
     return batch.append_column("norm_text", out.cast(pa.string()))
+
+
+# PII span patterns, applied IN ORDER (phone last so already-redacted
+# IPs can't re-match as digit runs; replacement tokens are digit-free so
+# later patterns never match inside an earlier replacement).  RE2 syntax
+# only — both Arrow and DuckDB run these on RE2, so the engine and its
+# SQL oracle twin share one regex semantics by construction.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(
+    batch: pa.Table, text_col: str = "text", out_col: str = "redacted"
+) -> pa.Table:
+    """Redact emails / IPv4s / phone-shaped digit runs and count the
+    spans removed — the standard pre-training privacy scrub (cf. C4 /
+    RefinedWeb pipelines).  Pure Arrow RE2 kernels (one count + one
+    replace per pattern), zero Python per row, zero shuffles; counts are
+    taken on the text as it stands BEFORE that pattern's replacement so
+    the sequential-replace SQL twin mirrors them exactly."""
+    import pyarrow.compute as pc
+
+    cur = batch[text_col]
+    n = np.zeros(len(batch), dtype=np.int64)
+    for pat, token in PII_PATTERNS:
+        n += pc.count_substring_regex(cur, pattern=pat).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=token)
+    batch = batch.append_column(out_col, cur.cast(pa.string()))
+    return batch.append_column("pii_count", pa.array(n, pa.int64()))
+
+
+def chunk_documents(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 2000,
+    stride: int = 1800,
+):
+    """Fixed-window character chunking with overlap — the 1→N flat map
+    that feeds context-window-sized pieces to tokenization/embedding
+    stages.  Chunk k covers codepoints [k*stride, k*stride + size);
+    k = 0 .. floor((len-1)/stride), so every codepoint lands in ≥1 chunk
+    and consecutive chunks overlap by (size - stride).
+
+    Vectorized per chunk index: one `utf8_slice_codeunits` kernel per k
+    over the rows that still have a k-th chunk (≤ ceil(max_len/stride)
+    kernels per batch, each all-rows wide) — no per-row Python.  Output
+    block sizes grow ~len/stride-fold; Ray's dynamic block splitting
+    handles the fan-out, and no shuffle is involved.
+    """
+    import pyarrow.compute as pc
+
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch[text_col]).to_numpy(zero_copy_only=False)
+        nchunks = (np.maximum(lens, 1) - 1) // stride + 1
+        pieces = []
+        for k in range(int(nchunks.max()) if len(batch) else 0):
+            sub = batch.filter(pa.array(nchunks > k))
+            pieces.append(
+                pa.table(
+                    {
+                        id_col: sub[id_col],
+                        "chunk_id": pa.array(
+                            np.full(len(sub), k, dtype=np.int64)
+                        ),
+                        # despite the name this Arrow kernel slices by
+                        # codepoints — same unit as Python slicing and
+                        # DuckDB substring()
+                        "chunk": pc.utf8_slice_codeunits(
+                            sub[text_col], start=k * stride, stop=k * stride + size
+                        ).combine_chunks(),
+                    }
+                )
+            )
+        if not pieces:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(pieces)
+
+    return docs.map_batches(explode, batch_format="pyarrow")
