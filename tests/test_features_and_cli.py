@@ -313,6 +313,58 @@ class TestServeAPI:
         status, body = self._get(base + "/")
         assert status == 200 and "web-graph" in body
 
+    def test_ui_and_first_page(self, served):
+        gq, base = served
+        status, body = self._get(base + "/ui")
+        assert status == 200
+        # self-contained: the explorer must not pull anything off a CDN
+        assert "<canvas" in body and "sha1Hex" in body
+        # self-contained: no external scripts, only relative fetches
+        assert "unpkg.com" not in body and "src=\"http" not in body
+        status, first = self._get(base + "/firstPage")
+        assert status == 200
+        assert gq.page(first["id"])["url"] == first["url"]
+        # the id the UI would compute from ?url= maps back to this node
+        from web_graph_ray.pipelines.queries import page_id_of_url
+
+        assert page_id_of_url(first["url"]) == first["id"]
+
+    def test_frontend_js_hash_contract(self):
+        """The explorer's inline SHA-1 must agree with the engine's
+        page-id function (frontend JS contract, reference
+        frontend/index.html:68-78).  Gated on a node runtime."""
+        import shutil as _shutil
+        import subprocess
+
+        node = _shutil.which("node")
+        if node is None:
+            pytest.skip("no node runtime to exercise the frontend JS")
+        import os as _os
+
+        from web_graph_ray.pipelines.queries import page_id_of_url
+
+        html = _os.path.join(
+            _os.path.dirname(__file__), "..", "web_graph_ray", "pipelines",
+            "frontend.html",
+        )
+        urls = [
+            "https://example.com/",
+            "https://sub.host.example.com/a/b/page.html",
+            "https://example.com/percent%20enc?q=1#frag",
+        ]
+        js = (
+            "const fs=require('fs');"
+            f"const html=fs.readFileSync({_os.path.abspath(html)!r},'utf8');"
+            "const s=html.match(/<script>\\n([\\s\\S]*)<\\/script>/)[1];"
+            "eval(s.slice(0,s.indexOf('// --- graph state'))"
+            "+'\\nglobalThis.pageIdOf=pageIdOf;');"
+            f"for (const u of {urls!r}) console.log(pageIdOf(u));"
+        )
+        out = subprocess.run(
+            [node, "-e", js], capture_output=True, text=True, check=True
+        ).stdout.split()
+        assert out == [page_id_of_url(u) for u in urls]
+
 
 class TestMultimodalStages:
     """Ray-side plumbing of the image/audio/video actor-pool stages —

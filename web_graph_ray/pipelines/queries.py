@@ -145,6 +145,31 @@ class GraphQueries:
     def page_exists(self, page_id: str) -> bool:
         return self.page(page_id) is not None
 
+    def first_page(self) -> dict | None:
+        """Any single page row (id/host/url) — the UI's default entry
+        point when no ?url= / ?id= start is given.  Indexed mode scans
+        bucket files until one exists and reads a single row from it;
+        scan mode takes one row off the materialized pages view."""
+        m = self._index()
+        if m is not None:
+            base = os.path.join(self.engine.work, "index", "pages_by_id")
+            for b in range(m["num_buckets"]):
+                f = bucket_file(base, b)
+                if os.path.exists(f):
+                    t = pq.ParquetFile(f)
+                    batch = next(
+                        t.iter_batches(
+                            batch_size=1, columns=["page_id", "host", "url"]
+                        )
+                    )
+                    row = batch.to_pylist()[0]
+                    return row
+            return None
+        rows = self.pages.take(1)
+        if not rows:
+            return None
+        return {k: rows[0][k] for k in ("page_id", "host", "url")}
+
     def link_exists(self, from_id: str, to_id: str) -> bool:
         m = self._index()
         if m is not None:

@@ -13,6 +13,11 @@ crawl work dir via :class:`GraphQueries`:
     GET /countLinks     {"countLinks": N}
     GET /countPages     {"countPages": N}
 
+plus two additions beyond the reference API (frontend parity without a
+CDN): ``GET /ui`` serves the self-contained force-graph explorer
+(frontend.html) and ``GET /firstPage`` returns any one crawled page
+as its default starting node.
+
 Python stdlib ``http.server`` only — no web framework in the container.
 The handler thread calls into Ray Datasets materialized once by
 GraphQueries (the analogue of the reference's DB indexes), so serving
@@ -22,10 +27,18 @@ does not re-run the crawl.
 from __future__ import annotations
 
 import json
+import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 from .queries import QUERY_LIMIT, GraphQueries
+
+# The reference ships a separate static force-graph site
+# (frontend/index.html, React + react-force-graph-2d from a CDN); this
+# container has no network, so parity is a dependency-free vanilla-JS
+# canvas force-graph served by the API process itself at /ui, plus a
+# /firstPage helper so the UI has an entry point without a ?url= param.
+_FRONTEND = os.path.join(os.path.dirname(__file__), "frontend.html")
 
 
 def _col(df, name) -> list:
@@ -46,6 +59,8 @@ If you want to just explore the API, there are the following paths:
 /linksTo/:id      - pass a page hash and retrieve all links to this page (that have been found so far, def not exhaustive)
 /countLinks       - returns the number of links found
 /countPages       - returns the number of pages found
+/ui               - interactive force-graph explorer (click nodes to expand)
+/firstPage        - any one page id/url (the explorer's default start)
 """
 
 
@@ -79,6 +94,23 @@ def _make_handler(gq: GraphQueries):
                 if not parts:
                     return self._send(200, WELCOME, is_json=False)
                 route, arg = parts[0], (parts[1] if len(parts) > 1 else None)
+                if route == "ui":
+                    with open(_FRONTEND, "rb") as f:
+                        body = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Access-Control-Allow-Origin", "*")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return None
+                if route == "firstPage":
+                    row = gq.first_page()
+                    if row is None:
+                        return self._send(404, "no pages crawled", is_json=False)
+                    return self._send(
+                        200, {"id": row["page_id"], "url": row["url"]}
+                    )
                 if route == "page" and arg:
                     row = gq.page(arg)
                     if row is None:
