@@ -122,6 +122,9 @@ def bench_queries() -> dict:
         "quantize_embeddings",
         "global_rank_lineitem",
         "curate_documents",
+        "redact_pii_documents",
+        "chunk_documents_windows",
+        "pack_examples_documents",
     ]
     out = {}
     qs = entrymod.queries()
@@ -200,6 +203,78 @@ def _run_child(ncpu: int, extra: list[str] | None = None, cwd: str | None = None
     return json.loads(out.strip().splitlines()[-1]) if "--gen-only" not in (extra or []) else None
 
 
+_HW_PROBE = r'''
+import hashlib, time
+n = 0
+deadline = time.monotonic() + 8.0
+buf = b"x" * 65536
+while time.monotonic() < deadline:
+    hashlib.sha256(buf).digest(); n += 1
+print(n)
+'''
+
+
+_HW_MONITOR = r'''
+import hashlib, time, sys
+buf = b"x" * 65536
+while True:
+    t0 = time.monotonic(); n = 0
+    while time.monotonic() - t0 < 1.0:
+        hashlib.sha256(buf).digest(); n += 1
+    print(n, flush=True)
+'''
+
+
+class _HostMonitor:
+    """Continuous single-process sha256 rate sampler (1 Hz), run DURING
+    a measured crawl: its mean rate is the host's effective CPU speed
+    over exactly that window.  One stdlib process on a 32-cpu box —
+    negligible contention at either measured level (4 or 16 procs) and
+    identical perturbation at both.  The lo/hi rate ratio lets a reader
+    normalize away hypervisor co-tenant drift that a before/after probe
+    cannot see."""
+
+    def __enter__(self):
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _HW_MONITOR],
+            stdout=subprocess.PIPE, text=True,
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.proc.terminate()
+        out, _ = self.proc.communicate()
+        rates = [int(x) for x in out.split()]
+        # drop the warmup second; an empty tail means the window was <2 s
+        self.rates = rates[1:] or rates
+        self.mean_rate = (
+            round(sum(self.rates) / len(self.rates)) if self.rates else 0
+        )
+
+
+def _hw_calibration(lo_cpus: int, hi_cpus: int) -> dict:
+    """Concurrent-hardware probe: aggregate sha256 throughput of
+    lo_cpus vs hi_cpus independent stdlib processes (no Ray, no IO).
+    On an idle host this scales ~1.0; under hypervisor co-tenant load
+    the hi level degrades first.  Recording it next to each scaling
+    measurement separates the ENGINE's scaling from the host's state
+    at measurement time."""
+    def level(k: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _HW_PROBE], stdout=subprocess.PIPE
+            )
+            for _ in range(k)
+        ]
+        return sum(int(p.communicate()[0]) for p in procs) / 8.0
+
+    lo, hi = level(lo_cpus), level(hi_cpus)
+    return {
+        "hashes_per_sec": [round(lo), round(hi)],
+        "hw_efficiency": round(hi / lo / (hi_cpus / lo_cpus), 3),
+    }
+
+
 def run_scaling() -> dict:
     # N and 4N, both below this VM's parallel-throughput ceiling: pure
     # single-process extraction scales 4→16 procs at ~1.0 efficiency
@@ -215,10 +290,49 @@ def run_scaling() -> dict:
     repeats = int(os.environ.get("WG_SCALING_REPEATS", "3"))
     _run_child(32, ["--gen-only"])  # build corpus + index at full
     #                                 parallelism, so both levels start warm
-    lo_runs, hi_runs = [], []
+    # Idle-gating: the hypervisor hosting this VM carries co-tenant load
+    # that drifts on ~10-minute scales and suppresses the 16-proc level
+    # disproportionately (biasing the engine number DOWN).  A single-proc
+    # sha256 probe measures the host's current speed; each (lo,hi) pair
+    # starts only when the host is within 7% of the best rate seen, up
+    # to a bounded wait.  During each crawl a 1 Hz monitor records the
+    # concurrent host rate, so every wall time in the output carries the
+    # host state it was measured under.
+    probe_ref = 0
+    gate_wait = float(os.environ.get("WG_SCALING_GATE_WAIT", "600"))
+
+    def probe_rate() -> int:
+        p = subprocess.run(
+            [sys.executable, "-c", _HW_PROBE], capture_output=True, text=True
+        )
+        return round(int(p.stdout) / 8.0)
+
+    def wait_idle() -> int:
+        nonlocal probe_ref
+        deadline = time.monotonic() + gate_wait
+        while True:
+            r = probe_rate()
+            probe_ref = max(probe_ref, r)
+            if r >= 0.93 * probe_ref or time.monotonic() >= deadline:
+                return r
+            time.sleep(30)
+
+    lo_runs, hi_runs, calibs, monitors = [], [], [], []
     for _ in range(repeats):
-        lo_runs.append(_run_child(lo_cpus, ["--crawl-only"]))
-        hi_runs.append(_run_child(hi_cpus, ["--crawl-only"]))
+        gate_rate = wait_idle()
+        calibs.append(_hw_calibration(lo_cpus, hi_cpus))
+        with _HostMonitor() as m_lo:
+            lo_runs.append(_run_child(lo_cpus, ["--crawl-only"]))
+        with _HostMonitor() as m_hi:
+            hi_runs.append(_run_child(hi_cpus, ["--crawl-only"]))
+        monitors.append(
+            {
+                "gate_rate": gate_rate,
+                "rate_during_lo": m_lo.mean_rate,
+                "rate_during_hi": m_hi.mean_rate,
+            }
+        )
+    calibs.append(_hw_calibration(lo_cpus, hi_cpus))
 
     def med(runs):
         s = sorted(runs, key=lambda r: r["crawl"]["crawl_sec"])
@@ -228,6 +342,25 @@ def run_scaling() -> dict:
     ratio = hi_cpus / lo_cpus
     speedup = lo["crawl"]["crawl_sec"] / hi["crawl"]["crawl_sec"]
     eff = speedup / ratio
+    # Per-pair efficiency, raw and host-normalized: scaling wall time by
+    # the concurrent host rate (rate_during_lo / rate_during_hi cancels
+    # any common reference) converts each pair to equal-host conditions —
+    # the engine-intrinsic number the raw median approaches on an idle
+    # host.  Both are recorded; neither overwrites the raw medians.
+    pair_eff, pair_eff_norm = [], []
+    for i, m in enumerate(monitors):
+        lo_s = lo_runs[i]["crawl"]["crawl_sec"]
+        hi_s = hi_runs[i]["crawl"]["crawl_sec"]
+        pair_eff.append(round(lo_s / hi_s / ratio, 3))
+        if m["rate_during_lo"] and m["rate_during_hi"]:
+            pair_eff_norm.append(
+                round(
+                    (lo_s * m["rate_during_lo"])
+                    / (hi_s * m["rate_during_hi"])
+                    / ratio,
+                    3,
+                )
+            )
     summary = {
         "metric": "crawl scaling efficiency (N→4N cpus, interleaved fresh processes, median of %d)" % repeats,
         "cpus": [lo_cpus, hi_cpus],
@@ -239,6 +372,14 @@ def run_scaling() -> dict:
         "pages_per_sec": [lo["crawl"]["pages_per_sec"], hi["crawl"]["pages_per_sec"]],
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
+        # host state bracketing each (lo,hi) pair + one after the last:
+        # hw_efficiency ~1.0 = idle host, lower = hypervisor co-tenant
+        # load (which suppresses the 16-proc level and biases the
+        # engine number DOWN — see BASELINE.md)
+        "hw_calibration": calibs,
+        "host_monitor": monitors,
+        "pair_efficiency": pair_eff,
+        "pair_efficiency_host_normalized": pair_eff_norm,
         "lo": lo,
         "hi": hi,
     }
@@ -329,6 +470,12 @@ INTERLEAVED lo/hi fresh processes, MEDIAN of
 {len(s.get('crawl_sec_all_runs', {}).get('lo', [1]))} runs per level —
 this shared VM shows ±25% co-tenant swings at 16 procs; all runs:
 lo={s.get('crawl_sec_all_runs', {}).get('lo')} hi={s.get('crawl_sec_all_runs', {}).get('hi')}).
+Host state (1-proc sha256 probe): idle-gate rates + concurrent rates
+during each crawl {s.get('host_monitor')}; bracketing 4-vs-16-proc
+hw calibrations {[c.get('hw_efficiency') for c in s.get('hw_calibration', [])]}.
+Per-pair efficiency raw {s.get('pair_efficiency')} /
+host-normalized {s.get('pair_efficiency_host_normalized')} (wall times
+rescaled by the concurrent host rate — the engine-intrinsic number).
 {end}"""
     with open(path) as f:
         text = f.read()
