@@ -2064,6 +2064,22 @@ def chunk_documents_windows(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def pack_examples_documents(sf_dir: str):
+    """Concat-and-split sequence packing layout
+    (stages/text.py::pack_examples, ctx=512): per doc, global token
+    offset under doc_id order (distributed exclusive prefix sum —
+    stages/relational.py::global_prefix_sum, TeraSort shape) and the
+    training examples it spans.  Twin: window-function running sum."""
+    from web_graph_ray.stages.text import pack_examples
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_examples(ds, ctx=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_tokens", "token_offset",
+         "first_example", "offset_in_first", "last_example"]
+    ]
+
+
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
     with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
@@ -2563,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_decode_wav": multimodal_audio_decode_wav,
         "redact_pii_documents": redact_pii_documents,
         "chunk_documents_windows": chunk_documents_windows,
+        "pack_examples_documents": pack_examples_documents,
     }
 
 
@@ -3836,5 +3853,28 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, chunk_id,
                    substring(text, cast(chunk_id * 100 + 1 as bigint), 120) as chunk
             from n order by doc_id, chunk_id
+        """,
+        # Exclusive running sum of WORD_RE token counts under doc_id order,
+        # then ctx=512 example arithmetic — mirrors pack_examples exactly.
+        "pack_examples_documents": """
+            with t as (
+              select doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))::bigint
+                       as n_tokens
+              from documents),
+            c as (
+              select doc_id, n_tokens,
+                     coalesce(sum(n_tokens) over (
+                         order by doc_id
+                         rows between unbounded preceding and 1 preceding),
+                       0)::bigint as token_offset
+              from t)
+            select doc_id, n_tokens, token_offset,
+                   (token_offset // 512)::bigint as first_example,
+                   (token_offset % 512)::bigint as offset_in_first,
+                   (case when n_tokens > 0
+                         then (token_offset + n_tokens - 1) // 512
+                         else token_offset // 512 end)::bigint as last_example
+            from c order by doc_id
         """,
     }

@@ -1105,3 +1105,72 @@ class TestChunkDocuments:
         ds = ray.data.from_items([{"doc_id": 0, "text": "abc"}])
         with pytest.raises(ValueError):
             chunk_documents(ds, size=10, stride=20)
+
+
+class TestGlobalPrefixSum:
+    def test_matches_serial_scan(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import global_prefix_sum
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.permutation(300).astype("int64"),
+                "v": rng.integers(0, 50, 300).astype("int64"),
+            }
+        )
+        exp = df.sort_values("k").reset_index(drop=True)
+        exp["prefix"] = exp["v"].cumsum().shift(1, fill_value=0)
+        for parts in (1, 7):
+            got = (
+                global_prefix_sum(
+                    ray.data.from_pandas(df).repartition(parts), "k", "v",
+                    num_buckets=16,
+                )
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)[["k", "v", "prefix"]]
+            )
+            pd.testing.assert_frame_equal(got, exp[["k", "v", "prefix"]])
+
+
+class TestPackExamples:
+    def test_layout_arithmetic(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.text import pack_examples
+
+        # token counts: 3, 4, 0, 5  (WORD_RE = [A-Za-z0-9]+ runs)
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.array([0, 1, 2, 3], dtype="int64"),
+                "text": ["a b c", "w x y z", "!!! ...", "p q r s t"],
+            }
+        )
+        out = (
+            pack_examples(ray.data.from_pandas(docs), ctx=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_tokens"].tolist() == [3, 4, 0, 5]
+        assert out["token_offset"].tolist() == [0, 3, 7, 7]
+        # ctx=4: doc0 tokens [0,3) -> ex 0; doc1 [3,7) -> ex 0..1;
+        # doc2 empty at offset 7 -> ex 1; doc3 [7,12) -> ex 1..2
+        assert out["first_example"].tolist() == [0, 0, 1, 1]
+        assert out["offset_in_first"].tolist() == [0, 3, 3, 3]
+        assert out["last_example"].tolist() == [0, 1, 1, 2]
+
+    def test_rejects_bad_ctx(self, ray_session):
+        import pytest
+        import ray.data
+
+        from web_graph_ray.stages.text import pack_examples
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "abc"}])
+        with pytest.raises(ValueError):
+            pack_examples(ds, ctx=0)

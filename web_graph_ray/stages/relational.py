@@ -41,6 +41,7 @@ __all__ = [
     "keyed_rank_stats",
     "mix_corpus",
     "global_rank",
+    "global_prefix_sum",
     "exact_quantile",
     "grouped_quantile",
     "hopping_window_agg",
@@ -750,6 +751,71 @@ def global_rank(
         return df
 
     return with_b.groupby("_b").map_groups(rank_bucket, batch_format="pandas")
+
+
+def global_prefix_sum(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    val_col: str,
+    out_col: str = "prefix",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXCLUSIVE prefix sum of ``val_col`` under the global total order
+    by ``order_col`` — the distributed scan primitive behind
+    concat-and-split sequence packing, global offsets, and file-layout
+    planning.  Same TeraSort shape as :func:`global_rank`: (1) min/max
+    of the order column; (2) range-bucketing (equal order values always
+    co-bucket) with per-bucket VALUE sums → driver exclusive offsets,
+    O(num_buckets) driver state; (3) per-bucket local sort + local
+    exclusive cumsum + bucket offset, one key-range exchange total.
+
+    ``order_col`` must be unique per row (a key); ties would make the
+    within-bucket order — and therefore the prefix — ambiguous."""
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
+    )
+    lo = float(stats[f"min({order_col})"])
+    hi = float(stats[f"max({order_col})"])
+    width = (hi - lo) / num_buckets if hi > lo else 1.0
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_b"] = np.clip(
+            np.floor(
+                (out[order_col].to_numpy(dtype="float64") - lo) / width
+            ).astype(np.int64),
+            0,
+            num_buckets - 1,
+        )
+        return out
+
+    with_b = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_b", as_index=False)[val_col].sum()
+        return g.rename(columns={val_col: "s"})
+
+    sums = (
+        with_b.map_batches(sum_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("_b")["s"]
+        .sum()
+    )
+    full = np.zeros(num_buckets, dtype=np.int64)
+    full[sums.index.to_numpy()] = sums.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(full)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(order_col, kind="mergesort")
+        b = int(df["_b"].iloc[0])
+        df = df.drop(columns=["_b"])
+        v = df[val_col].to_numpy(dtype="int64")
+        df[out_col] = off[b] + np.concatenate(([0], np.cumsum(v)[:-1]))
+        return df
+
+    return with_b.groupby("_b").map_groups(scan_bucket, batch_format="pandas")
 
 
 def mix_corpus(

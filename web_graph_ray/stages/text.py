@@ -29,6 +29,7 @@ __all__ = [
     "stopword_scrub",
     "redact_pii",
     "chunk_documents",
+    "pack_examples",
 ]
 
 
@@ -486,3 +487,49 @@ def chunk_documents(
         return pa.concat_tables(pieces)
 
     return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def pack_examples(
+    docs,
+    ctx: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Deterministic concat-and-split sequence packing (GPT-style): lay
+    every document's tokens end-to-end in ``id_col`` order and cut the
+    stream into fixed ``ctx``-token training examples.  Emits, per doc:
+    ``n_tokens``, its global ``token_offset`` (exclusive prefix sum),
+    and the examples it lands in (``first_example`` / ``last_example``
+    plus ``offset_in_first``) — the layout table a tokenizer/writer
+    stage consumes to materialize packed batches.
+
+    Token counts are the vectorized WORD_RE counter
+    (:func:`add_token_counts`); the global offset is
+    :func:`~..stages.relational.global_prefix_sum` (TeraSort-shape,
+    O(num_buckets) driver state, one key-range exchange) — no full
+    materialization at any size."""
+    from .relational import global_prefix_sum
+
+    if ctx <= 0:
+        raise ValueError("ctx must be positive")
+
+    counted = docs.map_batches(
+        lambda t: add_token_counts(t, text_col=text_col),
+        batch_format="pyarrow",
+    ).select_columns([id_col, "n_tokens"])
+    with_off = global_prefix_sum(
+        counted, id_col, "n_tokens", out_col="token_offset",
+        num_buckets=num_buckets,
+    )
+
+    def place(batch: pa.Table) -> pa.Table:
+        off = batch["token_offset"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        first = off // ctx
+        last = np.where(n > 0, (off + np.maximum(n, 1) - 1) // ctx, first)
+        batch = batch.append_column("first_example", pa.array(first, pa.int64()))
+        batch = batch.append_column("offset_in_first", pa.array(off % ctx, pa.int64()))
+        return batch.append_column("last_example", pa.array(last, pa.int64()))
+
+    return with_off.map_batches(place, batch_format="pyarrow")
