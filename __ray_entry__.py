@@ -2036,6 +2036,71 @@ def multimodal_audio_decode_wav(sf_dir: str):
     )
 
 
+def multimodal_video_decode_avi(sf_dir: str):
+    """REAL strict-mode video decode (no wheels): one deterministic
+    4-frame 16×16 RGB clip per document (PCG64 seeded by doc_id),
+    encoded as an uncompressed-DIB AVI by sources/synth.encode_avi_dib,
+    decoded back through the actor-pool stdlib-AVI tier
+    (stages/multimodal._avi_meta / _avi_frame_rgb) with
+    nearest-neighbor resize.  Rows-only (binary codec path is
+    SQL-inexpressible)."""
+    import numpy as np
+
+    from web_graph_ray.sources.synth import encode_avi_dib
+    from web_graph_ray.stages.multimodal import VideoFrameSample
+
+    def make_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [
+            encode_avi_dib(
+                np.random.Generator(np.random.PCG64(int(i))).integers(
+                    0, 256, (4, 16, 16, 3), dtype=np.uint8
+                ),
+                fps=2,
+            )
+            for i in ids
+        ]
+        return pa.table(
+            {"item_id": pa.array(ids, pa.int64()),
+             "payload": pa.array(payloads, pa.binary())}
+        )
+
+    ds = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        make_payload, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={
+            "n_frames": 4, "height": 8, "width": 8, "decoder": "strict"
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        px = t["pixels"].combine_chunks()
+        flat = px.flatten().to_numpy(zero_copy_only=False).reshape(len(px), -1)
+        return pa.table(
+            {
+                "item_id": t["item_id"].combine_chunks(),
+                "frame_idx": t["frame_idx"].combine_chunks(),
+                "ts_sec": t["ts_sec"].combine_chunks(),
+                "mean_intensity": pa.array(
+                    flat.mean(axis=1).astype(np.float64)
+                ),
+            }
+        )
+
+    return _round_cols(
+        out.map_batches(summarize, batch_format="pyarrow")
+        .to_pandas().sort_values(["item_id", "frame_idx"]).reset_index(drop=True),
+        {"ts_sec": 6, "mean_intensity": 6},
+    )
+
+
 def redact_pii_documents(sf_dir: str):
     """PII redaction scrub (stages/text.py::redact_pii): emails → <EMAIL>,
     IPv4 → <IP>, phone-shaped digit runs → <PHONE>, applied sequentially,
@@ -2580,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_documents": redact_pii_documents,
         "chunk_documents_windows": chunk_documents_windows,
         "pack_examples_documents": pack_examples_documents,
+        "multimodal_video_decode_avi": multimodal_video_decode_avi,
     }
 
 

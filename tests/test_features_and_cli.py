@@ -759,6 +759,80 @@ class TestStdlibCodecTier:
         with _pytest.raises(NotImplementedError):
             stage(batch)
 
+    def test_avi_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from web_graph_ray.sources.synth import encode_avi_dib
+        from web_graph_ray.stages.multimodal import _avi_frame_rgb, _avi_meta
+
+        rng = np.random.RandomState(7)
+        # odd width 15 -> 45-byte rows padded to 48: exercises DIB stride
+        frames = rng.randint(0, 256, (5, 9, 15, 3)).astype(np.uint8)
+        payload = encode_avi_dib(frames, fps=4)
+        fps, chunks, w, h = _avi_meta(payload)
+        assert (fps, len(chunks), w, h) == (4.0, 5, 15, 9)
+        for i in range(len(frames)):
+            assert (_avi_frame_rgb(payload, i) == frames[i]).all()
+
+    def test_avi_strict_video_stage(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from web_graph_ray.sources.synth import encode_avi_dib
+        from web_graph_ray.stages.multimodal import VideoFrameSample
+
+        clips = {
+            i: np.random.RandomState(i).randint(0, 256, (4, 16, 16, 3)).astype(np.uint8)
+            for i in range(6)
+        }
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "item_id": pa.array(sorted(clips), type=pa.int64()),
+                    "payload": pa.array(
+                        [bytes(encode_avi_dib(clips[i], fps=2)) for i in sorted(clips)],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+        )
+        out = (
+            ds.map_batches(
+                VideoFrameSample,
+                fn_constructor_kwargs={
+                    "n_frames": 4, "height": 16, "width": 16, "decoder": "strict"
+                },
+                batch_format="pyarrow",
+                batch_size=4,
+                concurrency=2,
+            )
+            .to_pandas()
+            .sort_values(["item_id", "frame_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 6 * 4
+        # 2 s clip at 2 fps, mid-point sampling: frame k at t=(k+.5)/4*2
+        # -> source frame idx = int(t*2) = k; same-size resize = identity
+        for _, row in out.iterrows():
+            exp = clips[row["item_id"]][int(row["frame_idx"])]
+            got = np.asarray(row["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+            assert (got == exp).all()
+
+    def test_avi_rejects_non_avi_strict(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from web_graph_ray.stages.multimodal import VideoFrameSample
+
+        stage = VideoFrameSample(n_frames=2, height=4, width=4, decoder="strict")
+        batch = pa.Table.from_pydict(
+            {"item_id": pa.array([1], type=pa.int64()),
+             "payload": pa.array([b"not an avi"], type=pa.binary())}
+        )
+        with _pytest.raises(NotImplementedError):
+            stage(batch)
+
 
 class TestPassageDedup:
     """passage_dedup: corpus-wide first-wins at 8-token segments."""

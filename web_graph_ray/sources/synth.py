@@ -408,3 +408,70 @@ def encode_wav_mono(samples, framerate: int = 16000) -> bytes:
             (np.clip(np.asarray(samples), -1.0, 1.0) * 32767).astype("<i2").tobytes()
         )
     return bio.getvalue()
+
+
+def encode_avi_dib(frames, fps: int = 10) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB array as a minimal uncompressed
+    AVI (RIFF 'AVI ' / hdrl(avih + strl(strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER BI_RGB)) / movi with one '00db' DIB chunk per
+    frame).  DIB frames are bottom-up BGR rows padded to 4 bytes — the
+    on-disk layout every AVI reader expects.  Pure struct packing, no
+    codec: the matching stdlib decode tier lives in
+    stages/multimodal._load_video_codec."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(frames, dtype=np.uint8))
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8 RGB")
+    n, h, w, _ = arr.shape
+    row_pad = (-(w * 3)) % 4
+    stride = w * 3 + row_pad
+
+    def dib(frame: "np.ndarray") -> bytes:
+        bgr = frame[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        if row_pad:
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = bgr.reshape(h, w * 3)
+            return padded.tobytes()
+        return bgr.tobytes()
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0, 0x10,           # padding, AVIF_HASINDEX off / plain flags
+        n, 0, 1,           # totalframes, initialframes, streams
+        frame_bytes,       # suggested buffer
+        w, h, 0, 0, 0, 0,  # width, height, reserved[4]
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,    # flags, priority, language, initialframes
+            1, fps,        # dwScale, dwRate  (fps = rate/scale)
+            0, n,          # start, length (frames)
+            frame_bytes, 0xFFFFFFFF, 0,  # bufsize, quality, samplesize
+            0, 0, w, h,    # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in arr))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)

@@ -6,13 +6,13 @@ opportunistically once per actor, in THREE tiers:
 
 - real wheels when importable (PIL for images, soundfile for audio,
   decord/av for video);
-- a stdlib tier for images/audio when they are not: a pure
-  numpy+zlib PNG decoder (8-bit gray/RGB/palette/alpha, non-interlaced,
-  all five scanline filters, nearest-neighbor resize) and a
-  ``wave``-module WAV decoder feeding the same spectral-feature kernel
-  — so strict mode REALLY decodes PNG/WAV fixtures even in a
-  wheel-less container (video has no stdlib container parser, so its
-  strict mode still raises without decord/av);
+- a stdlib tier when they are not: a pure numpy+zlib PNG decoder
+  (8-bit gray/RGB/palette/alpha, non-interlaced, all five scanline
+  filters, nearest-neighbor resize), a ``wave``-module WAV decoder
+  feeding the same spectral-feature kernel, and a RIFF parser for
+  uncompressed-DIB AVI video (header-only chunk scan, per-frame DIB →
+  RGB) — so strict mode REALLY decodes PNG/WAV/AVI fixtures even in a
+  wheel-less container; other formats raise with an install hint;
 - ``decoder="fake"`` produces deterministic pseudo-decodes derived
   from the payload bytes, so the Ray-side plumbing (schemas, batch
   sizing, actor-pool shape, output layout) is exercised without any
@@ -171,6 +171,66 @@ def _wav_to_float(payload: bytes) -> np.ndarray:
     return x
 
 
+def _avi_meta(payload: bytes):
+    """Parse a RIFF/AVI container (uncompressed-DIB video stream) into
+    (fps, frame_chunks, width, height) where ``frame_chunks`` is a list
+    of (offset, size) into ``payload`` — one per '00db'/'00dc' chunk in
+    the movi list.  Header-only scan: no pixel data is touched, so
+    duration probes are O(chunks).  Encoder twin:
+    sources/synth.encode_avi_dib."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "stdlib video tier decodes uncompressed-DIB AVI only; install "
+            "decord/av for other formats or run with decoder='fake'"
+        )
+
+    fps, w, h, bitcount, compression = None, None, None, None, None
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps, w, h, bitcount, compression
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list-type fourcc
+            elif fourcc == b"strh" and payload[body : body + 4] == b"vids":
+                scale, rate = struct.unpack("<II", payload[body + 20 : body + 28])
+                fps = rate / scale if scale else 30.0
+            elif fourcc == b"strf" and w is None:
+                _, bw, bh, _, bc, comp = struct.unpack(
+                    "<IiiHHI", payload[body : body + 20]
+                )
+                w, h, bitcount, compression = bw, abs(bh), bc, comp
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append((body, size))
+            pos = body + size + (size % 2)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if not frames or w is None:
+        raise ValueError("stdlib AVI tier: no video frames found")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            "stdlib video tier reads BI_RGB 24-bit DIB frames only "
+            f"(got compression={compression}, bitcount={bitcount})"
+        )
+    return (fps or 30.0), frames, w, h
+
+
+def _avi_frame_rgb(payload: bytes, idx: int) -> np.ndarray:
+    """Decode frame ``idx`` of an uncompressed AVI → (H, W, 3) uint8 RGB
+    (undoes the DIB layout: bottom-up rows, BGR, 4-byte row padding)."""
+    fps, frames, w, h = _avi_meta(payload)
+    off, size = frames[min(max(idx, 0), len(frames) - 1)]
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()
+
+
 def _spectral_features(wav: np.ndarray, frames: int, feat_dim: int) -> np.ndarray:
     """Frame-sampled log-magnitude spectrum features: ``frames`` equal
     windows, first ``feat_dim`` rFFT bins each (numpy-only MFCC
@@ -277,7 +337,21 @@ def _load_video_codec():
                 raise ValueError("no frame decoded")
 
         return duration, frame_at
-    return None
+
+    # tier 2 (no wheels): stdlib RIFF parser for uncompressed-DIB AVI —
+    # real container parse + real pixel decode, same seam as the
+    # PNG/WAV stdlib tiers.  Other formats raise NotImplementedError
+    # with an install hint (the honest-stub contract).
+    def duration(payload: bytes) -> float:
+        fps, frames, _, _ = _avi_meta(payload)
+        return len(frames) / fps
+
+    def frame_at(payload: bytes, t: float, h: int, w: int) -> np.ndarray:
+        fps, frames, _, _ = _avi_meta(payload)
+        idx = min(int(t * fps), len(frames) - 1)
+        return _resize_nearest(_avi_frame_rgb(payload, idx), h, w)
+
+    return duration, frame_at
 
 
 class ImageDecode:
