@@ -2106,13 +2106,32 @@ def redact_pii_documents(sf_dir: str):
     IPv4 → <IP>, phone-shaped digit runs → <PHONE>, applied sequentially,
     plus the count of spans removed.  Pure Arrow RE2 kernels per batch,
     zero shuffles; the SQL twin runs the same RE2 patterns through
-    DuckDB's regexp_replace/regexp_extract_all in the same order."""
+    DuckDB's regexp_replace/regexp_extract_all in the same order.
+
+    The synthetic corpus contains no PII, so the query appends a
+    deterministic doc_id-keyed contact line to every document (in BOTH
+    the Ray path and the SQL twin) — the driver row then checks real
+    redaction work, not an identity pass."""
     from web_graph_ray.stages.text import redact_pii
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(redact_pii, batch_format="pyarrow").select_columns(
-        ["doc_id", "redacted", "pii_count"]
-    ).to_pandas()
+
+    def with_pii(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        aug = pc.binary_join_element_wise(
+            t["text"], " contact user", ids, "@example.com at 10.0.",
+            # doc_id % 256 == doc_id & 255 for non-negative ids
+            # (pyarrow 16 has no modulo kernel)
+            pc.cast(pc.bit_wise_and(t["doc_id"], 255), pa.string()), ".1", "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": aug})
+
+    out = (
+        ds.map_batches(with_pii, batch_format="pyarrow")
+        .map_batches(redact_pii, batch_format="pyarrow")
+        .select_columns(["doc_id", "redacted", "pii_count"])
+        .to_pandas()
+    )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3884,14 +3903,20 @@ def oracle_sql() -> dict[str, str]:
         # Same RE2 patterns, same order as stages/text.py::PII_PATTERNS —
         # both engines run RE2, so span semantics agree by construction.
         "redact_pii_documents": r"""
-            with s1 as (
+            with src as (
+              select doc_id,
+                     text || ' contact user' || cast(doc_id as varchar)
+                          || '@example.com at 10.0.'
+                          || cast(doc_id % 256 as varchar) || '.1' as text
+              from documents),
+            s1 as (
               select doc_id,
                      len(regexp_extract_all(text,
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) c1,
                      regexp_replace(text,
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                          '<EMAIL>', 'g') t
-              from documents),
+              from src),
             s2 as (
               select doc_id, c1,
                      len(regexp_extract_all(t,
