@@ -2164,6 +2164,67 @@ def pack_examples_documents(sf_dir: str):
     ]
 
 
+def _user_days(sf_dir: str, etype: str):
+    """Distinct-able (user_id, day-epoch) tuples of one event type —
+    shared projection for the set-operation entries."""
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], etype))
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.multiply(pc.divide(pc.divide(us, 1_000_000), 86400), 86400)
+        return pa.table({"user_id": t["user_id"].combine_chunks(), "day": day})
+
+    return ev.map_batches(project, batch_format="pyarrow")
+
+
+def intersect_purchasers_clickers(sf_dir: str):
+    """SQL INTERSECT through the engine's partitioned set operator
+    (stages/relational.py::set_intersect — distinct combiner + one
+    bucketed exchange on the full tuple, no broadcast): (user, day)
+    pairs with BOTH a view and a purchase.  The snapshot-diff shape
+    (e.g. page-id sets of two crawl rounds) under the driver's SQL
+    oracle gate."""
+    from web_graph_ray.stages.relational import set_intersect
+
+    out = set_intersect(
+        _user_days(sf_dir, "view"), _user_days(sf_dir, "purchase")
+    ).to_pandas()
+    out = out.reindex(columns=["user_id", "day"])
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def except_viewers_purchasers(sf_dir: str):
+    """SQL EXCEPT through the same partitioned set operator: (user, day)
+    pairs that viewed but never purchased that day (set_except =
+    distinct left ∖ right)."""
+    from web_graph_ray.stages.relational import set_except
+
+    out = set_except(
+        _user_days(sf_dir, "view"), _user_days(sf_dir, "purchase")
+    ).to_pandas()
+    out = out.reindex(columns=["user_id", "day"])
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def hash_split_documents(sf_dir: str):
+    """Deterministic train/val/test corpus split
+    (stages/relational.py::hash_split — FNV-1a64(doc_id) % 100 into
+    80/10/10 bands, seed-free, reproducible at any parallelism, zero
+    shuffles), summarized per split (count + character volume)."""
+    from web_graph_ray.stages.relational import hash_split
+
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    split = hash_split(ds, ["doc_id"], boundaries=[80, 90],
+                       names=["train", "val", "test"])
+    g = (
+        split.to_pandas()
+        .groupby("split", as_index=False)
+        .agg(n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum"))
+    )
+    return g.sort_values("split").reset_index(drop=True)
+
+
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
     with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
@@ -2665,6 +2726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents_windows": chunk_documents_windows,
         "pack_examples_documents": pack_examples_documents,
         "multimodal_video_decode_avi": multimodal_video_decode_avi,
+        "intersect_purchasers_clickers": intersect_purchasers_clickers,
+        "except_viewers_purchasers": except_viewers_purchasers,
+        "hash_split_documents": hash_split_documents,
     }
 
 
@@ -3968,4 +4032,46 @@ def oracle_sql() -> dict[str, str]:
                          else token_offset // 512 end)::bigint as last_example
             from c order by doc_id
         """,
+        "intersect_purchasers_clickers": """
+            select user_id, day from (
+              select distinct user_id,
+                     (floor(epoch(ts))::bigint // 86400) * 86400 as day
+              from events where event_type = 'view'
+              intersect
+              select distinct user_id,
+                     (floor(epoch(ts))::bigint // 86400) * 86400 as day
+              from events where event_type = 'purchase')
+            order by user_id, day
+        """,
+        "except_viewers_purchasers": """
+            select user_id, day from (
+              select distinct user_id,
+                     (floor(epoch(ts))::bigint // 86400) * 86400 as day
+              from events where event_type = 'view'
+              except
+              select distinct user_id,
+                     (floor(epoch(ts))::bigint // 86400) * 86400 as day
+              from events where event_type = 'purchase')
+            order by user_id, day
+        """,
+        # Same FNV-1a over doc_id::varchar as hashing.hash64 / hash_split;
+        # 80/10/10 bands on hash % 100.
+        "hash_split_documents": """
+            with h as (
+              select doc_id, n_chars,
+                list_reduce(
+                  list_prepend(14695981039346656037::hugeint,
+                    list_transform(
+                      regexp_extract_all(doc_id::varchar, '.'),
+                      c -> ascii(c)::bigint)),
+                  (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                             * 1099511628211) %% 18446744073709551616) %% 100 hs
+              from documents)
+            select case when hs < 80 then 'train'
+                        when hs < 90 then 'val'
+                        else 'test' end as split,
+                   count(*) as n_docs,
+                   sum(n_chars)::bigint as sum_chars
+            from h group by 1 order by split
+        """.replace('%%', '%'),
     }

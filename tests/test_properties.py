@@ -1174,3 +1174,102 @@ class TestPackExamples:
         ds = ray.data.from_items([{"doc_id": 0, "text": "abc"}])
         with pytest.raises(ValueError):
             pack_examples(ds, ctx=0)
+
+
+class TestSetOpsAndHashSplit:
+    """set_intersect/set_except ≡ pandas set algebra (distinct tuples),
+    invariant to input partitioning; hash_split is deterministic,
+    parallelism-independent, and leakage-safe (one key → one split)."""
+
+    @staticmethod
+    def _mk(rng, n):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "k": rng.integers(0, 60, n),
+                "big": rng.integers(2**62, 2**62 + 40, n),  # float64-unsafe
+                "s": [f"s{int(x)}" for x in rng.integers(0, 8, n)],
+            }
+        )
+
+    def _expected(self, a, b, how):
+        da = a.drop_duplicates()
+        db = b.drop_duplicates()
+        m = da.merge(db, on=list(a.columns), how="left", indicator=True)
+        if how == "intersect":
+            return m[m["_merge"] == "both"].drop(columns=["_merge"])
+        return m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+
+    def test_set_ops_match_pandas_any_partitioning(self, ray_session):
+        import numpy as np
+        import ray.data
+
+        from web_graph_ray.stages.relational import set_except, set_intersect
+
+        rng = np.random.default_rng(11)
+        a = self._mk(rng, 3000)
+        b = self._mk(rng, 2500)
+        cols = list(a.columns)
+        for parts in (1, 7):
+            da = ray.data.from_pandas(a).repartition(parts)
+            db = ray.data.from_pandas(b).repartition(max(1, parts - 3))
+            for how, fn in (("intersect", set_intersect), ("except", set_except)):
+                got = fn(da, db).to_pandas()
+                exp = self._expected(a, b, how)
+                g = got[cols].sort_values(cols).reset_index(drop=True)
+                x = exp[cols].sort_values(cols).reset_index(drop=True)
+                assert g.astype(str).equals(x.astype(str)), (how, parts)
+                assert len(g) > 0
+                # distinct output + 2^62 ints bit-exact
+                assert not g.duplicated().any()
+                assert g["big"].dtype == np.int64
+
+    def test_set_op_empty_and_validation(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from web_graph_ray.stages.relational import set_except, set_op
+
+        a = pd.DataFrame({"k": [1, 2]})
+        da = ray.data.from_pandas(a)
+        # left ⊆ right → EXCEPT is empty (0 rows, not a crash)
+        assert set_except(da, da).count() == 0
+        with pytest.raises(ValueError, match="how"):
+            set_op(da, da, how="union")
+        db = ray.data.from_pandas(pd.DataFrame({"other": [1]}))
+        with pytest.raises(ValueError, match="column names"):
+            set_op(da, db)
+
+    def test_hash_split_deterministic_and_leakage_safe(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from web_graph_ray.functions.hashing import hash64
+        from web_graph_ray.stages.relational import hash_split
+
+        # many rows per key: every row of a key must share its split
+        df = pd.DataFrame({"uid": [i % 37 for i in range(1500)],
+                           "x": range(1500)})
+        outs = []
+        for parts in (1, 6):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            out = hash_split(ds, ["uid"], [80, 90], ["train", "val", "test"])
+            outs.append(
+                out.to_pandas().sort_values(["uid", "x"]).reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])  # parallelism-invariant
+        got = outs[0]
+        # one key → exactly one split (grouped/leakage-safe splitting)
+        assert (got.groupby("uid")["split"].nunique() == 1).all()
+        # matches the scalar FNV reference band-by-band
+        for uid, split in got.drop_duplicates("uid")[["uid", "split"]].values:
+            h = hash64(str(uid)) % 100
+            exp = "train" if h < 80 else ("val" if h < 90 else "test")
+            assert split == exp
+        with pytest.raises(ValueError, match="boundaries"):
+            hash_split(ray.data.from_pandas(df), ["uid"], [90, 80], ["a", "b", "c"])
+        with pytest.raises(ValueError, match="names"):
+            hash_split(ray.data.from_pandas(df), ["uid"], [50], ["a", "b", "c"])

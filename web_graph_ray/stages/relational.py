@@ -56,6 +56,10 @@ __all__ = [
     "cube_agg",
     "bucket_left_join",
     "bucket_full_join",
+    "set_op",
+    "set_intersect",
+    "set_except",
+    "hash_split",
 ]
 
 
@@ -1627,3 +1631,115 @@ def bucket_full_join(
         lambda df: df.assign(_matched=df["_matched"].astype(str)),
         batch_format="pandas",
     )
+
+
+def set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    how: str = "intersect",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distinct set operations — SQL ``INTERSECT`` / ``EXCEPT`` — between
+    two datasets with identical column names.
+
+    The reference has no set operators (its API is point lookups,
+    SURVEY.md §2.5); this is the generic form used e.g. to diff two
+    crawl snapshots' page-id sets.  Shape: per-batch distinct combiner
+    on both sides (shrinks the exchange to one row per distinct tuple
+    per block), side tag, ONE union + hash-bucketed exchange on the
+    full row tuple, per-bucket distinct + membership test.  No
+    broadcast, no driver state — a key tuple lands in exactly one
+    bucket, so bucket-local membership is globally exact.
+    """
+    if how not in ("intersect", "except"):
+        raise ValueError(f"set_op: how must be intersect|except, got {how!r}")
+    left = _as_arrow(left)
+    right = _as_arrow(right)
+    ls, rs = left.schema(), right.schema()
+    if list(ls.names) != list(rs.names):
+        raise ValueError(
+            f"set_op: column names must match ({ls.names} vs {rs.names})"
+        )
+    cols = list(ls.names)
+    lf = {n: t for n, t in zip(ls.names, ls.types)}
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            arrays = [t[c].combine_chunks().cast(lf[c]) for c in cols]
+            arrays.append(pa.repeat(pa.scalar(side, type=pa.int8()), t.num_rows))
+            return pa.Table.from_arrays(arrays, names=cols + ["_side"])
+
+        return f
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][cols].drop_duplicates()
+        r = df[df["_side"] == 1][cols].drop_duplicates()
+        if how == "intersect":
+            return l.merge(r, on=cols, how="inner")
+        m = l.merge(r, on=cols, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"].drop(columns=["_merge"])
+
+    return bucketed_group_map(
+        u, cols, per_bucket, num_buckets=num_buckets, batch_partial=partial
+    )
+
+
+def set_intersect(left, right, num_buckets: int = 32) -> "ray.data.Dataset":
+    """SQL ``INTERSECT`` (distinct rows present on both sides)."""
+    return set_op(left, right, how="intersect", num_buckets=num_buckets)
+
+
+def set_except(left, right, num_buckets: int = 32) -> "ray.data.Dataset":
+    """SQL ``EXCEPT`` (distinct left rows absent from right)."""
+    return set_op(left, right, how="except", num_buckets=num_buckets)
+
+
+def hash_split(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    boundaries: list[int],
+    names: list[str],
+    mod: int = 100,
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment (the standard LLM-corpus
+    split): ``split = names[i]`` where ``FNV-1a64('k1|k2|…') % mod``
+    falls in the half-open band ``[boundaries[i-1], boundaries[i])``
+    (``boundaries`` are cumulative upper bounds; the last band is
+    implicit up to ``mod``).
+
+    Reproducible at ANY parallelism and across runs (seed-free content
+    hash, the same FNV kernel as hash_sample / the seen-set bucketing),
+    and leakage-safe when keyed on a grouping column (all rows of one
+    user/host/url share a hash, hence a split).  Pure map stage: zero
+    shuffles, zero driver state — the 100 TB shape.
+    """
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    if len(names) != len(boundaries) + 1:
+        raise ValueError("hash_split: need len(names) == len(boundaries) + 1")
+    signed = np.asarray(boundaries, dtype=np.int64)
+    if not (np.all(np.diff(signed) > 0) and (len(signed) == 0 or signed[-1] < mod)):
+        raise ValueError("hash_split: boundaries must be increasing and < mod")
+    bounds = signed.astype(np.uint64)
+    labels = np.asarray(names, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(key_cols) == 1:
+            keys = pc.cast(t[key_cols[0]], pa.string())
+        else:
+            keys = pc.binary_join_element_wise(
+                *[pc.cast(t[c], pa.string()) for c in key_cols], "|"
+            )
+        band = fnv1a64(keys) % np.uint64(mod)
+        idx = np.searchsorted(bounds, band, side="right")
+        return t.append_column(out_col, pa.array(labels[idx], pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
