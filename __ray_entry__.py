@@ -2225,6 +2225,29 @@ def hash_split_documents(sf_dir: str):
     return g.sort_values("split").reset_index(drop=True)
 
 
+def bigram_topk_documents(sf_dir: str):
+    """Global top-20 adjacent token pairs (stages/text.py::bigram_topk
+    — per-batch Counter combiner, bucketed sum, ≤ k·buckets driver
+    merge); the phrase-mining twin of vocab_topk_documents."""
+    from web_graph_ray.stages.text import bigram_topk
+
+    return bigram_topk(_t(sf_dir, "documents", ["text"]), k=20)
+
+
+def inverted_index_documents(sf_dir: str):
+    """Posting lists token → sorted doc ids for the df band [2, 400]
+    (stages/text.py::inverted_index — distinct-pair combiner + one
+    token-bucketed exchange; max_df bounds every postings row)."""
+    from web_graph_ray.stages.text import inverted_index
+
+    return inverted_index(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        min_df=2,
+        max_df=400,
+        limit=100,
+    )
+
+
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
     with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
@@ -2729,6 +2752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_purchasers_clickers": intersect_purchasers_clickers,
         "except_viewers_purchasers": except_viewers_purchasers,
         "hash_split_documents": hash_split_documents,
+        "bigram_topk_documents": bigram_topk_documents,
+        "inverted_index_documents": inverted_index_documents,
     }
 
 
@@ -4074,4 +4099,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::bigint as sum_chars
             from h group by 1 order by split
         """.replace('%%', '%'),
+        "bigram_topk_documents": """
+            with l as (
+              select regexp_extract_all(lower(text), '[a-z0-9]+') ts
+              from documents),
+            i as (
+              select ts,
+                     unnest(generate_series(1, greatest(len(ts) - 1, 0))) k
+              from l)
+            select ts[k] || ' ' || ts[k + 1] as bigram, count(*) as n
+            from i group by 1 order by n desc, bigram limit 20
+        """,
+        "inverted_index_documents": """
+            with pairs as (
+              select distinct doc_id, token from (
+                select doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+                from documents)),
+            g as (
+              select token, count(*)::bigint as df,
+                     string_agg(doc_id::varchar, ',' order by doc_id) as postings
+              from pairs group by token)
+            select token, df, postings from g
+            where df between 2 and 400 order by token limit 100
+        """,
     }

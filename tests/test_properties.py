@@ -1273,3 +1273,63 @@ class TestSetOpsAndHashSplit:
             hash_split(ray.data.from_pandas(df), ["uid"], [90, 80], ["a", "b", "c"])
         with pytest.raises(ValueError, match="names"):
             hash_split(ray.data.from_pandas(df), ["uid"], [50], ["a", "b", "c"])
+
+
+class TestBigramAndInvertedIndex:
+    """bigram_topk / inverted_index ≡ single-process Python reference,
+    invariant to input partitioning."""
+
+    DOCS = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a dog and a cat",
+        "dog eats dog world",
+        "",
+        "one-token",
+    ]
+
+    def _ds(self, parts):
+        import pandas as pd
+        import ray.data
+
+        df = pd.DataFrame(
+            {"doc_id": range(len(self.DOCS)), "text": self.DOCS}
+        )
+        return ray.data.from_pandas(df).repartition(parts)
+
+    def test_bigram_topk_matches_reference(self, ray_session):
+        from collections import Counter
+
+        from web_graph_ray.functions.text import WORD_RE
+        from web_graph_ray.stages.text import bigram_topk
+
+        c = Counter()
+        for d in self.DOCS:
+            ts = WORD_RE.findall(d.lower())
+            c.update(f"{a} {b}" for a, b in zip(ts, ts[1:]))
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for parts in (1, 4):
+            got = bigram_topk(self._ds(parts), k=5)
+            assert list(map(tuple, got[["bigram", "n"]].values)) == exp
+
+    def test_inverted_index_matches_reference(self, ray_session):
+        from collections import defaultdict
+
+        from web_graph_ray.functions.text import WORD_RE
+        from web_graph_ray.stages.text import inverted_index
+
+        post = defaultdict(set)
+        for i, d in enumerate(self.DOCS):
+            for tok in set(WORD_RE.findall(d.lower())):
+                post[tok].add(i)
+        exp = [
+            (tok, len(ids), ",".join(map(str, sorted(ids))))
+            for tok, ids in sorted(post.items())
+            if 2 <= len(ids) <= 3
+        ]
+        for parts in (1, 4):
+            got = inverted_index(self._ds(parts), min_df=2, max_df=3, limit=100)
+            assert list(map(tuple, got[["token", "df", "postings"]].values)) == exp
+        # limit caps the output
+        got = inverted_index(self._ds(2), min_df=1, max_df=99, limit=3)
+        assert len(got) == 3

@@ -30,6 +30,8 @@ __all__ = [
     "redact_pii",
     "chunk_documents",
     "pack_examples",
+    "bigram_topk",
+    "inverted_index",
 ]
 
 
@@ -533,3 +535,126 @@ def pack_examples(
         return batch.append_column("last_example", pa.array(last, pa.int64()))
 
     return with_off.map_batches(place, batch_format="pyarrow")
+
+
+def bigram_topk(
+    docs,
+    k: int = 20,
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Global top-k adjacent token pairs — the phrase-mining /
+    tokenizer-diagnostics companion of the unigram vocab_topk entry.
+
+    Scale shape: per-batch Counter combiner (one partial row per
+    distinct bigram per block — the exchange never carries raw
+    token streams), bucketed sum, per-bucket top-k partials, and a
+    ≤ k·num_buckets-row driver merge.  Ties break (count desc,
+    bigram asc) to match an ORDER BY oracle exactly."""
+    import pandas as pd
+    from collections import Counter
+
+    from ..functions.text import WORD_RE
+    from .relational import bucketed_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            ts = WORD_RE.findall(txt.lower())
+            c.update(zip(ts, ts[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array([f"{a} {b}" for a, b in c], pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = bucketed_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["bigram"],
+        value_col="n",
+        how="sum",
+        out_col="n",
+        num_buckets=num_buckets,
+    )
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    cand = counts.map_batches(top, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def inverted_index(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 400,
+    limit: int = 100,
+    num_buckets: int = 32,
+):
+    """Posting lists (token → sorted document ids) for a df band —
+    the IR-style index build that backs exact-substr audits and
+    contamination lookups.  Returns (token, df, postings) rows where
+    ``postings`` is the comma-joined sorted id list, for tokens with
+    ``min_df ≤ df ≤ max_df`` ordered by token, first ``limit`` rows.
+
+    Scale shape: per-batch DISTINCT (token, id) combiner, one bucketed
+    exchange keyed on token (a token's postings are bucket-local,
+    globally exact), per-bucket fold to (token, df, postings) with the
+    df band applied BEFORE any postings string exists — the band's
+    ``max_df`` bounds every emitted postings list, so stopword-scale
+    tokens never materialize a giant row.  Per-bucket head(limit)
+    partials then a ≤ limit·num_buckets-row driver merge."""
+    import pandas as pd
+
+    from ..functions.text import WORD_RE
+    from .relational import bucketed_group_map
+
+    def explode_distinct(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for tok in set(WORD_RE.findall(txt.lower())):
+                ids.append(i)
+                toks.append(tok)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(explode_distinct, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        g = df.groupby("token")[id_col].agg(lambda s: sorted(s.unique()))
+        out = pd.DataFrame(
+            {
+                "token": g.index,
+                "df": [len(v) for v in g.values],
+            }
+        )
+        band = (out["df"] >= min_df) & (out["df"] <= max_df)
+        out = out[band].copy()
+        out["postings"] = [
+            ",".join(map(str, v))
+            for v, keep in zip(g.values, band.values)
+            if keep
+        ]
+        out["df"] = out["df"].astype("int64")
+        return out.sort_values("token", kind="mergesort").head(limit)
+
+    cand = bucketed_group_map(
+        pairs, ["token"], per_bucket, num_buckets=num_buckets
+    ).to_pandas()
+    return (
+        cand.sort_values("token", kind="mergesort").head(limit).reset_index(drop=True)
+    )
