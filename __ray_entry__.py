@@ -2248,6 +2248,48 @@ def inverted_index_documents(sf_dir: str):
     )
 
 
+def jsonl_roundtrip_documents(sf_dir: str):
+    """JSONL sink → source fidelity (sources/text_formats.py): the
+    corpus interchange format round-trips byte-exactly (JSON escaping
+    covers newlines/quotes/astral codepoints in ``text``), sharded one
+    file per block both ways.  Result = the re-read table itself, so
+    the oracle (plain parquet SELECT) certifies end-to-end fidelity."""
+    import os
+
+    from web_graph_ray.sources.text_formats import read_jsonl, write_jsonl
+
+    out = f"/tmp/wgr_jsonl_docs_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl(_t(sf_dir, "documents"), out)
+    back = read_jsonl(out).to_pandas()
+    back = back[["doc_id", "text", "lang", "source", "n_chars"]]
+    return back.sort_values("doc_id").reset_index(drop=True)
+
+
+def csv_roundtrip_lineitem(sf_dir: str):
+    """CSV sink → source fidelity for numeric tables: lineitem measures
+    survive a sharded CSV round-trip; aggregate over the re-read data
+    must equal the oracle's aggregate over the original parquet."""
+    import os
+
+    from web_graph_ray.sources.text_formats import read_csv, write_csv
+
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    out = f"/tmp/wgr_csv_li_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_csv(_t(sf_dir, "lineitem", cols), out)
+    back = read_csv(out).to_pandas()
+    # CSV carries no schema: integral doubles re-infer as int64 — restore
+    # the parquet dtype before aggregating (the documented CSV caveat)
+    back["l_quantity"] = back["l_quantity"].astype("float64")
+    g = back.groupby("l_returnflag", as_index=False).agg(
+        n=("l_quantity", "size"),
+        sum_qty=("l_quantity", "sum"),
+        sum_price=("l_extendedprice", "sum"),
+    )
+    g["sum_qty"] = g["sum_qty"].round(2)
+    g["sum_price"] = g["sum_price"].round(2)
+    return g.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def hash_sample_lineitem(sf_dir: str):
     """Deterministic hash sampling (SURVEY §2.5 sampling row): keep rows
     with ``hash64('{o}|{l}|{p}') mod 100 < 5`` (FNV-1a modulo
@@ -2754,6 +2796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split_documents": hash_split_documents,
         "bigram_topk_documents": bigram_topk_documents,
         "inverted_index_documents": inverted_index_documents,
+        "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
+        "csv_roundtrip_lineitem": csv_roundtrip_lineitem,
     }
 
 
@@ -4122,5 +4166,15 @@ def oracle_sql() -> dict[str, str]:
               from pairs group by token)
             select token, df, postings from g
             where df between 2 and 400 order by token limit 100
+        """,
+        "jsonl_roundtrip_documents": """
+            select doc_id, text, lang, source, n_chars
+            from documents order by doc_id
+        """,
+        "csv_roundtrip_lineitem": """
+            select l_returnflag, count(*) as n,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_price
+            from lineitem group by 1 order by l_returnflag
         """,
     }

@@ -1333,3 +1333,52 @@ class TestBigramAndInvertedIndex:
         # limit caps the output
         got = inverted_index(self._ds(2), min_df=1, max_df=99, limit=3)
         assert len(got) == 3
+
+
+class TestTextFormats:
+    """JSONL/CSV sink→source round-trips are exact, sharded (one file
+    per block), and idempotent on rewrite."""
+
+    def test_jsonl_roundtrip_adversarial_text(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.sources.text_formats import read_jsonl, write_jsonl
+
+        df = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    "line\nbreak",
+                    'quote " and \\ backslash',
+                    "tab\tand é and \U0001f600",
+                    "",
+                    "trailing space ",
+                    "null byte free but wide: ☃" * 40,
+                ],
+            }
+        )
+        out = str(tmp_path / "jl")
+        write_jsonl(ray.data.from_pandas(df).repartition(3), out)
+        import os
+
+        shards = [f for f in os.listdir(out) if f.endswith(".json")]
+        assert len(shards) >= 2  # sharded, never one giant file
+        back = read_jsonl(out).to_pandas().sort_values("doc_id")
+        assert back.reset_index(drop=True).equals(df)
+        # idempotent rewrite: clean=True removes the previous run
+        write_jsonl(ray.data.from_pandas(df.head(2)), out)
+        assert read_jsonl(out).count() == 2
+
+    def test_csv_roundtrip_numeric(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.sources.text_formats import read_csv, write_csv
+
+        df = pd.DataFrame({"k": [1, 2, 3], "v": [1.25, -2.5, 3.0]})
+        out = str(tmp_path / "csv")
+        write_csv(ray.data.from_pandas(df), out)
+        back = read_csv(out).to_pandas().sort_values("k").reset_index(drop=True)
+        assert (back["k"] == df["k"]).all()
+        assert (back["v"].astype(float) == df["v"]).all()
