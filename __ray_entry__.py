@@ -2248,6 +2248,26 @@ def inverted_index_documents(sf_dir: str):
     )
 
 
+def canonical_docs_documents(sf_dir: str):
+    """Canonical-document selection per near-dup cluster
+    (stages/dedup.py::keep_best_per_cluster over minhash_clusters):
+    the keep-best policy — longest member survives, ties to the
+    smallest doc_id — with cluster size attached."""
+    from web_graph_ray.stages.dedup import (
+        keep_best_per_cluster,
+        minhash_clusters,
+        minhash_lsh_pairs,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    clusters = minhash_clusters(minhash_lsh_pairs(ds, threshold=0.5))
+    quality = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = keep_best_per_cluster(clusters, quality, "n_chars").to_pandas()
+    return out.sort_values("label").reset_index(drop=True)[
+        ["label", "kept_doc_id", "best_n_chars", "n_members"]
+    ]
+
+
 def jsonl_roundtrip_documents(sf_dir: str):
     """JSONL sink → source fidelity (sources/text_formats.py): the
     corpus interchange format round-trips byte-exactly (JSON escaping
@@ -2798,6 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_documents": inverted_index_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "csv_roundtrip_lineitem": csv_roundtrip_lineitem,
+        "canonical_docs_documents": canonical_docs_documents,
     }
 
 
@@ -4176,5 +4197,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) as sum_qty,
                    round(sum(l_extendedprice), 2) as sum_price
             from lineitem group by 1 order by l_returnflag
+        """,
+        "canonical_docs_documents": f"""
+            with m as (
+              select c.label, d.doc_id, d.n_chars,
+                     row_number() over (partition by c.label
+                         order by d.n_chars desc, d.doc_id asc) rn,
+                     count(*) over (partition by c.label) n_members
+              from ({_minhash_clusters_sql()}) c
+              join documents d on d.doc_id = c.node)
+            select label, doc_id as kept_doc_id, n_chars as best_n_chars,
+                   n_members
+            from m where rn = 1 order by label
         """,
     }

@@ -1382,3 +1382,44 @@ class TestTextFormats:
         back = read_csv(out).to_pandas().sort_values("k").reset_index(drop=True)
         assert (back["k"] == df["k"]).all()
         assert (back["v"].astype(float) == df["v"]).all()
+
+
+class TestKeepBestPerCluster:
+    def test_keep_best_policy_and_ties(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.dedup import keep_best_per_cluster
+
+        clusters = pd.DataFrame(
+            {
+                "node": [1, 2, 3, 10, 11, 20],
+                "label": [1, 1, 1, 10, 10, 20],
+            }
+        )
+        quality = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 10, 11, 20, 99],
+                "n_chars": [5, 9, 9, 4, 4, 7, 1000],  # 99 not clustered
+            }
+        )
+        for parts in (1, 3):
+            got = (
+                keep_best_per_cluster(
+                    ray.data.from_pandas(clusters).repartition(parts),
+                    ray.data.from_pandas(quality).repartition(parts),
+                    "n_chars",
+                )
+                .to_pandas()
+                .sort_values("label")
+                .reset_index(drop=True)
+            )
+            # cluster 1: score tie 9/9 between docs 2 and 3 → min id wins
+            assert got[got["label"] == 1].iloc[0]["kept_doc_id"] == 2
+            assert got[got["label"] == 1].iloc[0]["best_n_chars"] == 9
+            assert got[got["label"] == 1].iloc[0]["n_members"] == 3
+            # cluster 10: tie 4/4 → doc 10
+            assert got[got["label"] == 10].iloc[0]["kept_doc_id"] == 10
+            # singleton cluster 20 keeps itself; unclustered doc 99 absent
+            assert got[got["label"] == 20].iloc[0]["kept_doc_id"] == 20
+            assert len(got) == 3

@@ -46,6 +46,7 @@ __all__ = [
     "simhash_pairs",
     "decontaminate",
     "passage_dedup",
+    "keep_best_per_cluster",
 ]
 
 
@@ -843,3 +844,54 @@ def passage_dedup(
     return bucketed_group_map(
         kept.union(side2), [id_col], rebuild, num_buckets=num_buckets
     )
+
+
+def keep_best_per_cluster(
+    clusters: "ray.data.Dataset",
+    quality: "ray.data.Dataset",
+    score_col: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Canonical-document selection — the step AFTER near-dup clustering
+    that decides WHICH duplicate survives (SemDeDup / CCNet keep-best
+    policy: highest quality, ties to the smallest id, instead of
+    exact-dedup's arbitrary first-wins).
+
+    ``clusters`` is minhash_clusters / connected_components output
+    (node, label); ``quality`` holds (id_col, score_col).  Returns one
+    row per cluster: (label, kept_<id_col>, best_<score_col>,
+    n_members).
+
+    Scale shape: one co-partitioned hash join to attach scores (no
+    broadcast at any corpus size), then one label-bucketed argmax fold
+    whose output is O(#clusters) — member rows never reach the driver.
+    """
+    from .relational import bucket_hash_join, bucketed_group_map
+
+    c = clusters.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t["node"].combine_chunks().cast(pa.int64()),
+                "label": t["label"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucket_hash_join(c, quality, [id_col], num_buckets=num_buckets)
+    kept_col, best_col = f"kept_{id_col}", f"best_{score_col}"
+
+    def per_bucket(df):
+        df = df.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        g = df.groupby("label").agg(
+            **{
+                kept_col: (id_col, "first"),
+                best_col: (score_col, "first"),
+                "n_members": (id_col, "size"),
+            }
+        )
+        return g.reset_index()
+
+    return bucketed_group_map(joined, ["label"], per_bucket, num_buckets=num_buckets)
