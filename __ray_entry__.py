@@ -2248,6 +2248,81 @@ def inverted_index_documents(sf_dir: str):
     )
 
 
+def user_entropy_events(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix — the behavioral
+    diversity signal (bots/spam skew low-entropy).  Shape: one bucketed
+    (user, type) count (combiner inside each batch), then a user-keyed
+    fold; the exchange carries one row per (user, type), never raw
+    events.  H = −Σ p ln p rounded at 6 dp on both sides."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    counts = bucketed_agg(ds, ["user_id", "event_type"], out_col="n")
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type"], kind="mergesort")
+        g = df.groupby("user_id")["n"]
+        tot = g.transform("sum").to_numpy(dtype="float64")
+        p = df["n"].to_numpy(dtype="float64") / tot
+        df = df.assign(_term=-p * np.log(p))
+        out = df.groupby("user_id", as_index=False).agg(
+            n_types=("event_type", "size"),
+            n_events=("n", "sum"),
+            entropy=("_term", "sum"),
+        )
+        out["entropy"] = round_half_away(out["entropy"].to_numpy(), 6)
+        return out
+
+    out = bucketed_group_map(counts, ["user_id"], per_user).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def chi2_events_weekday(sf_dir: str):
+    """Chi-square independence statistic of event_type × weekday — the
+    drift / A-B sanity check over a contingency table.  Shape: one
+    bucketed count of the (type, dow) cells (35 rows total), then an
+    O(cells) driver fold; raw events never leave their blocks.  dow
+    follows DuckDB's dayofweek (0 = Sunday), derived from epoch days
+    ((days + 4) % 7, 1970-01-01 being a Thursday)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "dow": pa.array(dow, pa.int64()),
+            }
+        )
+
+    cells = bucketed_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type", "dow"],
+        out_col="n",
+    ).to_pandas()
+    pivot = (
+        cells.pivot_table(index="event_type", columns="dow", values="n",
+                          aggfunc="sum", fill_value=0)
+        .sort_index()
+        .to_numpy(dtype="float64")
+    )
+    row = pivot.sum(axis=1, keepdims=True)
+    col = pivot.sum(axis=0, keepdims=True)
+    n = pivot.sum()
+    expected = row @ col / n
+    chi2 = float(((pivot - expected) ** 2 / expected).sum())
+    dof = (pivot.shape[0] - 1) * (pivot.shape[1] - 1)
+    return pd.DataFrame(
+        {"chi2": [float(round_half_away(np.array([chi2]), 6)[0])],
+         "dof": [np.int64(dof)]}
+    )
+
+
 def canonical_docs_documents(sf_dir: str):
     """Canonical-document selection per near-dup cluster
     (stages/dedup.py::keep_best_per_cluster over minhash_clusters):
@@ -2819,6 +2894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "csv_roundtrip_lineitem": csv_roundtrip_lineitem,
         "canonical_docs_documents": canonical_docs_documents,
+        "user_entropy_events": user_entropy_events,
+        "chi2_events_weekday": chi2_events_weekday,
     }
 
 
@@ -4209,5 +4286,38 @@ def oracle_sql() -> dict[str, str]:
             select label, doc_id as kept_doc_id, n_chars as best_n_chars,
                    n_members
             from m where rn = 1 order by label
+        """,
+        "user_entropy_events": """
+            with c as (
+              select user_id, event_type, count(*)::double n
+              from events group by 1, 2),
+            t as (select user_id, sum(n) tot from c group by 1)
+            select c.user_id,
+                   count(*) as n_types,
+                   sum(c.n)::bigint as n_events,
+                   round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 6) as entropy
+            from c join t using (user_id)
+            group by c.user_id order by c.user_id
+        """,
+        # zero cells matter: (0-e)^2/e contributes, so build the full grid
+        "chi2_events_weekday": """
+            with c as (
+              select event_type, dayofweek(ts) dow, count(*)::double n
+              from events group by 1, 2),
+            grid as (
+              select et.event_type, d.dow
+              from (select distinct event_type from c) et
+              cross join (select distinct dow from c) d),
+            f as (
+              select g.event_type, g.dow, coalesce(c.n, 0) n
+              from grid g left join c using (event_type, dow)),
+            r as (select event_type, sum(n) rn from f group by 1),
+            k as (select dow, sum(n) cn from f group by 1),
+            t as (select sum(n) tot from f)
+            select round(sum(pow(f.n - r.rn * k.cn / t.tot, 2)
+                             / (r.rn * k.cn / t.tot)), 6) as chi2,
+                   (((select count(*) from r) - 1)
+                    * ((select count(*) from k) - 1))::bigint as dof
+            from f join r using (event_type) join k using (dow) cross join t
         """,
     }
