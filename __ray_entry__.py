@@ -2248,6 +2248,73 @@ def inverted_index_documents(sf_dir: str):
     )
 
 
+def per_group_sample_events(sf_dir: str):
+    """Deterministic uniform per-group sampling: 2 events per user,
+    chosen by FNV-1a(event_id) order — the per-domain/per-user corpus
+    subsampling step, reproducible at any parallelism (unlike
+    random_sample) and exactly SQL-mirrorable.  Reuses grouped_topk
+    with the hash as the order key: per-batch partial top-k combiner,
+    the exchange carries ≤ k·users·blocks rows."""
+    from web_graph_ray.stages.relational import grouped_topk
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "event_type"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        return t.append_column("hv", pa.array(h, pa.uint64()))
+
+    sampled = grouped_topk(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["user_id"],
+        "hv",
+        k=2,
+        descending=False,
+        tie_cols=["event_id"],
+    ).to_pandas()
+    return (
+        sampled.sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)[["user_id", "event_id", "event_type"]]
+    )
+
+
+def source_quality_gate_documents(sf_dir: str):
+    """Domain-level quality gate (the C4/CCNet per-source filter): mean
+    document length per source vs the corpus mean, kept = above-mean
+    sources.  Shape: (n, Σchars) partial combiner per batch → bucketed
+    per-source fold → O(#sources) driver rows; the global mean uses the
+    same exact integer sums on both sides so the boundary is
+    deterministic."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False)["n_chars"].agg(["count", "sum"])
+        return g.rename(columns={"count": "n_docs", "sum": "s"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("source", as_index=False)[["n_docs", "s"]].sum()
+
+    per_src = bucketed_group_map(
+        ds, ["source"], final, batch_partial=partial
+    ).to_pandas()
+    gm = float(per_src["s"].sum()) / float(per_src["n_docs"].sum())
+    mean = per_src["s"].to_numpy(dtype="float64") / per_src["n_docs"].to_numpy(
+        dtype="float64"
+    )
+    out = pd.DataFrame(
+        {
+            "source": per_src["source"],
+            "n_docs": per_src["n_docs"].astype("int64"),
+            "mean_chars": round_half_away(mean, 6),
+            "kept": mean >= gm,
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def user_entropy_events(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix — the behavioral
     diversity signal (bots/spam skew low-entropy).  Shape: one bucketed
@@ -2896,6 +2963,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_docs_documents": canonical_docs_documents,
         "user_entropy_events": user_entropy_events,
         "chi2_events_weekday": chi2_events_weekday,
+        "per_group_sample_events": per_group_sample_events,
+        "source_quality_gate_documents": source_quality_gate_documents,
     }
 
 
@@ -3228,6 +3297,15 @@ def _minhash_clusters_sql() -> str:
     return _minhash_cte() + rounds + """
             select node, lbl as label from l3 order by node
         """
+
+
+_FNV_EVENT_ID = """list_reduce(
+                  list_prepend(14695981039346656037::hugeint,
+                    list_transform(
+                      regexp_extract_all(event_id::varchar, '.'),
+                      c -> ascii(c)::bigint)),
+                  (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
+                             * 1099511628211) %% 18446744073709551616)""".replace('%%', '%')
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4319,5 +4397,29 @@ def oracle_sql() -> dict[str, str]:
                    (((select count(*) from r) - 1)
                     * ((select count(*) from k) - 1))::bigint as dof
             from f join r using (event_type) join k using (dow) cross join t
+        """,
+# same FNV-1a hugeint fold as hash_sample, full 64-bit order key
+        "per_group_sample_events": """
+            with h as (
+              select user_id, event_id, event_type,
+                FNV as hv
+              from events),
+            r as (
+              select user_id, event_id, event_type,
+                     row_number() over (partition by user_id
+                                        order by hv, event_id) rn
+              from h)
+            select user_id, event_id, event_type from r
+            where rn <= 2 order by user_id, event_id
+        """.replace('%%', '%').replace('FNV', _FNV_EVENT_ID),
+        "source_quality_gate_documents": """
+            with s as (
+              select source, count(*) as n_docs, sum(n_chars) as sc
+              from documents group by 1),
+            g as (select sum(sc)::double / sum(n_docs) as gm from s)
+            select source, n_docs::bigint as n_docs,
+                   round(sc::double / n_docs, 6) as mean_chars,
+                   (sc::double / n_docs) >= gm as kept
+            from s cross join g order by source
         """,
     }
