@@ -2760,6 +2760,26 @@ def crawl_top_hosts(sf_dir: str):
     return GraphQueries(_crawl_engine(sf_dir)).top_hosts(10)
 
 
+def crawl_anchor_summary(sf_dir: str):
+    """Per-target anchor-text aggregation (GraphQueries.anchor_summary
+    — the link-based document-expansion signal; oracle-conformance
+    tested in tests/test_crawl_conformance.py)."""
+    from web_graph_ray.pipelines.queries import GraphQueries
+
+    out = GraphQueries(_crawl_engine(sf_dir)).anchor_summary().to_pandas()
+    return out.sort_values("to_page_id").reset_index(drop=True)
+
+
+def crawl_host_edges(sf_dir: str):
+    """Host-level collapse of the page graph (GraphQueries.host_edges —
+    both endpoints attach via co-partitioned bucket_hash_joins;
+    oracle-conformance tested)."""
+    from web_graph_ray.pipelines.queries import GraphQueries
+
+    out = GraphQueries(_crawl_engine(sf_dir)).host_edges().to_pandas()
+    return out.sort_values(["from_host", "to_host"]).reset_index(drop=True)
+
+
 def crawl_counters(sf_dir: str):
     """Per-round crawl metrics (fetched / deduped / deferred /
     robots_denied / discovered — the north-rule checkpoint counters)."""
@@ -2965,6 +2985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_events_weekday": chi2_events_weekday,
         "per_group_sample_events": per_group_sample_events,
         "source_quality_gate_documents": source_quality_gate_documents,
+        "crawl_anchor_summary": crawl_anchor_summary,
+        "crawl_host_edges": crawl_host_edges,
     }
 
 

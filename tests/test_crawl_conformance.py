@@ -132,6 +132,68 @@ class TestPlainBFS:
         eng, res = both
         assert eng.counters() == res.counters
 
+    def test_anchor_summary_and_host_edges(self, both):
+        """GraphQueries.anchor_summary / host_edges ≡ pandas folds over
+        the oracle's links+pages (the rows-only driver entries'
+        correctness pin)."""
+        import pandas as pd
+
+        from web_graph_ray.pipelines.queries import GraphQueries
+
+        eng, res = both
+        q = GraphQueries(eng)
+
+        links = pd.DataFrame(res.links)  # from_page_id, to_page_id, text
+        pages = pd.DataFrame(res.pages)  # page_id, host, path, url
+
+        # anchor summary reference: modal text per target, ties text asc
+        c = (
+            links.groupby(["to_page_id", "text"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+            .sort_values(["to_page_id", "n", "text"],
+                         ascending=[True, False, True], kind="mergesort")
+        )
+        exp = c.groupby("to_page_id", as_index=False).agg(
+            in_links=("n", "sum"), n_texts=("text", "size"),
+            top_text=("text", "first"),
+        ).sort_values("to_page_id").reset_index(drop=True)
+        got = (
+            q.anchor_summary().to_pandas()
+            .sort_values("to_page_id").reset_index(drop=True)
+        )
+        assert got[["to_page_id", "in_links", "n_texts", "top_text"]].astype(
+            str
+        ).equals(exp.astype(str))
+
+        # host edges reference: join both endpoints through pages
+        hp = pages[["page_id", "host"]]
+        ref = (
+            links.merge(hp.rename(columns={"host": "from_host"}), on="page_id")
+            if "page_id" in links
+            else links.merge(
+                hp.rename(columns={"page_id": "from_page_id",
+                                   "host": "from_host"}),
+                on="from_page_id",
+            )
+        )
+        ref = ref.merge(
+            hp.rename(columns={"page_id": "to_page_id", "host": "to_host"}),
+            on="to_page_id",
+        )
+        exp2 = (
+            ref.groupby(["from_host", "to_host"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_edges"})
+            .sort_values(["from_host", "to_host"]).reset_index(drop=True)
+        )
+        got2 = (
+            q.host_edges().to_pandas()
+            .sort_values(["from_host", "to_host"]).reset_index(drop=True)
+        )
+        assert got2.astype(str).equals(exp2.astype(str))
+        assert len(got2) > 0 and len(got) > 0
+
     def test_frontier_composition(self, both, corpus_path):
         eng, res = both
         from web_graph_ray.state.checkpoint import frontier_dirs, list_bucket_files

@@ -296,3 +296,92 @@ class GraphQueries:
             .sort(["count()", "host"], descending=[True, False])
             .limit(k)
         )
+
+    def anchor_summary(self):
+        """Per-target anchor-text aggregation — in-link count, distinct
+        anchor texts, and the modal anchor (count desc, text asc
+        tie-break) per to_page_id.  The link-based document-expansion
+        signal the reference's schema carries (links.text,
+        linkstorage.go links table) but never aggregates.
+
+        Scale shape: one bucketed (target, text) count (combiner in
+        each batch) then a target-keyed fold; link rows never reach
+        the driver.  Returns a Dataset of
+        (to_page_id, in_links, n_texts, top_text)."""
+        import pandas as pd
+
+        from ..stages.relational import bucketed_agg, bucketed_group_map
+
+        proj = self.links.map_batches(
+            lambda t: t.select(["to_page_id", "text"]), batch_format="pyarrow"
+        )
+        counts = bucketed_agg(proj, ["to_page_id", "text"], out_col="n")
+
+        def per_target(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["to_page_id", "n", "text"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return df.groupby("to_page_id", as_index=False).agg(
+                in_links=("n", "sum"),
+                n_texts=("text", "size"),
+                top_text=("text", "first"),
+            )
+
+        return bucketed_group_map(counts, ["to_page_id"], per_target)
+
+    def host_edges(self):
+        """Host-level collapse of the page graph: link count per
+        (from_host, to_host) — the aggregate view site-level analytics
+        and politeness budgeting run on.  Link rows carry only page
+        ids, so both endpoints attach via co-partitioned
+        bucket_hash_joins against pages (no broadcast at any graph
+        size), then one bucketed count.  Returns a Dataset of
+        (from_host, to_host, n_edges)."""
+        from ..stages.relational import bucket_hash_join, bucketed_agg
+
+        links = self.links.map_batches(
+            lambda t: pa.table(
+                {
+                    "page_id": t["from_page_id"].combine_chunks(),
+                    "to_page_id": t["to_page_id"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pages_from = self.pages.map_batches(
+            lambda t: pa.table(
+                {
+                    "page_id": t["page_id"].combine_chunks(),
+                    "from_host": t["host"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pages_to = self.pages.map_batches(
+            lambda t: pa.table(
+                {
+                    "to_page_id": t["page_id"].combine_chunks(),
+                    "to_host": t["host"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = bucket_hash_join(links, pages_from, ["page_id"])
+        j = bucket_hash_join(
+            j.map_batches(
+                lambda t: t.select(["to_page_id", "from_host"]),
+                batch_format="pyarrow",
+            ),
+            pages_to,
+            ["to_page_id"],
+        )
+        return bucketed_agg(
+            j.map_batches(
+                lambda t: t.select(["from_host", "to_host"]),
+                batch_format="pyarrow",
+            ),
+            ["from_host", "to_host"],
+            out_col="n_edges",
+        )
