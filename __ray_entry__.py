@@ -2315,6 +2315,104 @@ def source_quality_gate_documents(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def trend_events(sf_dir: str):
+    """Per-type OLS trend of value over time (drift detection): slope
+    and intercept of value vs day index, via the (n, Σx, Σy, Σxy, Σxx)
+    partial combiner — one tiny row per (type, block) shuffles, never
+    events.  x = integer day index (exact float sums; keeps the shared
+    engine/oracle float path inside 2^53), explicit normal-equation
+    formula mirrored verbatim in SQL (not regr_slope), 6 dp rounds."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # fixed offset (2024-01-01 epoch day) keeps x small: every
+        # x/x², and their full sums, exact in float64 on BOTH sides
+        day = us // 1_000_000 // 86400 - 19723
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "x": pa.array(day, pa.int64()),
+                "y": t["value"].combine_chunks(),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(dtype="float64")
+        y = df["y"].to_numpy(dtype="float64")
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx"]
+        ].sum()
+        n, sx, sy = g["n"].to_numpy(), g["sx"].to_numpy(), g["sy"].to_numpy()
+        sxy, sxx = g["sxy"].to_numpy(), g["sxx"].to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["n"].astype("int64"),
+                "slope": round_half_away(slope, 6),
+                "intercept": round_half_away(intercept, 6),
+            }
+        )
+
+    out = bucketed_group_map(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type"],
+        final,
+        batch_partial=partial,
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def partitioned_sink_documents(sf_dir: str):
+    """The resumable partitioned Parquet sink under the driver gate
+    (sources/sinks.py::write_partitioned): documents land as one
+    atomically-committed directory per source; result = per-partition
+    counts from the RE-READ parquet (fidelity), oracle = plain counts
+    over the original table."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from web_graph_ray.sources.sinks import write_partitioned
+
+    out = f"/tmp/wgr_psink_{os.path.basename(os.path.normpath(sf_dir))}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    write_partitioned(
+        _t(sf_dir, "documents", ["doc_id", "source", "n_chars"]), out, "source"
+    )
+    back = pads.dataset(
+        [
+            os.path.join(out, d, "part.parquet")
+            for d in sorted(os.listdir(out))
+            if d.startswith("source=")
+        ]
+    ).to_table().to_pandas()
+    g = back.groupby("source", as_index=False).agg(
+        n_docs=("doc_id", "size"), sum_chars=("n_chars", "sum")
+    )
+    return g.sort_values("source").reset_index(drop=True)
+
+
 def user_entropy_events(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix — the behavioral
     diversity signal (bots/spam skew low-entropy).  Shape: one bucketed
@@ -2987,6 +3085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate_documents": source_quality_gate_documents,
         "crawl_anchor_summary": crawl_anchor_summary,
         "crawl_host_edges": crawl_host_edges,
+        "trend_events": trend_events,
+        "partitioned_sink_documents": partitioned_sink_documents,
     }
 
 
@@ -4443,5 +4543,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sc::double / n_docs, 6) as mean_chars,
                    (sc::double / n_docs) >= gm as kept
             from s cross join g order by source
+        """,
+        # identical normal-equation expression tree as the engine
+        # (explicit sums, NOT regr_slope) so float rounding agrees
+        "trend_events": """
+            with p as (
+              select event_type,
+                     ((floor(epoch(ts))::bigint // 86400) - 19723)::double x,
+                     value y
+              from events),
+            s as (
+              select event_type, count(*)::double n, sum(x) sx, sum(y) sy,
+                     sum(x * y) sxy, sum(x * x) sxx
+              from p group by 1)
+            select event_type, n::bigint as n_events,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                         / n, 6) as intercept
+            from s order by event_type
+        """,
+        "partitioned_sink_documents": """
+            select source, count(*) as n_docs,
+                   sum(n_chars)::bigint as sum_chars
+            from documents group by 1 order by source
         """,
     }
