@@ -1423,3 +1423,27 @@ class TestKeepBestPerCluster:
             # singleton cluster 20 keeps itself; unclustered doc 99 absent
             assert got[got["label"] == 20].iloc[0]["kept_doc_id"] == 20
             assert len(got) == 3
+
+
+class TestSetOpNullSemantics:
+    def test_null_rows_compare_equal(self, ray_session):
+        """SQL set operations treat NULLs as equal (DISTINCT grouping
+        semantics, unlike join predicates) — the pandas merge path and
+        the stable row hash both honor that."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import set_except, set_intersect
+
+        a = pd.DataFrame({"k": [1.0, np.nan, 2.0], "s": ["x", None, "y"]})
+        b = pd.DataFrame({"k": [np.nan, 3.0], "s": [None, "z"]})
+        inter = set_intersect(
+            ray.data.from_pandas(a).repartition(2), ray.data.from_pandas(b)
+        ).to_pandas()
+        assert len(inter) == 1 and pd.isna(inter.iloc[0]["k"])
+        exc = set_except(
+            ray.data.from_pandas(a), ray.data.from_pandas(b)
+        ).to_pandas()
+        ks = sorted(exc["k"].tolist())
+        assert ks == [1.0, 2.0]
