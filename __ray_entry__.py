@@ -2927,6 +2927,199 @@ def bucket_join_orders_customers(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def pareto_orders(sf_dir: str):
+    """Pareto-optimal orders (skyline): no other order is both ≥ in
+    price and ≤ in date with one strict — "biggest order, earliest".
+    relational.pareto_frontier: per-block local-skyline combiner, one
+    O(frontier)-row merge task, dataset never shuffles; 2-criteria
+    path is a vectorized sort+sweep.  Oracle = NOT EXISTS dominance."""
+    from web_graph_ray.stages.relational import pareto_frontier
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    out = pareto_frontier(ds, maximize=["o_totalprice"], minimize=["o_orderdate"]).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def editdist_pairs_documents(sf_dir: str):
+    """Near-dup pairs by EXACT Levenshtein distance ≤ 5 over the UTF-8
+    bytes of the 40-char prefix (dedup.edit_distance_pairs): length-band
+    blocking with ghost rows (one exchange, O(2N·prefix) bytes), banded
+    O(P·D) verify DP with early cap exit.  Byte-distance +
+    char-prefix semantics match DuckDB levenshtein(substr(...)) exactly
+    (functions.text.levenshtein_bytes), so the twin is the literal
+    quadratic self-join."""
+    from web_graph_ray.stages.dedup import edit_distance_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = edit_distance_pairs(ds, prefix_len=40, max_dist=5).to_pandas()
+    out = out.rename(columns={"a": "doc_id_a", "b": "doc_id_b"})
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+def ttest_events_weekend(sf_dir: str):
+    """Welch's t between weekend and weekday event values, per type —
+    the canonical two-sample drift test.  One (type, is_weekend)
+    moment combiner (n, Σy, Σy²) rides the exchange; t and the
+    Welch–Satterthwaite dof are computed from the same normal-equation
+    formula mirrored verbatim in SQL (weekend = epoch-day formula, not
+    a dialect dayofweek), 6 dp rounds."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 1_000_000 // 86400 + 4) % 7  # 0=Sunday … 6=Saturday
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "w": pa.array((dow == 0) | (dow == 6)),
+                "y": t["value"].combine_chunks(),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["y"].to_numpy(dtype="float64")
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "w": df["w"],
+                "n": 1.0,
+                "sy": y,
+                "syy": y * y,
+            }
+        )
+        return g.groupby(["event_type", "w"], as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "w"], as_index=False)[["n", "sy", "syy"]].sum()
+        piv = g.pivot(index="event_type", columns="w", values=["n", "sy", "syy"])
+        n1, n2 = piv["n"][True].to_numpy(), piv["n"][False].to_numpy()
+        sy1, sy2 = piv["sy"][True].to_numpy(), piv["sy"][False].to_numpy()
+        syy1, syy2 = piv["syy"][True].to_numpy(), piv["syy"][False].to_numpy()
+        m1, m2 = sy1 / n1, sy2 / n2
+        v1 = (syy1 - sy1 * sy1 / n1) / (n1 - 1)
+        v2 = (syy2 - sy2 * sy2 / n2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        t_stat = (m1 - m2) / np.sqrt(se2)
+        dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+        return pd.DataFrame(
+            {
+                "event_type": piv.index,
+                "n_weekend": n1.astype("int64"),
+                "n_weekday": n2.astype("int64"),
+                "mean_weekend": round_half_away(m1, 6),
+                "mean_weekday": round_half_away(m2, 6),
+                "t_stat": round_half_away(t_stat, 6),
+                "welch_df": round_half_away(dof, 6),
+            }
+        )
+
+    out = bucketed_group_map(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type"],
+        final,
+        batch_partial=partial,
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def densify_events_hourly(sf_dir: str):
+    """Per-type hourly counts DENSIFIED: every hour between a type's
+    first and last event appears, zeros included — the gap-filling
+    step every time-series/windowed model needs.  One (type, hour)
+    count combiner rides the exchange; each type's full range is then
+    generated INSIDE its group task (O(span) rows, bounded by calendar
+    time, not data size).  Hours as int64 epoch seconds (engine/oracle
+    dtype parity, same convention as the window entries)."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "hour_start": pa.array(us // 1_000_000 // 3600 * 3600, pa.int64()),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type", "hour_start"],
+        out_col="n_events",
+    )
+
+    def densify(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in df.groupby("event_type"):
+            hours = np.arange(g["hour_start"].min(), g["hour_start"].max() + 1, 3600)
+            full = pd.DataFrame({"event_type": et, "hour_start": hours})
+            m = full.merge(g[["hour_start", "n_events"]], on="hour_start", how="left")
+            m["n_events"] = m["n_events"].fillna(0).astype("int64")
+            outs.append(m)
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_map(counts, ["event_type"], densify).to_pandas()
+    return out.sort_values(["event_type", "hour_start"]).reset_index(drop=True)
+
+
+def cumulative_new_users_events(sf_dir: str):
+    """Daily new-user counts with a running cumulative total — the
+    growth-accounting query.  First-seen day per user via a min
+    combiner (one row per user rides the exchange), day counts via a
+    second combiner, then ONE O(days) task does the running sum (days
+    are calendar-bounded, so the serial tail is a few hundred rows
+    regardless of data size).  Days as int64 epoch seconds."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "day": pa.array(us // 1_000_000 // 86400 * 86400, pa.int64()),
+            }
+        )
+
+    def min_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["day"].min()
+
+    first_seen = bucketed_group_map(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"],
+        min_partial,
+        batch_partial=min_partial,
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False).agg(new_users=("user_id", "size"))
+
+    per_day = bucketed_group_map(
+        first_seen,
+        ["day"],
+        lambda df: df.groupby("day", as_index=False)["new_users"].sum(),
+        batch_partial=count_partial,
+    )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="mergesort").reset_index(drop=True)
+        df["new_users"] = df["new_users"].astype("int64")
+        df["cum_users"] = df["new_users"].cumsum().astype("int64")
+        return df
+
+    out = (
+        per_day.repartition(1)
+        .map_batches(running, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3087,6 +3280,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_host_edges": crawl_host_edges,
         "trend_events": trend_events,
         "partitioned_sink_documents": partitioned_sink_documents,
+        "pareto_orders": pareto_orders,
+        "editdist_pairs_documents": editdist_pairs_documents,
+        "ttest_events_weekend": ttest_events_weekend,
+        "densify_events_hourly": densify_events_hourly,
+        "cumulative_new_users_events": cumulative_new_users_events,
     }
 
 
@@ -4566,5 +4764,80 @@ def oracle_sql() -> dict[str, str]:
             select source, count(*) as n_docs,
                    sum(n_chars)::bigint as sum_chars
             from documents group by 1 order by source
+        """,
+        "pareto_orders": """
+            select o_orderkey, o_custkey, o_totalprice, o_orderdate
+            from orders o
+            where not exists (
+              select 1 from orders d
+              where d.o_totalprice >= o.o_totalprice
+                and d.o_orderdate <= o.o_orderdate
+                and (d.o_totalprice > o.o_totalprice
+                     or d.o_orderdate < o.o_orderdate))
+            order by o_orderkey
+        """,
+        "editdist_pairs_documents": """
+            with d as (select doc_id, substr(text, 1, 40) p from documents)
+            select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                   levenshtein(a.p, b.p)::bigint as dist
+            from d a join d b on a.doc_id < b.doc_id
+            where levenshtein(a.p, b.p) <= 5
+            order by 1, 2
+        """,
+        "ttest_events_weekend": """
+            with p as (
+              select event_type,
+                     ((floor(epoch(ts))::bigint // 86400 + 4) % 7) in (0, 6) w,
+                     value y
+              from events),
+            s as (
+              select event_type, w, count(*)::double n, sum(y) sy,
+                     sum(y * y) syy
+              from p group by 1, 2),
+            j as (
+              select a.event_type,
+                     a.n n1, a.sy sy1, a.syy syy1,
+                     b.n n2, b.sy sy2, b.syy syy2
+              from s a join s b on a.event_type = b.event_type
+              where a.w and not b.w),
+            v as (
+              select *,
+                     (syy1 - sy1 * sy1 / n1) / (n1 - 1) v1,
+                     (syy2 - sy2 * sy2 / n2) / (n2 - 1) v2
+              from j)
+            select event_type,
+                   n1::bigint as n_weekend, n2::bigint as n_weekday,
+                   round(sy1 / n1, 6) as mean_weekend,
+                   round(sy2 / n2, 6) as mean_weekday,
+                   round((sy1 / n1 - sy2 / n2) / sqrt(v1 / n1 + v2 / n2), 6)
+                     as t_stat,
+                   round(pow(v1 / n1 + v2 / n2, 2)
+                         / (pow(v1 / n1, 2) / (n1 - 1)
+                            + pow(v2 / n2, 2) / (n2 - 1)), 6) as welch_df
+            from v order by event_type
+        """,
+        "densify_events_hourly": """
+            with b as (
+              select event_type,
+                     (floor(epoch(ts))::bigint // 3600) * 3600 h, count(*) n
+              from events group by 1, 2),
+            r as (select event_type, min(h) mn, max(h) mx from b group by 1),
+            g as (select event_type,
+                         unnest(generate_series(mn, mx, 3600)) h
+                  from r)
+            select g.event_type, g.h as hour_start,
+                   coalesce(b.n, 0)::bigint as n_events
+            from g left join b on b.event_type = g.event_type and b.h = g.h
+            order by 1, 2
+        """,
+        "cumulative_new_users_events": """
+            with f as (
+              select user_id,
+                     min((floor(epoch(ts))::bigint // 86400) * 86400) d
+              from events group by 1),
+            c as (select d, count(*) n from f group by 1)
+            select d as day, n::bigint as new_users,
+                   (sum(n) over (order by d))::bigint as cum_users
+            from c order by day
         """,
     }

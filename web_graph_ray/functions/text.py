@@ -33,6 +33,7 @@ __all__ = [
     "char_shingles",
     "minhash_signature",
     "simhash64",
+    "levenshtein_bytes",
 ]
 
 WORD_RE = re.compile(r"[A-Za-z0-9]+")
@@ -322,3 +323,62 @@ def repetition_metrics(text: str) -> dict:
         "top_bigram_frac": top_frac(2),
         "top_trigram_frac": top_frac(3),
     }
+
+
+def levenshtein_bytes(a: bytes, b: bytes, max_dist: int | None = None) -> int:
+    """Exact Levenshtein distance over UTF-8 BYTES (unit-cost
+    insert/delete/substitute) — byte semantics deliberately match
+    DuckDB's ``levenshtein()`` (which scores 'café'→'cafe' as 2, one
+    substitute + one delete of the é bytes), so SQL oracle twins agree
+    on non-ASCII input by construction.
+
+    With ``max_dist`` set, runs the Ukkonen band (|i-j| ≤ max_dist
+    cells only, O(len·max_dist)) and returns ``max_dist + 1`` as soon
+    as the true distance provably exceeds the cap — the standard
+    verify kernel for length-banded near-dup blocking."""
+    if len(a) < len(b):
+        a, b = b, a
+    la, lb = len(a), len(b)
+    if max_dist is None:
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            ca = a[i - 1]
+            cur = [i]
+            append = cur.append
+            for j in range(1, lb + 1):
+                append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != b[j - 1]))
+                )
+            prev = cur
+        return prev[lb]
+    big = max_dist + 1
+    if la - lb > max_dist:
+        return big
+    if lb == 0:
+        return min(la, big)
+    prev = [j if j <= max_dist else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        cur = [big] * (lb + 1)
+        if lo == 1:
+            cur[0] = i if i <= max_dist else big
+        row_min = cur[0] if lo == 1 else big
+        ca = a[i - 1]
+        for j in range(lo, hi + 1):
+            v = prev[j] + 1
+            w = cur[j - 1] + 1
+            if w < v:
+                v = w
+            w = prev[j - 1] + (ca != b[j - 1])
+            if w < v:
+                v = w
+            if v > big:
+                v = big
+            cur[j] = v
+            if v < row_min:
+                row_min = v
+        if row_min >= big:
+            return big
+        prev = cur
+    return prev[lb] if prev[lb] <= max_dist else big

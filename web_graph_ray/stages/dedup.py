@@ -47,6 +47,7 @@ __all__ = [
     "decontaminate",
     "passage_dedup",
     "keep_best_per_cluster",
+    "edit_distance_pairs",
 ]
 
 
@@ -895,3 +896,118 @@ def keep_best_per_cluster(
         return g.reset_index()
 
     return bucketed_group_map(joined, ["label"], per_bucket, num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# banded edit-distance near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def edit_distance_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_dist: int = 5,
+    num_buckets: int = 32,
+    max_band_rows: int = 20_000,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by EXACT Levenshtein distance over the UTF-8
+    bytes of a ``prefix_len``-character prefix (distance ≤ max_dist).
+    Byte-level distance + character-level prefix deliberately mirror
+    DuckDB's ``levenshtein(substr(text, 1, P))`` so the SQL twin is
+    exact on any input (see functions.text.levenshtein_bytes).
+
+    Length-band blocking: edit distance ≥ |byte_len(a) − byte_len(b)|,
+    so a qualifying pair's byte lengths differ by ≤ max_dist and its
+    band ids g = L // (max_dist + 1) differ by ≤ 1.  Each doc is
+    emitted once to its native band and once as a GHOST to the band
+    above; a band's task generates native×native pairs plus
+    ghost×native pairs (the cross-boundary ones) — every candidate
+    pair exactly once, ghost×ghost pairs are the band-below's
+    native×native pairs.  Verification is the banded O(P·max_dist) DP
+    with early cap exit, run only on pairs that pass a sorted
+    two-pointer length-gap scan.
+
+    Scale: the one exchange carries (id, prefix, L) twice — O(2·N·P)
+    bytes, independent of text size; bands are independent tasks.  A
+    degenerate corpus (every prefix the same length) collapses into
+    one band and O(n²) candidate checks, as in any blocking scheme —
+    ``max_band_rows`` raises before that work is attempted; split such
+    corpora on a secondary key (e.g. first-byte band) instead.
+    """
+    from ..functions.text import levenshtein_bytes
+    from .relational import bucketed_group_map
+
+    width = max_dist + 1
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        ids, bands, native, prefixes, lens = [], [], [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            p = (txt or "")[:prefix_len].encode("utf-8")
+            g = len(p) // width
+            for band, nat in ((g, True), (g + 1, False)):
+                ids.append(i)
+                bands.append(band)
+                native.append(nat)
+                prefixes.append(p)
+                lens.append(len(p))
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "band": pa.array(bands, pa.int64()),
+                "native": pa.array(native, pa.bool_()),
+                "prefix": pa.array(prefixes, pa.binary()),
+                "blen": pa.array(lens, pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, g in df.groupby("band"):
+            if len(g) < 2:
+                continue
+            if len(g) > max_band_rows:
+                raise ValueError(
+                    f"edit_distance_pairs: band holds {len(g)} rows "
+                    f"(> max_band_rows={max_band_rows}); prefix lengths are "
+                    "too uniform for length-band blocking — add a secondary "
+                    "blocking key or raise max_band_rows deliberately."
+                )
+            g = g.sort_values(["blen", id_col], kind="mergesort")
+            ids = g[id_col].to_numpy()
+            nat = g["native"].to_numpy()
+            pref = g["prefix"].tolist()
+            lens = g["blen"].to_numpy()
+            n = len(g)
+            for i in range(n):
+                li = lens[i]
+                pi = pref[i]
+                for j in range(i + 1, n):
+                    if lens[j] - li > max_dist:
+                        break
+                    # native×native or ghost×native; ghost×ghost pairs
+                    # belong to (and are produced by) the band below
+                    if not (nat[i] or nat[j]):
+                        continue
+                    if ids[i] == ids[j]:
+                        continue
+                    d = levenshtein_bytes(pi, pref[j], max_dist=max_dist)
+                    if d <= max_dist:
+                        a, b = ids[i], ids[j]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_d.append(d)
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_a, dtype="int64"),
+                "b": pd.Series(out_b, dtype="int64"),
+                "dist": pd.Series(out_d, dtype="int64"),
+            }
+        ).drop_duplicates(["a", "b"])
+
+    return bucketed_group_map(rows, ["band"], band_pairs, num_buckets=num_buckets)

@@ -60,6 +60,7 @@ __all__ = [
     "set_intersect",
     "set_except",
     "hash_split",
+    "pareto_frontier",
 ]
 
 
@@ -1743,3 +1744,119 @@ def hash_split(
         return t.append_column(out_col, pa.array(labels[idx], pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_mask(v: np.ndarray) -> np.ndarray:
+    """Boolean mask of Pareto-optimal rows of an oriented (larger =
+    better) float64 matrix.  A row is dominated iff another row is ≥ on
+    every column and > on at least one; duplicates dominate nothing, so
+    tied optima all survive (NOT-EXISTS SQL semantics).  d=2 is a fully
+    vectorized sort+sweep (O(n log n)); d>2 falls back to a
+    lexicographic incremental sweep, O(n·F) with F the running frontier
+    size."""
+    n, d = v.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    if d == 1:
+        return v[:, 0] == v[:, 0].max()
+    if d == 2:
+        a, b = v[:, 0], v[:, 1]
+        order = np.lexsort((-b, -a))
+        as_, bs = a[order], b[order]
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = as_[1:] < as_[:-1]
+        gid = np.cumsum(new_grp) - 1
+        grp_max_b = bs[np.flatnonzero(new_grp)]  # b sorted desc within group
+        prev_max = np.full(len(grp_max_b), -np.inf)
+        if len(grp_max_b) > 1:
+            np.maximum.accumulate(grp_max_b[:-1], out=prev_max[1:])
+        # dominated by a strictly-better-a row (its b ≥ mine), or by a
+        # same-a row with strictly better b
+        dominated = (bs <= prev_max[gid]) | (bs < grp_max_b[gid])
+        mask = np.zeros(n, dtype=bool)
+        mask[order[~dominated]] = True
+        return mask
+    order = np.lexsort(tuple(-v[:, k] for k in range(d - 1, -1, -1)))
+    front = np.empty((0, d), dtype=np.float64)
+    keep: list[int] = []
+    for idx in order:
+        row = v[idx]
+        if front.size and bool(
+            ((front >= row).all(axis=1) & (front > row).any(axis=1)).any()
+        ):
+            continue
+        keep.append(int(idx))
+        front = np.vstack([front, row[None, :]])
+    mask = np.zeros(n, dtype=bool)
+    mask[np.asarray(keep, dtype=np.int64)] = True
+    return mask
+
+
+def pareto_frontier(
+    ds: "ray.data.Dataset",
+    maximize: list[str],
+    minimize: list[str] | tuple = (),
+    max_candidate_rows: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Distributed Pareto-optimal set (skyline) over numeric /
+    timestamp criteria: rows for which no other row is ≥ on every
+    criterion and strictly better on at least one (minimize columns
+    compared inverted).  Equal-on-all-criteria ties all survive —
+    byte-for-byte the SQL ``WHERE NOT EXISTS (dominator)`` semantics.
+
+    Classic partial-frontier combiner: dominance is transitive, so the
+    local skyline of every block provably contains all global optima;
+    each block reduces to its local frontier in one vectorized pass,
+    then ONE task merges the concatenated local frontiers.  Only O(F)
+    rows ever move (F = frontier size, expected O(log^{d-1} n) on
+    independent criteria) — the dataset itself never shuffles.
+
+    NaNs/NULLs in criterion columns are rejected (dominance would be
+    ill-defined).  ``max_candidate_rows`` guards the merge task: on
+    strongly anti-correlated criteria local frontiers stop shrinking
+    and a skyline is the wrong query — fail loudly instead of OOMing
+    the merge."""
+    crit = list(maximize) + list(minimize)
+    n_max = len(maximize)
+
+    def orient(df: pd.DataFrame) -> np.ndarray:
+        cols = []
+        for i, c in enumerate(crit):
+            s = df[c]
+            if pd.api.types.is_datetime64_any_dtype(s):
+                x = s.to_numpy().astype("datetime64[us]").view("int64").astype("float64")
+            else:
+                x = s.to_numpy(dtype="float64")
+            if np.isnan(x).any():
+                raise ValueError(
+                    f"pareto_frontier: criterion column {c!r} contains "
+                    "NaN/NULL; dominance is ill-defined — filter first."
+                )
+            cols.append(x if i < n_max else -x)
+        return np.column_stack(cols)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df[_skyline_mask(orient(df))]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) > max_candidate_rows:
+            raise ValueError(
+                f"pareto_frontier: {len(df)} local-frontier candidate rows "
+                f"(> max_candidate_rows={max_candidate_rows}); criteria are "
+                "too anti-correlated for a skyline to be small — rethink "
+                "the query or raise the cap deliberately."
+            )
+        return local(df)
+
+    partial = ds.map_batches(local, batch_format="pandas")
+    return partial.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
