@@ -3120,6 +3120,186 @@ def cumulative_new_users_events(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def json_extract_events(sf_dir: str):
+    """Semi-structured projection: pull the integer ``k`` field out of
+    the JSON ``props`` column with ONE Arrow RE2 kernel per batch
+    (stages/text.extract_json_int — no per-row json.loads), then
+    per-type stats via the usual moment combiner.  RE2 on both sides:
+    the twin's json_extract agrees on the flat-integer contract by
+    construction."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+    from web_graph_ray.stages.text import extract_json_int
+
+    ds = extract_json_int(_t(sf_dir, "events", ["event_type", "props"]), "props", "k", "k")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype="float64")
+        ok = ~np.isnan(k)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_valid": ok.astype("float64"),
+                "sum_k": np.where(ok, k, 0.0),
+                "min_k": np.where(ok, k, np.inf),
+                "max_k": np.where(ok, k, -np.inf),
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n_valid=("n_valid", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            n_valid=("n_valid", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        )
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_valid": g["n_valid"].astype("int64"),
+                "sum_k": g["sum_k"].astype("int64"),
+                "avg_k": round_half_away(
+                    g["sum_k"].to_numpy() / g["n_valid"].to_numpy(), 6
+                ),
+                "min_k": g["min_k"].astype("int64"),
+                "max_k": g["max_k"].astype("int64"),
+            }
+        )
+
+    out = bucketed_group_map(
+        ds, ["event_type"], final, batch_partial=partial
+    ).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def cooccur_event_types(sf_dir: str):
+    """Association mining over per-user behavior: for every unordered
+    event-type pair, the number of users doing both, the pair support
+    and the lift vs independence.  Shape: distinct (user, type) via a
+    set combiner, pair EXPLOSION inside each user-bucket task
+    (O(types²) per user, types is small), one bucketed pair count;
+    marginals are O(types) driver rows.  6 dp rounds both sides."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    dedup = lambda df: df.drop_duplicates(["user_id", "event_type"])
+    distinct = bucketed_group_map(
+        ds, ["user_id"], dedup, batch_partial=dedup
+    )
+
+    def user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_u = [], [], []
+        for uid, g in df.groupby("user_id"):
+            ts = sorted(g["event_type"])
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    out_a.append(ts[i])
+                    out_b.append(ts[j])
+                    out_u.append(uid)
+        return pd.DataFrame({"type_a": out_a, "type_b": out_b, "user_id": out_u})
+
+    pairs = bucketed_group_map(distinct, ["user_id"], user_pairs)
+    pair_counts = bucketed_agg(pairs, ["type_a", "type_b"], out_col="n_users").to_pandas()
+
+    marg = bucketed_agg(distinct, ["event_type"], out_col="n").to_pandas()
+    n_users_total = float(
+        bucketed_group_map(
+            distinct.select_columns(["user_id"]),
+            ["user_id"],
+            lambda df: df.drop_duplicates(["user_id"]),
+            batch_partial=lambda df: df.drop_duplicates(["user_id"]),
+        ).count()
+    )
+
+    m = dict(zip(marg["event_type"], marg["n"].astype("float64")))
+    sup = pair_counts["n_users"].to_numpy(dtype="float64") / n_users_total
+    sa = pair_counts["type_a"].map(m).to_numpy(dtype="float64") / n_users_total
+    sb = pair_counts["type_b"].map(m).to_numpy(dtype="float64") / n_users_total
+    out = pd.DataFrame(
+        {
+            "type_a": pair_counts["type_a"],
+            "type_b": pair_counts["type_b"],
+            "n_users": pair_counts["n_users"].astype("int64"),
+            "support": round_half_away(sup, 6),
+            "lift": round_half_away(sup / (sa * sb), 6),
+        }
+    )
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def collapse_bursts_events(sf_dir: str):
+    """Burst collapse (stream dedup): within each (user, type), keep
+    only events more than 5 minutes after the previous kept-or-not
+    event — the duplicate-ping suppressor.  One composite-key bucketed
+    exchange, then a vectorized mergesort + groupby-shift per bucket;
+    gap compared in integer MICROSECONDS on both sides (no float
+    epoch)."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        prev = (
+            pd.Series(us, index=df.index)
+            .groupby([df["user_id"], df["event_type"]], sort=False)
+            .shift(1)
+        )
+        keep = prev.isna().to_numpy() | ((us - prev.to_numpy()) > 300_000_000)
+        return df[keep]
+
+    out = bucketed_group_map(
+        ds, ["user_id", "event_type"], per_bucket
+    ).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def winsorize_lineitem(sf_dir: str):
+    """Outlier-robust mean via winsorization: clip l_extendedprice at
+    the exact p01/p99 order statistics (relational.exact_quantile —
+    iterative pivot narrowing, O(pivots) driver state, 2-3 count
+    passes at any scale), then one moment pass over the clipped
+    column.  The twin computes the SAME k-th order statistics via
+    ORDER BY…OFFSET (dialect-independent percentile_disc), so both
+    sides clip at identical values."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import exact_quantile
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    lo = float(exact_quantile(ds, "l_extendedprice", 0.01))
+    hi = float(exact_quantile(ds, "l_extendedprice", 0.99))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        c = np.clip(x, lo, hi)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "s_raw": pa.array([float(x.sum())]),
+                "s_win": pa.array([float(c.sum())]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = parts["n"].sum()
+    return pd.DataFrame(
+        {
+            "p01": round_half_away(np.array([lo]), 6),
+            "p99": round_half_away(np.array([hi]), 6),
+            "mean_raw": round_half_away(np.array([parts["s_raw"].sum() / n]), 6),
+            "mean_winsorized": round_half_away(
+                np.array([parts["s_win"].sum() / n]), 6
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3285,6 +3465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttest_events_weekend": ttest_events_weekend,
         "densify_events_hourly": densify_events_hourly,
         "cumulative_new_users_events": cumulative_new_users_events,
+        "json_extract_events": json_extract_events,
+        "cooccur_event_types": cooccur_event_types,
+        "collapse_bursts_events": collapse_bursts_events,
+        "winsorize_lineitem": winsorize_lineitem,
     }
 
 
@@ -4839,5 +5023,62 @@ def oracle_sql() -> dict[str, str]:
             select d as day, n::bigint as new_users,
                    (sum(n) over (order by d))::bigint as cum_users
             from c order by day
+        """,
+        "json_extract_events": """
+            with p as (
+              select event_type,
+                     try_cast(json_extract_string(props, '$.k') as bigint) k
+              from events)
+            select event_type, count(k)::bigint as n_valid,
+                   sum(k)::bigint as sum_k,
+                   round(sum(k)::double / count(k)::double, 6) as avg_k,
+                   min(k)::bigint as min_k, max(k)::bigint as max_k
+            from p group by 1 order by 1
+        """,
+        "cooccur_event_types": """
+            with d as (select distinct user_id, event_type from events),
+            u as (select count(distinct user_id)::double nu from events),
+            m as (select event_type, count(*)::double n from d group by 1),
+            p as (
+              select a.event_type ta, b.event_type tb, count(*) n
+              from d a join d b
+                on a.user_id = b.user_id and a.event_type < b.event_type
+              group by 1, 2)
+            select p.ta as type_a, p.tb as type_b, p.n::bigint as n_users,
+                   round(p.n / u.nu, 6) as support,
+                   round((p.n / u.nu)
+                         / ((ma.n / u.nu) * (mb.n / u.nu)), 6) as lift
+            from p
+            cross join u
+            join m ma on ma.event_type = p.ta
+            join m mb on mb.event_type = p.tb
+            order by 1, 2
+        """,
+        "collapse_bursts_events": """
+            with w as (
+              select event_id, user_id, event_type, ts,
+                     lag(ts) over (partition by user_id, event_type
+                                   order by ts, event_id) pts
+              from events)
+            select event_id, user_id, event_type, ts
+            from w
+            where pts is null
+               or date_diff('microsecond', pts, ts) > 300000000
+            order by event_id
+        """,
+        "winsorize_lineitem": """
+            with n as (select count(*) c from lineitem),
+            lo as (select l_extendedprice v from lineitem order by 1
+                   limit 1
+                   offset (select cast(ceil(0.01 * c) as bigint) - 1 from n)),
+            hi as (select l_extendedprice v from lineitem order by 1
+                   limit 1
+                   offset (select cast(ceil(0.99 * c) as bigint) - 1 from n))
+            select round((select v from lo), 6) as p01,
+                   round((select v from hi), 6) as p99,
+                   round(avg(l_extendedprice), 6) as mean_raw,
+                   round(avg(least(greatest(l_extendedprice, (select v from lo)),
+                                   (select v from hi))), 6) as mean_winsorized
+            from lineitem
         """,
     }

@@ -32,6 +32,7 @@ __all__ = [
     "pack_examples",
     "bigram_topk",
     "inverted_index",
+    "extract_json_int",
 ]
 
 
@@ -658,3 +659,32 @@ def inverted_index(
     return (
         cand.sort_values("token", kind="mergesort").head(limit).reset_index(drop=True)
     )
+
+
+def extract_json_int(
+    ds: "ray.data.Dataset", col: str, key: str, out_col: str
+) -> "ray.data.Dataset":
+    """Vectorized extraction of an INTEGER scalar field from a
+    single-level JSON object column — the semi-structured projection
+    step (SQL ``props->>'key'``), as one Arrow RE2 kernel per batch
+    (no per-row json.loads).
+
+    Contract: the field's value must be an unquoted integer literal
+    (``{"k": 42}``); rows where the key is absent or non-integer yield
+    NULL.  This is deliberately the fast path for flat telemetry
+    props — nested objects or string escapes containing the pattern
+    need a real JSON parser (a per-row actor-pool stage), not this
+    kernel.  RE2 on both sides: the DuckDB twin's json_extract agrees
+    by construction on conforming input."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    pat = f'"{_re.escape(key)}"\\s*:\\s*(?P<v>-?[0-9]+)'
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t[col], pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(f, batch_format="pyarrow")
