@@ -3300,6 +3300,96 @@ def winsorize_lineitem(sf_dir: str):
     )
 
 
+def embedding_covariance(sf_dir: str):
+    """Distributed covariance matrix of the embedding column — the
+    whitening/PCA-prep primitive.  Each batch contributes ONE partial
+    (n, Σx vector, XᵀX Gram matrix) via a single float64 BLAS matmul
+    (zero-copy from the Arrow list buffer); one merge task sums the
+    O(blocks) partials and emits d² (i, j, cov) rows.  Nothing but
+    65+64²-float rows ever move.  Twin: the identical
+    (Σxy − ΣxΣy/n)/(n−1) formula per (i, j) over list_extract, both
+    sides promoting float32 elements to float64 before any product."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    ds = _t(sf_dir, "embeddings", ["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        d = len(col[0])
+        x = np.asarray(col.values.to_numpy(zero_copy_only=False), dtype="float64")
+        x = x.reshape(-1, d)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "s": pa.array([x.sum(axis=0).tolist()]),
+                "g": pa.array([(x.T @ x).ravel().tolist()]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        n = float(np.sum(t["n"].to_numpy(zero_copy_only=False)))
+        s = np.stack(t["s"].to_pylist()).sum(axis=0)
+        g = np.stack(t["g"].to_pylist()).sum(axis=0)
+        d = len(s)
+        cov = (g.reshape(d, d) - np.outer(s, s) / n) / (n - 1.0)
+        i, j = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+        return pa.table(
+            {
+                "i": pa.array(i.ravel(), pa.int64()),
+                "j": pa.array(j.ravel(), pa.int64()),
+                "cov": pa.array(round_half_away(cov.ravel(), 6)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def twohop_lineitem_graph(sf_dir: str):
+    """Distinct 2-hop neighborhood sizes over the directed mix graph —
+    the friends-of-friends query whose naive form explodes on hubs.
+    Shape: edge distinct (per-batch combiner + one bucketed dedup),
+    ONE co-partitioned join on the middle node, per-batch (src, dst)
+    distinct combiner BEFORE the final exchange, bucketed count.  Hub
+    middles fan out in(m)·out(m) — bounded here (max degree ~87);
+    at hub-dominated scale route through skew_join's hot-key split."""
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    edges = _mix_graph(sf_dir)
+    dedup_e = lambda df: df.drop_duplicates(["src", "dst"])
+    e = bucketed_group_map(edges, ["src", "dst"], dedup_e, batch_partial=dedup_e)
+
+    left = e.map_batches(
+        lambda t: pa.table({"src": t["src"], "mid": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    right = e.map_batches(
+        lambda t: pa.table({"mid": t["src"], "dst2": t["dst"]}),
+        batch_format="pyarrow",
+    )
+    paths = bucket_hash_join(left, right, ["mid"]).map_batches(
+        lambda t: pa.table(
+            {"src": t["src"], "dst": t["dst2"]}
+        ).filter(pc.not_equal(t["src"], t["dst2"])),
+        batch_format="pyarrow",
+    )
+    dedup_p = lambda df: df.drop_duplicates(["src", "dst"])
+    pairs = bucketed_group_map(paths, ["src", "dst"], dedup_p, batch_partial=dedup_p)
+    out = bucketed_agg(pairs, ["src"], out_col="n_twohop").to_pandas()
+    out = out.rename(columns={"src": "node"})
+    out["n_twohop"] = out["n_twohop"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3469,6 +3559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_event_types": cooccur_event_types,
         "collapse_bursts_events": collapse_bursts_events,
         "winsorize_lineitem": winsorize_lineitem,
+        "embedding_covariance": embedding_covariance,
+        "twohop_lineitem_graph": twohop_lineitem_graph,
     }
 
 
@@ -5080,5 +5172,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(least(greatest(l_extendedprice, (select v from lo)),
                                    (select v from hi))), 6) as mean_winsorized
             from lineitem
+        """,
+        "embedding_covariance": """
+            with m as (
+              select g1.i, g2.j
+              from generate_series(1, 64) g1(i), generate_series(1, 64) g2(j)),
+            s as (
+              select m.i, m.j, count(*)::double n,
+                     sum(list_extract(e.embedding, m.i)::double) sx,
+                     sum(list_extract(e.embedding, m.j)::double) sy,
+                     sum(list_extract(e.embedding, m.i)::double
+                         * list_extract(e.embedding, m.j)::double) sxy
+              from embeddings e cross join m
+              group by 1, 2)
+            select i, j, round((sxy - sx * sy / n) / (n - 1), 6) as cov
+            from s order by 1, 2
+        """,
+        "twohop_lineitem_graph": """
+            with raw as (
+              select l_orderkey % 2000 src,
+                     (l_partkey * 31 + l_suppkey) % 2000 dst
+              from lineitem),
+            e as (select distinct src, dst from raw),
+            t as (
+              select distinct e1.src, e2.dst
+              from e e1 join e e2 on e1.dst = e2.src
+              where e2.dst <> e1.src)
+            select src as node, count(*)::bigint as n_twohop
+            from t group by 1 order by 1
         """,
     }
