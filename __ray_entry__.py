@@ -3390,6 +3390,113 @@ def twohop_lineitem_graph(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def label_centroids_embeddings(sf_dir: str):
+    """Per-label mean embedding (class centroids — the prototype /
+    nearest-class-mean primitive).  Each batch contributes one
+    (label, n, Σx-vector) partial via a vectorized np.add.at
+    scatter-add over the zero-copy Arrow list buffer; one bucketed
+    label exchange of O(labels·d) floats finishes.  Output long-form
+    (label, dim, mean) rows; float32 elements promoted to float64
+    before any sum on BOTH sides."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        labels = df["label"].to_numpy()
+        x = np.stack(df["embedding"].to_numpy()).astype("float64")
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), x.shape[1]))
+        np.add.at(sums, inv, x)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype("float64")
+        return pd.DataFrame(
+            {"label": uniq.astype("int64"), "n": cnt, "s": list(sums)}
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lab, g in df.groupby("label"):
+            n = g["n"].sum()
+            s = np.stack(g["s"].to_numpy()).sum(axis=0)
+            d = len(s)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(d, lab, dtype="int64"),
+                        "dim": np.arange(1, d + 1, dtype="int64"),
+                        "mean_val": round_half_away(s / n, 6),
+                        "n_vecs": np.full(d, int(n), dtype="int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_group_map(
+        ds, ["label"], final, batch_partial=partial
+    ).to_pandas()
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def cusum_events_daily(sf_dir: str):
+    """CUSUM changepoint trace over the daily mean of event values —
+    the standard mean-shift detector (Page 1954 shape).  Daily
+    (n, Σy) moment combiner rides the one exchange; a single O(days)
+    task computes grand mean and the running Σ(day_mean − grand_mean).
+    Day count is calendar-bounded, so the serial tail never grows with
+    data size.  Identical summation order both sides: day means from
+    exact (Σy, n) pairs, CUSUM as a running sum over day-sorted means,
+    6 dp rounds."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(us // 1_000_000 // 86400 * 86400, pa.int64()),
+                "y": t["value"].combine_chunks(),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).agg(
+            n=("y", "size"), sy=("y", "sum")
+        )
+        g["n"] = g["n"].astype("float64")
+        return g
+
+    per_day = bucketed_group_map(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["day"],
+        lambda df: df.groupby("day", as_index=False)[["n", "sy"]].sum(),
+        batch_partial=partial,
+    )
+
+    def cusum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="mergesort").reset_index(drop=True)
+        means = df["sy"].to_numpy() / df["n"].to_numpy()
+        grand = means.mean()
+        run = np.cumsum(means - grand)
+        return pd.DataFrame(
+            {
+                "day": df["day"],
+                "n_events": df["n"].astype("int64"),
+                "day_mean": round_half_away(means, 6),
+                "cusum": round_half_away(run, 6),
+            }
+        )
+
+    out = (
+        per_day.repartition(1)
+        .map_batches(cusum, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return out.sort_values("day").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3561,6 +3668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_lineitem": winsorize_lineitem,
         "embedding_covariance": embedding_covariance,
         "twohop_lineitem_graph": twohop_lineitem_graph,
+        "label_centroids_embeddings": label_centroids_embeddings,
+        "cusum_events_daily": cusum_events_daily,
     }
 
 
@@ -5200,5 +5309,26 @@ def oracle_sql() -> dict[str, str]:
               where e2.dst <> e1.src)
             select src as node, count(*)::bigint as n_twohop
             from t group by 1 order by 1
+        """,
+        "label_centroids_embeddings": """
+            with m as (select g.i from generate_series(1, 64) g(i))
+            select e.label::bigint as label, m.i as dim,
+                   round(sum(list_extract(e.embedding, m.i)::double)
+                         / count(*)::double, 6) as mean_val,
+                   count(*)::bigint as n_vecs
+            from embeddings e cross join m
+            group by 1, 2 order by 1, 2
+        """,
+        "cusum_events_daily": """
+            with d as (
+              select (floor(epoch(ts))::bigint // 86400) * 86400 as dy,
+                     count(*)::double n, sum(value) sy
+              from events group by 1),
+            g as (select avg(sy / n) gm from d)
+            select dy as day, n::bigint as n_events,
+                   round(sy / n, 6) as day_mean,
+                   round(sum(sy / n - (select gm from g))
+                         over (order by dy), 6) as cusum
+            from d order by dy
         """,
     }
