@@ -3497,6 +3497,152 @@ def cusum_events_daily(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def mad_lineitem(sf_dir: str):
+    """Median absolute deviation of l_extendedprice — the robust-scale
+    statistic, as TWO distributed exact selections
+    (relational.exact_quantile's pivot-narrowing, O(pivots) driver
+    state each): median of x, then median of |x − median|.  The twin
+    selects the same k-th order statistics via ORDER BY…OFFSET, and
+    |x − med| is the identical float64 op both sides, so the second
+    selection sees bit-identical values."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import exact_quantile
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    med = float(exact_quantile(ds, "l_extendedprice", 0.5))
+
+    def dev(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(np.abs(x - med))})
+
+    mad = float(
+        exact_quantile(ds.map_batches(dev, batch_format="pyarrow"), "d", 0.5)
+    )
+    return pd.DataFrame(
+        {
+            "median": round_half_away(np.array([med]), 6),
+            "mad": round_half_away(np.array([mad]), 6),
+        }
+    )
+
+
+def gini_user_value_events(sf_dir: str):
+    """Gini coefficient of per-user total event value — the inequality
+    / concentration measure.  Per-user totals via a sum combiner, then
+    relational.global_rank (TeraSort-shape zip-with-index, ties broken
+    on user_id so the order is total), then one (Σi·v, Σv, n) moment
+    pass; G = (2Σiv − (n+1)Σv) / (nΣv), formula mirrored verbatim in
+    the row_number() twin, 6 dp rounds."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map, global_rank
+
+    ds = _t(sf_dir, "events", ["user_id", "value"])
+
+    def tot(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False)["value"].sum()
+
+    totals = bucketed_group_map(ds, ["user_id"], tot, batch_partial=tot)
+    ranked = global_rank(totals, "value", ["user_id"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["rank"].to_numpy(dtype="float64")
+        v = df["value"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {"siv": [float((i * v).sum())], "sv": [float(v.sum())], "n": [float(len(v))]}
+        )
+
+    m = ranked.map_batches(moments, batch_format="pandas").to_pandas()
+    siv, sv, n = m["siv"].sum(), m["sv"].sum(), m["n"].sum()
+    gini = (2.0 * siv - (n + 1.0) * sv) / (n * sv)
+    return pd.DataFrame(
+        {
+            "gini": round_half_away(np.array([gini]), 6),
+            "n_users": np.array([int(n)], dtype="int64"),
+        }
+    )
+
+
+def top_priorities_monthly(sf_dir: str):
+    """Top-2 order priorities per month by ORDER COUNT — top-k over
+    aggregates, not rows: one (month, priority) count combiner, then
+    grouped_topk's per-batch partial top-k (the exchange carries ≤
+    k·groups·blocks rows).  Counts are exact integers on both sides,
+    so the ranking can never flip on float noise; ties break on
+    priority asc like the twin's row_number."""
+    from web_graph_ray.stages.relational import bucketed_agg, grouped_topk
+
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = pd.to_datetime(us, unit="us")
+        month = (
+            d.to_period("M").to_timestamp().astype("datetime64[us]").astype("int64")
+            // 1_000_000
+        )
+        return pa.table(
+            {
+                "month_start": pa.array(month, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    counts = bucketed_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["month_start", "o_orderpriority"],
+        out_col="n_orders",
+    )
+    out = grouped_topk(
+        counts,
+        ["month_start"],
+        "n_orders",
+        k=2,
+        descending=True,
+        tie_cols=["o_orderpriority"],
+    ).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["month_start", "o_orderpriority"]).reset_index(drop=True)
+
+
+def char_entropy_documents(sf_dir: str):
+    """Per-document character-distribution Shannon entropy — the
+    gibberish/boilerplate signal cheap enough to run on every doc.
+    Vectorized: one UTF-32 view of the whole batch (no per-char Python)
+    plus a segmented np.unique count per doc; H = −Σ p ln p from exact
+    integer counts on both sides (the twin unnests characters), 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        lens = np.array([len(s) for s in texts], dtype=np.int64)
+        cp = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        seg = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # count (doc, char) pairs in one vectorized unique pass
+        key = seg * (1 << 32) | cp
+        uniq, cnt = np.unique(key, return_counts=True)
+        doc_of = (uniq >> 32).astype(np.int64)
+        k = cnt.astype("float64")
+        tot = lens[doc_of].astype("float64")
+        p = k / tot
+        terms = -p * np.log(p)
+        h = np.zeros(len(texts), dtype="float64")
+        np.add.at(h, doc_of, terms)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "char_entropy": pa.array(round_half_away(h, 6)),
+            }
+        )
+
+    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3670,6 +3816,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twohop_lineitem_graph": twohop_lineitem_graph,
         "label_centroids_embeddings": label_centroids_embeddings,
         "cusum_events_daily": cusum_events_daily,
+        "mad_lineitem": mad_lineitem,
+        "gini_user_value_events": gini_user_value_events,
+        "top_priorities_monthly": top_priorities_monthly,
+        "char_entropy_documents": char_entropy_documents,
     }
 
 
@@ -5330,5 +5480,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(sy / n - (select gm from g))
                          over (order by dy), 6) as cusum
             from d order by dy
+        """,
+        "mad_lineitem": """
+            with n as (select count(*) c from lineitem),
+            med as (select l_extendedprice v from lineitem order by 1
+                    limit 1
+                    offset (select cast(ceil(0.5 * c) as bigint) - 1 from n)),
+            d as (select abs(l_extendedprice - (select v from med)) dv
+                  from lineitem)
+            select round((select v from med), 6) as median,
+                   round((select dv from d order by 1 limit 1
+                          offset (select cast(ceil(0.5 * c) as bigint) - 1
+                                  from n)), 6) as mad
+        """,
+        "gini_user_value_events": """
+            with t as (select user_id, sum(value) v from events group by 1),
+            r as (select v,
+                         row_number() over (order by v, user_id) i
+                  from t)
+            select round((2 * sum(i * v) - (count(*) + 1) * sum(v))
+                         / (count(*) * sum(v)), 6) as gini,
+                   count(*)::bigint as n_users
+            from r
+        """,
+        "top_priorities_monthly": """
+            with c as (
+              select epoch(date_trunc('month', o_orderdate))::bigint
+                       as month_start,
+                     o_orderpriority, count(*) n_orders
+              from orders group by 1, 2),
+            r as (select *,
+                         row_number() over (partition by month_start
+                                            order by n_orders desc,
+                                                     o_orderpriority) rn
+                  from c)
+            select month_start, o_orderpriority, n_orders::bigint as n_orders
+            from r where rn <= 2 order by 1, 2
+        """,
+        "char_entropy_documents": """
+            with c as (
+              select doc_id, unnest(string_split(text, '')) ch
+              from documents),
+            f as (select doc_id, ch, count(*)::double k from c group by 1, 2),
+            n as (select doc_id, sum(k) tot from f group by 1)
+            select f.doc_id,
+                   round(-sum((k / tot) * ln(k / tot)), 6) as char_entropy
+            from f join n using (doc_id)
+            group by f.doc_id order by 1
         """,
     }
