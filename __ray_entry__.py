@@ -3644,6 +3644,464 @@ def char_entropy_documents(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# composite multi-join analytics (TPC-H Q3/Q5/Q10 shapes) + scale joins
+# ---------------------------------------------------------------------------
+
+_US_PER_S = 1_000_000
+
+
+def _date_us(s: str) -> int:
+    return int(pd.Timestamp(s).value // 1000)
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — three-table join orchestrated the 100 TB way:
+    segment-filtered customer keys feed a partitioned SEMI join against
+    date-pruned orders (never a row-widening join for a pure filter),
+    the orders side then hash-joins date-pruned lineitem co-partitioned
+    on orderkey, revenue pre-aggregates per (orderkey, date, priority)
+    through the combiner, and the top-10 is a per-batch partial top-k —
+    the exchange never carries raw lineitem rows.  Revenue is rounded
+    to 2 dp BEFORE ranking on both engines so the cutoff can't flip on
+    summation order."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucket_semi_join,
+        bucketed_agg,
+    )
+
+    cut = _date_us("1998-01-01")
+
+    cust_keys = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def orders_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(pc.cast(t["o_orderdate"], pa.int64()), cut))
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "l_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_orderdate_s": pc.divide(
+                    pc.cast(t["o_orderdate"], pa.int64()), _US_PER_S
+                ),
+                "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+    orders_sel = bucket_semi_join(
+        orders.map_batches(orders_proj, batch_format="pyarrow"),
+        cust_keys,
+        on=["o_custkey"],
+    ).map_batches(lambda df: df.drop(columns=["o_custkey"]), batch_format="pandas")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()), cut))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(), "revenue": rev})
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+
+    per_order = bucketed_agg(
+        bucket_hash_join(li, orders_sel, on=["l_orderkey"]),
+        ["l_orderkey", "o_orderdate_s", "o_orderpriority"],
+        value_col="revenue",
+        how="sum",
+        out_col="revenue",
+    )
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = round_half_away(df["revenue"].to_numpy(dtype="float64"), 2)
+        return df.sort_values(
+            ["revenue", "o_orderdate_s", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(10)
+
+    out = per_order.map_batches(part_topk, batch_format="pandas").to_pandas()
+    return part_topk(out)[
+        ["l_orderkey", "revenue", "o_orderdate_s", "o_orderpriority"]
+    ].reset_index(drop=True)
+
+
+def q5_region_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — five joins, three sizes, three strategies:
+    region⋈nation resolve to a ~25-row plan constant on the driver,
+    region-local suppliers broadcast into lineitem map-side (dimension
+    side: ray.put once, zero shuffle), customer⋈orders and
+    (lineitem⊕supplier)⋈orders co-partition on orderkey through the
+    bucketed hash join — the only all-to-alls carry already-pruned
+    rows.  The local-supplier clause (c_nationkey = s_nationkey) is a
+    vectorized post-join filter."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        broadcast_join,
+        bucket_hash_join,
+        bucketed_agg,
+    )
+
+    lo, hi = _date_us("1996-01-01"), _date_us("1997-01-01")
+
+    nat = _t(sf_dir, "nation").to_pandas().merge(
+        _t(sf_dir, "region").to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )
+    nat = nat[nat["r_name"] == "ASIA"][["n_nationkey", "n_name"]]
+    asia_keys = pa.array(sorted(nat["n_nationkey"].astype("int32")))
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=asia_keys))
+        .select(["c_custkey", "c_nationkey"])
+        .rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+
+    def orders_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_custkey": t["o_custkey"].combine_chunks(),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_proj, batch_format="pyarrow"
+    )
+    orders_cust = bucket_hash_join(orders, cust, on=["o_custkey"]).map_batches(
+        lambda df: df.drop(columns=["o_custkey"]), batch_format="pandas"
+    )
+
+    supp = (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+    supp = supp[supp["s_nationkey"].isin(nat["n_nationkey"])]
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "l_suppkey": t["l_suppkey"].combine_chunks(),
+                "revenue": rev,
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+    li_supp = broadcast_join(li, supp, on="l_suppkey")
+
+    j = bucket_hash_join(li_supp, orders_cust, on=["l_orderkey"]).map_batches(
+        lambda df: df[df["s_nationkey"] == df["c_nationkey"]], batch_format="pandas"
+    )
+    named = broadcast_join(
+        j, nat.rename(columns={"n_nationkey": "s_nationkey"}), on="s_nationkey"
+    )
+    out = (
+        bucketed_agg(named, ["n_name"], value_col="revenue", how="sum", out_col="revenue")
+        .to_pandas()
+    )
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(dtype="float64"), 2)
+    return out.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — revenue lost to returns per customer over one
+    quarter, top 20: returnflag-pruned lineitem hash-joins the
+    quarter's orders on orderkey, revenue folds per-customer through
+    the combiner BEFORE the (far smaller) customer join, nation is a
+    broadcast rename, top-20 is partial-then-final on 2 dp-rounded
+    revenue with custkey tie-break."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        broadcast_join,
+        bucket_hash_join,
+        bucketed_agg,
+    )
+
+    lo, hi = _date_us("1997-01-01"), _date_us("1997-04-01")
+
+    def orders_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_custkey": t["o_custkey"].combine_chunks(),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_proj, batch_format="pyarrow"
+    )
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(), "revenue": rev})
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+
+    per_cust = bucketed_agg(
+        bucket_hash_join(li, orders, on=["l_orderkey"]),
+        ["o_custkey"],
+        value_col="revenue",
+        how="sum",
+        out_col="revenue",
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}), batch_format="pandas"
+    )
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas().rename(
+        columns={"n_nationkey": "c_nationkey"}
+    )
+    enriched = broadcast_join(
+        bucket_hash_join(per_cust, cust, on=["c_custkey"]), nat, on="c_nationkey"
+    )
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = round_half_away(df["revenue"].to_numpy(dtype="float64"), 2)
+        return df.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20)
+
+    out = enriched.map_batches(part_topk, batch_format="pandas").to_pandas()
+    return part_topk(out)[
+        ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    ].reset_index(drop=True)
+
+
+def bloom_semi_join_orders(sf_dir: str):
+    """Semi join through a broadcast Bloom pre-filter
+    (stages/relational.py::bloom_semi_join): the flagged-customer key
+    set folds into a 64 KiB bitmap (distributed build, driver OR),
+    orders are pruned map-side with ZERO shuffle, and only survivors
+    enter the exact partitioned semi join that scrubs Bloom false
+    positives — the big-probe/small-build shape where even the key SET
+    is too big to broadcast exactly at 100 TB but an m-bit filter
+    isn't.  Result ≡ the plain semi join (the twin)."""
+    from web_graph_ray.stages.relational import bloom_semi_join
+
+    keys = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 9000.0))
+        .select(["c_custkey"])
+        .rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = bloom_semi_join(orders, keys, on=["o_custkey"], m_bits=1 << 19).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def argmax_order_per_customer(sf_dir: str):
+    """Per-group ARGMAX row: each customer's single highest-value order
+    (ties → lowest orderkey) via grouped_topk's partial-top-k combiner
+    — the exchange carries ≤ |groups|·blocks rows, never the orders
+    table.  Ranking compares the STORED doubles (no arithmetic), so
+    Ray and SQL see bit-identical orderings."""
+    from web_graph_ray.stages.relational import grouped_topk
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(
+        ds, ["o_custkey"], "o_totalprice", k=1, descending=True, tie_cols=["o_orderkey"]
+    ).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)[
+        ["o_custkey", "o_orderkey", "o_totalprice"]
+    ]
+
+
+def max_concurrency_events(sf_dir: str):
+    """Distributed sweep line: max number of concurrently-open 5-minute
+    event windows per day.  Each event emits ±1 boundary rows keyed by
+    (instant, end-before-start); the TeraSort-shape global prefix sum
+    (stages/relational.py::global_prefix_sum) turns them into the
+    running open-interval count; a per-day partial-then-final MAX folds
+    it down.  Tied boundary instants make PER-ROW prefixes
+    order-ambiguous, but the per-day max is tie-order-invariant (within
+    a tie group the running count moves monotonically between its pre-
+    and post-values, both present in the group), so the result is
+    deterministic and matches the SQL window twin."""
+    from web_graph_ray.stages.relational import global_prefix_sum
+
+    hold_us = 300 * _US_PER_S
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # end boundaries get EVEN keys so a window closing at instant T
+        # sorts before one opening at T (half-open [ts, ts+300s))
+        okey = np.concatenate([us * 2 + 1, (us + hold_us) * 2])
+        d = np.concatenate(
+            [np.ones(len(us), dtype=np.int64), -np.ones(len(us), dtype=np.int64)]
+        )
+        return pa.table({"okey": pa.array(okey), "d": pa.array(d)})
+
+    b = _t(sf_dir, "events", ["ts"]).map_batches(boundaries, batch_format="pyarrow")
+    scanned = global_prefix_sum(b, "okey", "d", out_col="pfx")
+
+    day_us = 86_400 * _US_PER_S
+
+    def partial_max(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = df["okey"].to_numpy() // 2
+        day = (t_us // day_us) * 86_400
+        c = df["pfx"].to_numpy() + df["d"].to_numpy()
+        return (
+            pd.DataFrame({"day_start": day, "max_concurrent": c})
+            .groupby("day_start", as_index=False)["max_concurrent"]
+            .max()
+        )
+
+    out = scanned.map_batches(partial_max, batch_format="pandas").to_pandas()
+    out = out.groupby("day_start", as_index=False)["max_concurrent"].max()
+    return out.sort_values("day_start").reset_index(drop=True)
+
+
+def revenue_decile_customers(sf_dir: str):
+    """Revenue-concentration deciles: per-customer spend (combiner +
+    bucketed agg), EXACT global NTILE(10) on (spend desc, custkey) via
+    the TeraSort global rank + ntile_from_rank (SQL's front-loaded
+    remainder, not the floor approximation), then a per-decile
+    partial-then-final fold.  Spend is rounded to 2 dp BEFORE ranking
+    on both engines.  The only materialized set is the per-customer
+    aggregate (|customers| rows), never orders."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucketed_agg,
+        global_rank,
+        ntile_from_rank,
+    )
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = bucketed_agg(
+        orders, ["o_custkey"], value_col="o_totalprice", how="sum", out_col="spend"
+    )
+
+    def rnd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["spend"] = round_half_away(df["spend"].to_numpy(dtype="float64"), 2)
+        df["_neg"] = -df["spend"]
+        return df
+
+    spend = spend.map_batches(rnd, batch_format="pandas").materialize()
+    n = spend.count()
+    ranked = global_rank(spend, "_neg", tie_cols=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dec = ntile_from_rank(df["rank"].to_numpy(), n, 10)
+        g = pd.DataFrame({"decile": dec, "spend": df["spend"].to_numpy()})
+        return g.groupby("decile", as_index=False).agg(
+            n_customers=("spend", "size"), total_spend=("spend", "sum")
+        )
+
+    out = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    out = out.groupby("decile", as_index=False).agg(
+        n_customers=("n_customers", "sum"), total_spend=("total_spend", "sum")
+    )
+    out["total_spend"] = round_half_away(out["total_spend"].to_numpy(dtype="float64"), 2)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
+def time_weighted_avg_events(sf_dir: str):
+    """Per-user TIME-weighted mean value (step function held until the
+    next event): Σ vᵢ·Δtᵢ / Σ Δtᵢ over microsecond-exact integer gaps —
+    the right mean for irregularly-sampled telemetry, where plain AVG
+    over-weights bursts.  One bucketed exchange on user_id
+    (bucketed_group_map); inside each bucket the lead-diff is one
+    vectorized adjacent-row subtraction on int64 (NOT a float shift —
+    2024 epoch-µs values exceed float64's exact-integer range).
+    Single-event users (no gap) drop out on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_id": t["event_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "value": t["value"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        add_us, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        us_ = df["us"].to_numpy()
+        v = df["value"].to_numpy(dtype="float64")
+        same = u[1:] == u[:-1]
+        dt = (us_[1:] - us_[:-1])[same].astype("float64")  # int64-exact gaps
+        w = pd.DataFrame({"user_id": u[:-1][same], "sv": v[:-1][same] * dt, "sd": dt})
+        a = w.groupby("user_id", as_index=False).sum()
+        a = a[a["sd"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"].to_numpy(),
+                "twa": round_half_away(a["sv"].to_numpy() / a["sd"].to_numpy(), 6),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup-style embedding dedup (Abbas et al. 2023 shape): within
+    each cluster (the testdata's ``label`` column stands in for the
+    k-means assignment — deterministic and SQL-checkable), drop any
+    vector whose cosine similarity to a LOWER-id vector of the same
+    cluster is ≥ τ.  "Earlier-any" semantics (not greedy-survivor) so
+    the twin is a pure NOT EXISTS.  One bucketed exchange on the
+    cluster key; per-cluster blocked matmul with the same
+    normalize-dot kernel as stages/ann.py::cosine_pairs."""
+    from web_graph_ray.stages.ann import _normalize
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    tau = 0.3
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for _, g in df.groupby("label", sort=False):
+            g = g.sort_values("vec_id", kind="mergesort")
+            m = _normalize(np.asarray(g["embedding"].tolist(), dtype=np.float64))
+            dup = np.triu(m @ m.T >= tau, k=1).any(axis=0)
+            keep.append(g.loc[~dup, ["vec_id", "label"]])
+        return pd.concat(keep) if keep else df[["vec_id", "label"]].iloc[:0]
+
+    out = bucketed_group_map(ds, ["label"], per_bucket).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3820,6 +4278,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_user_value_events": gini_user_value_events,
         "top_priorities_monthly": top_priorities_monthly,
         "char_entropy_documents": char_entropy_documents,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_supplier_volume": q5_region_supplier_volume,
+        "q10_returned_revenue": q10_returned_revenue,
+        "bloom_semi_join_orders": bloom_semi_join_orders,
+        "argmax_order_per_customer": argmax_order_per_customer,
+        "max_concurrency_events": max_concurrency_events,
+        "revenue_decile_customers": revenue_decile_customers,
+        "time_weighted_avg_events": time_weighted_avg_events,
+        "semdedup_embeddings": semdedup_embeddings,
     }
 
 
@@ -5527,5 +5994,117 @@ def oracle_sql() -> dict[str, str]:
                    round(-sum((k / tot) * ln(k / tot)), 6) as char_entropy
             from f join n using (doc_id)
             group by f.doc_id order by 1
+        """,
+        "q3_shipping_priority": """
+            with per_order as (
+              select l_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                     cast(epoch(o_orderdate) as bigint) as o_orderdate_s,
+                     o_orderpriority
+              from customer
+              join orders on c_custkey = o_custkey
+              join lineitem on l_orderkey = o_orderkey
+              where c_mktsegment = 'BUILDING'
+                and o_orderdate < timestamp '1998-01-01'
+                and l_shipdate > timestamp '1998-01-01'
+              group by l_orderkey, o_orderdate_s, o_orderpriority)
+            select * from per_order
+            order by revenue desc, o_orderdate_s, l_orderkey
+            limit 10
+        """,
+        "q5_region_supplier_volume": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from region
+            join nation on n_regionkey = r_regionkey
+            join customer on c_nationkey = n_nationkey
+            join orders on o_custkey = c_custkey
+            join lineitem on l_orderkey = o_orderkey
+            join supplier on s_suppkey = l_suppkey
+                         and s_nationkey = c_nationkey
+            where r_name = 'ASIA'
+              and o_orderdate >= timestamp '1996-01-01'
+              and o_orderdate < timestamp '1997-01-01'
+            group by n_name
+            order by revenue desc, n_name
+        """,
+        "q10_returned_revenue": """
+            with per_cust as (
+              select c_custkey, c_name,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+                     c_acctbal, n_name
+              from customer
+              join orders on c_custkey = o_custkey
+              join lineitem on l_orderkey = o_orderkey
+              join nation on n_nationkey = c_nationkey
+              where l_returnflag = 'R'
+                and o_orderdate >= timestamp '1997-01-01'
+                and o_orderdate < timestamp '1997-04-01'
+              group by c_custkey, c_name, c_acctbal, n_name)
+            select * from per_cust order by revenue desc, c_custkey limit 20
+        """,
+        "bloom_semi_join_orders": """
+            select o_orderkey, o_custkey, o_totalprice
+            from orders
+            where o_custkey in (
+              select c_custkey from customer where c_acctbal > 9000)
+            order by o_orderkey
+        """,
+        "argmax_order_per_customer": """
+            select o_custkey, o_orderkey, o_totalprice
+            from orders
+            qualify row_number() over (
+              partition by o_custkey
+              order by o_totalprice desc, o_orderkey) = 1
+            order by o_custkey
+        """,
+        "max_concurrency_events": """
+            with b as (
+              select epoch_us(ts) * 2 + 1 as okey, 1 as d from events
+              union all
+              select (epoch_us(ts) + 300000000) * 2 as okey, -1 as d from events),
+            r as (
+              select okey,
+                     cast(sum(d) over (order by okey
+                                       rows unbounded preceding) as bigint) as c
+              from b)
+            select (okey // 2 // 86400000000) * 86400 as day_start,
+                   max(c) as max_concurrent
+            from r group by day_start order by day_start
+        """,
+        "revenue_decile_customers": """
+            with s as (
+              select o_custkey, round(sum(o_totalprice), 2) as spend
+              from orders group by o_custkey),
+            d as (
+              select spend,
+                     ntile(10) over (order by spend desc, o_custkey) as decile
+              from s)
+            select cast(decile as bigint) as decile,
+                   count(*) as n_customers,
+                   round(sum(spend), 2) as total_spend
+            from d group by decile order by decile
+        """,
+        "time_weighted_avg_events": """
+            with l as (
+              select user_id, value,
+                     date_diff('microsecond', ts,
+                               lead(ts) over (partition by user_id
+                                              order by ts, event_id)) as dt
+              from events),
+            a as (
+              select user_id, sum(value * dt) as sv, sum(dt) as sd
+              from l where dt is not null group by user_id)
+            select user_id, round(sv / sd, 6) as twa
+            from a where sd > 0 order by user_id
+        """,
+        "semdedup_embeddings": """
+            select vec_id, label from embeddings e
+            where not exists (
+              select 1 from embeddings e2
+              where e2.label = e.label and e2.vec_id < e.vec_id
+                and list_cosine_similarity(cast(e2.embedding as double[]),
+                                           cast(e.embedding as double[])) >= 0.3)
+            order by vec_id
         """,
     }

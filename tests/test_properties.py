@@ -1447,3 +1447,94 @@ class TestSetOpNullSemantics:
         ).to_pandas()
         ks = sorted(exc["k"].tolist())
         assert ks == [1.0, 2.0]
+
+
+class TestBloomSemiJoin:
+    """Bloom pre-filtered semi join: never false-negative, exact after
+    the scrub pass, and the prune actually bites (the reason the
+    operator exists)."""
+
+    def test_no_false_negatives_and_fp_bounded(self):
+        import numpy as np
+        import pandas as pd
+
+        from web_graph_ray.stages.relational import (
+            _bloom_hashes,
+            _bloom_positions,
+            bloom_probe_mask,
+        )
+
+        m_bits, k = 1 << 16, 4
+        keys = pd.DataFrame({"k": np.arange(0, 2000, 2)})  # evens
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        h1, h2 = _bloom_hashes(keys, ["k"])
+        pos = _bloom_positions(h1, h2, k, m_bits).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+        # every inserted key probes True
+        assert bloom_probe_mask(keys, ["k"], bits, m_bits, k).all()
+        # non-members (odds) mostly probe False: 1000 keys in 2^16 bits
+        # at k=4 → fp ≈ (1 - e^{-4000/65536})^4 ≈ 1.2e-5; allow 1%
+        others = pd.DataFrame({"k": np.arange(1, 20001, 2)})
+        fp = bloom_probe_mask(others, ["k"], bits, m_bits, k).mean()
+        assert fp < 0.01, fp
+
+    def test_equals_exact_semi_join_and_prunes(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray
+        import ray.data
+
+        from web_graph_ray.stages.relational import (
+            bloom_semi_join,
+            bucket_semi_join,
+            build_bloom,
+            bloom_probe_mask,
+        )
+
+        rng = np.random.default_rng(11)
+        big = pd.DataFrame(
+            {"k": rng.integers(0, 5000, 20000), "v": rng.integers(0, 10, 20000)}
+        )
+        keys = pd.DataFrame({"k": rng.choice(5000, 120, replace=False)})
+        big_ds = ray.data.from_pandas(big).repartition(6)
+        keys_ds = ray.data.from_pandas(keys).repartition(2)
+
+        got = (
+            bloom_semi_join(big_ds, keys_ds, ["k"], m_bits=1 << 16)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            bucket_semi_join(big_ds, keys_ds, ["k"])
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp)
+        # the map-side prune drops the vast majority of probe rows
+        bits = build_bloom(keys_ds, ["k"], m_bits=1 << 16)
+        kept = bloom_probe_mask(big, ["k"], bits, 1 << 16, 4).mean()
+        assert kept < 0.10, kept  # ~120/5000 selectivity + tiny fp
+
+
+class TestNtileFromRank:
+    def test_matches_duckdb_ntile(self):
+        import duckdb
+        import numpy as np
+
+        from web_graph_ray.stages.relational import ntile_from_rank
+
+        for n, t in [(1, 10), (3, 10), (7, 3), (25, 10), (1500, 10), (101, 7)]:
+            sql = (
+                duckdb.sql(
+                    f"select ntile({t}) over (order by r) from "
+                    f"(select unnest(range(1, {n + 1})) r)"
+                )
+                .df()
+                .iloc[:, 0]
+                .to_numpy()
+            )
+            mine = ntile_from_rank(np.arange(1, n + 1), n, t)
+            assert (sql == mine).all(), (n, t)

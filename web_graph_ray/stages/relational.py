@@ -1860,3 +1860,115 @@ def pareto_frontier(
     return partial.repartition(1).map_batches(
         merge, batch_format="pandas", batch_size=None
     )
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """Double-hashing bit positions (Kirsch–Mitzenmacher): pos_i =
+    (h1 + i·h2) mod m — k independent-enough probes from two 64-bit
+    hashes, all vectorized.  Shape (len, k)."""
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    full-avalanche on uint64, wrapping arithmetic."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_hashes(df: pd.DataFrame, on: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams over the key tuple columns.
+    h1 is pd.util.hash_pandas_object (the same stable cross-process
+    hasher bucketed_group_map relies on); h2 is a splitmix64 remix of
+    h1 — NOT a second hash_pandas_object call with a different
+    hash_key, because hash_key only perturbs object/string hashing and
+    leaves numeric columns identical (correlated probes collapse the
+    filter to k≈1 and the false-positive rate by three orders)."""
+    h1 = pd.util.hash_pandas_object(df[on], index=False).values.astype(np.uint64)
+    # h2 must be odd so (h1 + i·h2) cycles through all residues mod 2^b
+    return h1, (_splitmix64(h1) | np.uint64(1))
+
+
+def build_bloom(keys: "ray.data.Dataset", on: list[str], m_bits: int = 1 << 23,
+                k: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build: each block maps to an m/8-byte
+    partial bitmap (vectorized np.bitwise_or.at), the driver OR-folds
+    the partials — O(blocks · m/8) driver bytes, never the keys
+    themselves.  m_bits=2^23 (1 MiB) holds ~1.4 M keys at k=4 under 5%
+    false positives; callers size m to the expected key count."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits >> 3, dtype=np.uint8)
+        if len(df):
+            h1, h2 = _bloom_hashes(df, on)
+            pos = _bloom_positions(h1, h2, k, m_bits).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    folded = np.zeros(m_bits >> 3, dtype=np.uint8)
+    for b in keys.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for raw in b["bits"]:
+            folded |= np.frombuffer(raw, dtype=np.uint8)
+    return folded
+
+
+def bloom_probe_mask(df: pd.DataFrame, on: list[str], bits: np.ndarray,
+                     m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership test: True where ALL k probed bits are set
+    (possible member — Bloom filters never false-negative)."""
+    if not len(df):
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _bloom_hashes(df, on)
+    pos = _bloom_positions(h1, h2, k, m_bits)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)
+
+
+def bloom_semi_join(
+    ds: "ray.data.Dataset",
+    keys: "ray.data.Dataset",
+    on: list[str],
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Semi join with a broadcast Bloom pre-filter: (1) build an m-bit
+    Bloom filter over ``keys`` distributed, ray.put it ONCE; (2) prune
+    ``ds`` map-side (no shuffle — typically drops the vast majority of
+    rows when the key set is selective); (3) exact
+    :func:`bucket_semi_join` on the survivors only, which removes the
+    Bloom false positives.  Result ≡ bucket_semi_join(ds, keys, on),
+    but the all-to-all exchange carries only the pruned survivor rows
+    — the classic big-probe/small-build semi-join shape at 100 TB
+    (e.g. "orders of flagged customers") where even the key SET is too
+    big to broadcast exactly but an m-bit filter is not."""
+    bits_ref = ray.put(build_bloom(keys, on, m_bits=m_bits, k=k))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[bloom_probe_mask(df, on, ray.get(bits_ref), m_bits, k)]
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return bucket_semi_join(pruned, keys, on, num_buckets=num_buckets)
+
+
+def ntile_from_rank(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
+    """Exact SQL NTILE(tiles) bucket (1-based) from a 1-based global
+    rank over n rows: the first n % tiles buckets get ceil(n/tiles)
+    rows, the rest floor(n/tiles) — NOT the floor((r-1)·t/n)
+    approximation, which interleaves the remainder instead of
+    front-loading it and disagrees with every SQL engine."""
+    r0 = np.asarray(rank, dtype=np.int64) - 1
+    q, rem = divmod(n, tiles)
+    if q == 0:
+        return (r0 + 1).astype(np.int64)
+    cut = rem * (q + 1)
+    big = r0 // (q + 1)
+    small = rem + (r0 - cut) // q
+    return np.where(r0 < cut, big, small).astype(np.int64) + 1
