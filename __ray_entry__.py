@@ -4101,6 +4101,126 @@ def semdedup_embeddings(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def clustering_coeff_lineitem_graph(sf_dir: str):
+    """Per-node local clustering coefficient of the undirected mix
+    graph (stages/graph.py::clustering_coefficients): the oriented
+    wedge-closure discovers each triangle once at its minimum-(deg,
+    node) corner and credits all three corners; coefficient =
+    2T/(d(d−1)) from exact integer T and d, so the division is the
+    same IEEE op on both engines (6 dp)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.graph import clustering_coefficients
+
+    out = clustering_coefficients(_mix_graph(sf_dir)).to_pandas()
+    d = out["deg"].to_numpy(dtype="float64")
+    t = out["triangles"].to_numpy(dtype="float64")
+    coeff = np.where(d >= 2, 2.0 * t / np.maximum(d * (d - 1), 1.0), 0.0)
+    out["clustering_coeff"] = round_half_away(coeff, 6)
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "deg", "triangles", "clustering_coeff"]
+    ]
+
+
+def interp_quantiles_lineitem(sf_dir: str):
+    """Interpolated quartiles of l_extendedprice — SQL percentile_cont
+    semantics via two distributed order-statistic selects + one lerp
+    per quantile (stages/relational.py::interp_quantile; O(pivots)
+    driver state, never a global sort)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import interp_quantile
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    ps = [0.25, 0.5, 0.75]
+    vals = [interp_quantile(ds, "l_extendedprice", p) for p in ps]
+    return pd.DataFrame(
+        {"p": pd.Series(ps, dtype="float64"), "value": round_half_away(np.array(vals), 6)}
+    )
+
+
+def token_freq_spectrum_documents(sf_dir: str):
+    """Vocabulary frequency SPECTRUM (count-of-counts — the Zipf-tail
+    diagnostic behind vocab truncation and Good-Turing smoothing): one
+    token-count pass (per-batch Counter combiner + bucketed sum, the
+    vocab_topk plan), then a second, much smaller bucketed count over
+    the frequencies themselves.  Output is O(distinct frequencies)
+    rows."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend(WORD_RE.findall(t.lower()))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    counts = bucketed_agg(
+        ds.map_batches(explode, batch_format="pyarrow"), ["token"], out_col="freq"
+    )
+    spectrum = bucketed_agg(counts, ["freq"], out_col="n_tokens").to_pandas()
+    spectrum["freq"] = spectrum["freq"].astype("int64")
+    spectrum["n_tokens"] = spectrum["n_tokens"].astype("int64")
+    return spectrum.sort_values("freq").reset_index(drop=True)
+
+
+def ship_latency_orders(sf_dir: str):
+    """Order-fulfilment latency distribution: days from order date to
+    the order's FIRST lineitem shipment — per-order min combiner
+    (bucketed min over µs timestamps), one co-partitioned join back to
+    orders, then an O(distinct latencies) bucketed count.  All date
+    math is exact int64 µs."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"].combine_chunks(),
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        )
+
+    first_ship = bucketed_agg(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_proj, batch_format="pyarrow"
+        ),
+        ["o_orderkey"],
+        value_col="ship_us",
+        how="min",
+        out_col="first_ship_us",
+    )
+
+    def orders_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        orders_proj, batch_format="pyarrow"
+    )
+
+    day_us = 86_400 * _US_PER_S
+
+    def latency(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "latency_days": (df["first_ship_us"].to_numpy() - df["order_us"].to_numpy())
+                // day_us
+            }
+        )
+
+    j = bucket_hash_join(first_ship, orders, on=["o_orderkey"]).map_batches(
+        latency, batch_format="pandas"
+    )
+    out = bucketed_agg(j, ["latency_days"], out_col="n_orders").to_pandas()
+    out["latency_days"] = out["latency_days"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("latency_days").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4287,6 +4407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_decile_customers": revenue_decile_customers,
         "time_weighted_avg_events": time_weighted_avg_events,
         "semdedup_embeddings": semdedup_embeddings,
+        "clustering_coeff_lineitem_graph": clustering_coeff_lineitem_graph,
+        "interp_quantiles_lineitem": interp_quantiles_lineitem,
+        "token_freq_spectrum_documents": token_freq_spectrum_documents,
+        "ship_latency_orders": ship_latency_orders,
     }
 
 
@@ -6106,5 +6230,55 @@ def oracle_sql() -> dict[str, str]:
                 and list_cosine_similarity(cast(e2.embedding as double[]),
                                            cast(e.embedding as double[])) >= 0.3)
             order by vec_id
+        """,
+        "clustering_coeff_lineitem_graph": """
+            with e0 as (select distinct
+                          least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) lo,
+                          greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) hi
+                        from lineitem
+                        where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            deg as (select node, count(*)::bigint as deg
+                    from (select lo node from e0 union all select hi from e0)
+                    group by node),
+            tr as (select e1.lo x, e1.hi y, e2.hi z
+                   from e0 e1
+                   join e0 e2 on e1.hi = e2.lo and e1.lo < e2.hi
+                   join e0 e3 on e3.lo = e1.lo and e3.hi = e2.hi),
+            corners as (select x node from tr
+                        union all select y from tr
+                        union all select z from tr),
+            tc as (select node, count(*)::bigint as triangles
+                   from corners group by node)
+            select deg.node, deg.deg,
+                   coalesce(tc.triangles, 0) as triangles,
+                   round(case when deg.deg >= 2
+                         then 2.0 * coalesce(tc.triangles, 0)
+                              / (deg.deg * (deg.deg - 1))
+                         else 0.0 end, 6) as clustering_coeff
+            from deg left join tc using (node)
+            order by deg.node
+        """,
+        "interp_quantiles_lineitem": """
+            select unnest([0.25, 0.5, 0.75]) as p,
+                   round(unnest(quantile_cont(l_extendedprice,
+                                              [0.25, 0.5, 0.75])), 6) as value
+            from lineitem
+        """,
+        "token_freq_spectrum_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) token
+              from documents),
+            c as (select token, count(*) as freq from toks group by token)
+            select freq, count(*) as n_tokens
+            from c group by freq order by freq
+        """,
+        "ship_latency_orders": """
+            with fs as (
+              select l_orderkey as o_orderkey, min(l_shipdate) as first_ship
+              from lineitem group by l_orderkey)
+            select date_diff('day', o_orderdate, first_ship) as latency_days,
+                   count(*) as n_orders
+            from orders join fs using (o_orderkey)
+            group by latency_days order by latency_days
         """,
     }

@@ -125,6 +125,8 @@ def bench_queries() -> dict:
         "redact_pii_documents",
         "chunk_documents_windows",
         "pack_examples_documents",
+        "q3_shipping_priority",
+        "bloom_semi_join_orders",
     ]
     out = {}
     qs = entrymod.queries()

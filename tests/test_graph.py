@@ -365,3 +365,66 @@ class TestBfsLayers:
             .to_dict()
         )
         assert out == {0: 0, 5: 0, 1: 1, 2: 1}  # 2 via source 5, not via 0->1->2
+
+
+class TestClusteringCoefficients:
+    def _edges(self, pairs):
+        return ray.data.from_pandas(
+            pd.DataFrame(pairs, columns=["src", "dst"])
+        ).repartition(4)
+
+    def test_random_graph_vs_local(self, ray_session):
+        from web_graph_ray.stages.graph import clustering_coefficients
+
+        rng = np.random.RandomState(11)
+        n, m = 50, 350
+        pairs = list({(int(a), int(b)) for a, b in rng.randint(0, n, (m, 2)) if a != b})
+        adj = np.zeros((n, n), dtype=np.int64)
+        for a, b in pairs:
+            adj[a, b] = adj[b, a] = 1
+        # local oracle: per-node triangles = diag(A^3)/2, degree = row sum
+        tri_local = np.diag(adj @ adj @ adj) // 2
+        deg_local = adj.sum(axis=1)
+
+        got = (
+            clustering_coefficients(self._edges(pairs))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        present = np.flatnonzero(deg_local > 0)
+        assert got["node"].to_numpy().tolist() == present.tolist()
+        assert got["deg"].to_numpy().tolist() == deg_local[present].tolist()
+        assert got["triangles"].to_numpy().tolist() == tri_local[present].tolist()
+        # total credit = 3 * global triangle count
+        assert got["triangles"].sum() == 3 * int(np.trace(adj @ adj @ adj) // 6)
+
+    def test_triangle_free_graph_all_zero(self, ray_session):
+        from web_graph_ray.stages.graph import clustering_coefficients
+
+        # star: every edge orients into the hub -> zero wedges
+        got = clustering_coefficients(
+            self._edges([(0, i) for i in range(1, 8)])
+        ).to_pandas()
+        assert (got["triangles"] == 0).all()
+        assert len(got) == 8
+
+
+class TestInterpQuantile:
+    def test_matches_numpy_and_duckdb(self, ray_session):
+        import duckdb
+
+        from web_graph_ray.stages.relational import interp_quantile
+
+        rng = np.random.RandomState(5)
+        vals = np.round(rng.uniform(0, 1000, 3001), 2)
+        ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+        for q in [0.0, 0.25, 0.5, 0.613, 0.75, 1.0]:
+            got = interp_quantile(ds, "v", q, max_driver_rows=200)
+            exp_np = float(np.quantile(vals, q))  # linear interpolation
+            exp_dd = duckdb.sql(
+                f"select quantile_cont(v, {q}) from (select unnest($v) v)",
+                params={"v": vals.tolist()},
+            ).fetchone()[0]
+            assert abs(got - exp_np) < 1e-9, (q, got, exp_np)
+            assert abs(got - exp_dd) < 1e-9, (q, got, exp_dd)

@@ -453,32 +453,16 @@ def degrees(
     )
 
 
-def triangle_count(
+def _canon_edges(
     edges: "ray.data.Dataset",
-    src_col: str = "src",
-    dst_col: str = "dst",
-    num_buckets: int = 32,
-) -> int:
-    """Exact triangle count of the UNDIRECTED simple graph induced by
-    the edge list (direction, loops and duplicate rows ignored), via
-    the degree-ordered node-iterator (Schank & Wagner 2005; the
-    standard MapReduce/Spark formulation):
-
-    1. canonicalize + dedup edges (lo, hi) per hash bucket;
-    2. per-node degrees (one bucketed count);
-    3. orient every edge from its lexicographically smaller
-       (degree, node) endpoint — out-degree is then O(sqrt(E)) for any
-       node, so wedge volume is bounded by E^1.5 instead of sum(deg^2)
-       (hub nodes generate NO wedges);
-    4. wedges = per-source out-neighbor pairs (vectorized per-bucket
-       self-merge), each unordered pair emitted once in oriented order;
-    5. close: co-partitioned semi-join of wedges against the oriented
-       edge set — surviving rows ARE the triangles, each counted
-       exactly once (at its minimum-(deg,node) corner).
-
-    Every exchange is a bucketed co-partition; no broadcast, no driver
-    state beyond the final scalar."""
-    from .relational import bucket_hash_join, bucket_semi_join, bucketed_group_map
+    src_col: str,
+    dst_col: str,
+    num_buckets: int,
+) -> "ray.data.Dataset":
+    """Canonicalize a directed edge list to the undirected SIMPLE edge
+    set (lo < hi, loops and duplicate rows dropped) — per-batch partial
+    dedup, then one bucketed exact dedup."""
+    from .relational import bucketed_group_map
 
     edges = _as_arrow(edges)
 
@@ -487,13 +471,27 @@ def triangle_count(
         out = pd.DataFrame({"lo": s.where(s < d, d), "hi": d.where(s < d, s)})
         return out[out["lo"] != out["hi"]].drop_duplicates()
 
-    e0 = bucketed_group_map(
+    return bucketed_group_map(
         edges.map_batches(canon, batch_format="pandas"),
         ["lo", "hi"],
         lambda df: df.drop_duplicates(),
         num_buckets=num_buckets,
         batch_partial=lambda df: df.drop_duplicates(),
     )
+
+
+def _oriented_edges(
+    e0: "ray.data.Dataset", num_buckets: int
+) -> "ray.data.Dataset":
+    """Degree-orient the canonical edge set (Schank & Wagner): every
+    edge points from its lexicographically smaller (degree, node)
+    endpoint, so out-degree is O(sqrt(E)) for any node and hub nodes
+    generate NO wedges.  Returns a MATERIALIZED Dataset[u, v, v_deg]:
+    both the wedge generator and the closing semi-join consume it, and
+    its lineage is 4 shuffles deep — recomputing it twice costs more
+    than holding O(E) blocks in the (spillable) object store.
+    Distributed blocks, never driver rows."""
+    from .relational import bucket_hash_join
 
     deg = degrees(e0, "lo", "hi", num_buckets=num_buckets).map_batches(
         lambda df: df[["node", "deg"]], batch_format="pandas"
@@ -529,15 +527,130 @@ def triangle_count(
             }
         )
 
-    # materialize: both the wedge generator and the closing semi-join
-    # consume the oriented edge set, and its lineage is 4 shuffles deep
-    # — recomputing it twice costs more than holding O(E) blocks in the
-    # (spillable) object store.  Distributed blocks, never driver rows.
-    # materialize: both the wedge generator and the closing semi-join
-    # consume the oriented edge set, and its lineage is 4 shuffles deep
-    # — recomputing it twice costs more than holding O(E) blocks in the
-    # (spillable) object store.  Distributed blocks, never driver rows.
-    oriented = j.map_batches(orient, batch_format="pandas").materialize()
+    return j.map_batches(orient, batch_format="pandas").materialize()
+
+
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-node triangle participation over the undirected simple
+    graph: Dataset[node, deg, triangles] (local clustering coefficient
+    = 2·triangles / (deg·(deg−1)) is left to the caller's rounding
+    policy).  Same oriented wedge-closure as :func:`triangle_count` —
+    each triangle is DISCOVERED once at its minimum-(deg, node) corner
+    but CREDITED to all three corners: the closing co-partition keeps
+    the wedge apex, explodes the three corners, and pre-sums per
+    bucket, so the final exchange carries (node, partial-count) rows,
+    never the triangle list."""
+    from .relational import bucket_left_join, bucketed_agg, bucketed_group_map
+
+    e0 = _canon_edges(edges, src_col, dst_col, num_buckets)
+    deg = degrees(e0, "lo", "hi", num_buckets=num_buckets).map_batches(
+        lambda df: df[["node", "deg"]], batch_format="pandas"
+    )
+    oriented = _oriented_edges(e0, num_buckets)
+
+    def zero_fill(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["triangles"] = (
+            out["triangles"].fillna(0).astype("int64")
+            if "triangles" in out
+            else np.int64(0)
+        )
+        return out[["node", "deg", "triangles"]]
+
+    if oriented.count() == 0:
+        return deg.map_batches(
+            lambda df: df.assign(triangles=np.int64(0)), batch_format="pandas"
+        )
+
+    def wedge_pairs_apex(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u", suffixes=("_1", "_2"))
+        first = (m["v_deg_1"] < m["v_deg_2"]) | (
+            (m["v_deg_1"] == m["v_deg_2"]) & (m["v_1"] < m["v_2"])
+        )
+        m = m[first]
+        return pd.DataFrame({"u": m["v_1"], "v": m["v_2"], "apex": m["u"]})
+
+    wedges = bucketed_group_map(
+        oriented, ["u"], wedge_pairs_apex, num_buckets=num_buckets
+    )
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["u", "v"]].copy()
+            # side-1 (edge) rows never read apex; duplicating u keeps
+            # the union schema dtype-stable for any node type
+            out["apex"] = df["apex"] if side == 0 else df["u"]
+            out["_side"] = np.int8(side)
+            return out
+
+        return f
+
+    def credit_corners(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["_side"] == 1][["u", "v"]].drop_duplicates()
+        w = df[df["_side"] == 0][["u", "v", "apex"]]
+        hit = w.merge(e, on=["u", "v"])  # each row IS one triangle
+        nodes = pd.concat([hit["apex"], hit["u"], hit["v"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame({"node": vc.index, "t": vc.to_numpy(dtype="int64")})
+
+    # materialize: O(nodes·buckets) partial rows at most, and a
+    # triangle-free graph (e.g. a star) yields ZERO rows and a
+    # schema-less dataset the left join below cannot plan around
+    partials = bucketed_group_map(
+        wedges.map_batches(tag(0), batch_format="pandas").union(
+            oriented.map_batches(tag(1), batch_format="pandas")
+        ),
+        ["u", "v"],
+        credit_corners,
+        num_buckets=num_buckets,
+    ).materialize()
+    if partials.count() == 0:
+        return deg.map_batches(
+            lambda df: df.assign(triangles=np.int64(0)), batch_format="pandas"
+        )
+    tri = bucketed_agg(
+        partials, ["node"], value_col="t", how="sum", out_col="triangles",
+        num_buckets=num_buckets,
+    )
+    return bucket_left_join(deg, tri, on=["node"], num_buckets=num_buckets).map_batches(
+        zero_fill, batch_format="pandas"
+    )
+
+
+def triangle_count(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int = 32,
+) -> int:
+    """Exact triangle count of the UNDIRECTED simple graph induced by
+    the edge list (direction, loops and duplicate rows ignored), via
+    the degree-ordered node-iterator (Schank & Wagner 2005; the
+    standard MapReduce/Spark formulation):
+
+    1. canonicalize + dedup edges (lo, hi) per hash bucket;
+    2. per-node degrees (one bucketed count);
+    3. orient every edge from its lexicographically smaller
+       (degree, node) endpoint — out-degree is then O(sqrt(E)) for any
+       node, so wedge volume is bounded by E^1.5 instead of sum(deg^2)
+       (hub nodes generate NO wedges);
+    4. wedges = per-source out-neighbor pairs (vectorized per-bucket
+       self-merge), each unordered pair emitted once in oriented order;
+    5. close: co-partitioned semi-join of wedges against the oriented
+       edge set — surviving rows ARE the triangles, each counted
+       exactly once (at its minimum-(deg,node) corner).
+
+    Every exchange is a bucketed co-partition; no broadcast, no driver
+    state beyond the final scalar."""
+    from .relational import bucketed_group_map
+
+    e0 = _canon_edges(edges, src_col, dst_col, num_buckets)
+    oriented = _oriented_edges(e0, num_buckets)
     if oriented.count() == 0:
         return 0
 

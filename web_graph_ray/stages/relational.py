@@ -1011,10 +1011,12 @@ def exact_quantile(
     q: float,
     samples_per_block: int = 128,
     max_driver_rows: int = 100_000,
+    k: int | None = None,
 ):
     """EXACT q-quantile (percentile_disc semantics: the k-th smallest
     with k = ceil(q·n) — the smallest value whose cumulative
-    distribution ≥ q), computed distributedly:
+    distribution ≥ q; pass ``k`` explicitly for an arbitrary
+    order-statistic select), computed distributedly:
 
     iterate { sample pivots per block → one vectorized count-≤ pass →
     narrow to the (lo, hi] bracket containing the k-th } until the
@@ -1028,7 +1030,8 @@ def exact_quantile(
     n = vals.count()
     if n == 0:
         return None
-    k = int(np.ceil(q * n))
+    if k is None:
+        k = int(np.ceil(q * n))
     k = min(max(k, 1), n)
 
     lo = None  # bracket is (lo, hi]; None = unbounded
@@ -1092,6 +1095,39 @@ def exact_quantile(
     )
     final.sort(kind="mergesort")
     return final[k_rem - 1].item()
+
+
+def interp_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    samples_per_block: int = 128,
+    max_driver_rows: int = 100_000,
+) -> float | None:
+    """EXACT interpolated q-quantile (SQL percentile_cont / DuckDB
+    quantile_cont semantics): with h = (n−1)·q (0-based), the answer is
+    v⌊h⌋ + (h−⌊h⌋)·(v⌈h⌉ − v⌊h⌋) over the sorted column.  Two
+    :func:`exact_quantile` order-statistic selects (each O(pivots)
+    driver state, 2-3 count passes at any scale) + one lerp — never a
+    global sort, never the column on the driver."""
+    vals = _as_arrow(ds.select_columns([col]))
+    n = vals.count()
+    if n == 0:
+        return None
+    h = (n - 1) * q
+    lo_k = int(np.floor(h)) + 1  # 1-based order statistic
+    frac = h - np.floor(h)
+    v_lo = exact_quantile(
+        ds, col, q, samples_per_block=samples_per_block,
+        max_driver_rows=max_driver_rows, k=lo_k,
+    )
+    if frac == 0.0:
+        return float(v_lo)
+    v_hi = exact_quantile(
+        ds, col, q, samples_per_block=samples_per_block,
+        max_driver_rows=max_driver_rows, k=lo_k + 1,
+    )
+    return float(v_lo) + float(frac) * (float(v_hi) - float(v_lo))
 
 
 def grouped_quantile(
