@@ -3713,13 +3713,15 @@ def q3_shipping_priority(sf_dir: str):
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(li_proj, batch_format="pyarrow")
 
-    per_order = bucketed_agg(
-        bucket_hash_join(li, orders_sel, on=["l_orderkey"]),
-        ["l_orderkey", "o_orderdate_s", "o_orderpriority"],
-        value_col="revenue",
-        how="sum",
-        out_col="revenue",
+    # aggregate-then-join: revenue depends only on lineitem and the
+    # group key is 1:1 with orderkey, so fold lineitem down to one row
+    # per order BEFORE the join — the exchange carries |orders| rows,
+    # not |lineitem|, and the joined rows need no re-aggregation
+    # (the join-then-aggregate shape measured 11.9 s at sf0.1/32 cpus)
+    rev_per_order = bucketed_agg(
+        li, ["l_orderkey"], value_col="revenue", how="sum", out_col="revenue"
     )
+    per_order = bucket_hash_join(rev_per_order, orders_sel, on=["l_orderkey"])
 
     def part_topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -4221,6 +4223,184 @@ def ship_latency_orders(sf_dir: str):
     return out.sort_values("latency_days").reset_index(drop=True)
 
 
+def table_fingerprint_events(sf_dir: str):
+    """Distributed table FINGERPRINT — the audit primitive for
+    verifying a 100 TB copy/migration without moving data: per-bucket
+    (row count, wrapping sum of per-row FNV-1a64 key hashes).  Order-
+    and partitioning-invariant by construction (sum is commutative,
+    uint64 wrap ≡ mod 2^64), so two tables match iff every bucket row
+    matches.  Per-batch combiner folds before the O(buckets) exchange.
+    Checksum is reported mod 2^63 (true-sum mod 2^64 reduces exactly,
+    since 2^63 | 2^64) so it fits SQL bigint."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    ds = _t(sf_dir, "events", ["event_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hv = fnv1a64(df["event_id"].to_numpy(dtype=object))
+        g = pd.DataFrame({"bucket": (hv % np.uint64(64)).astype("int64"), "_h": hv})
+        out = g.groupby("bucket", as_index=False).agg(
+            n_rows=("_h", "size"), checksum=("_h", "sum")  # uint64 wrap = mod 2^64
+        )
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            checksum=("checksum", lambda s: s.to_numpy(dtype="uint64").sum()),
+        )
+        out["checksum"] = (
+            out["checksum"].to_numpy(dtype="uint64") % np.uint64(1 << 63)
+        ).astype("int64")
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    out = bucketed_group_map(
+        ds.map_batches(partial, batch_format="pandas"), ["bucket"], fold
+    ).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def grouped_interp_p90_events(sf_dir: str):
+    """Per-group interpolated p90 (percentile_cont semantics) of event
+    value — stages/relational.py::grouped_quantile(interpolate=True):
+    one bucketed exchange, exact sorted-lerp per group.  The lerp
+    reads the two stored doubles and does the same IEEE ops both
+    sides; 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import grouped_quantile
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = grouped_quantile(
+        ds, ["event_type"], "value", 0.9, out_col="p90", interpolate=True
+    ).to_pandas()
+    out["p90"] = round_half_away(out["p90"].to_numpy(dtype="float64"), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def longest_streak_users(sf_dir: str):
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE days
+    with ≥1 event.  Distinct (user, day) pairs fold through a per-batch
+    dedup combiner; one bucketed exchange on user_id; inside each
+    bucket the island id is the classic day − rank(day) constant,
+    computed vectorized (sort + groupby-cumcount, no row loop)."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400 * _US_PER_S)
+        return pa.table({"user_id": t["user_id"].combine_chunks(), "day": day})
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["user_id", "day"], kind="mergesort")
+        rank = df.groupby("user_id", sort=False).cumcount()
+        isl = df["day"].to_numpy() - rank.to_numpy()
+        g = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "isl": isl})
+        runs = g.groupby(["user_id", "isl"], as_index=False).size()
+        out = runs.groupby("user_id", as_index=False)["size"].max()
+        return out.rename(columns={"size": "longest_streak"}).astype(
+            {"longest_streak": "int64"}
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket, batch_partial=dedup).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def sliding_distinct_users_events(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (6 h window, 1 h hop): distinct
+    users per window.  Distinct doesn't decompose like sums, so the
+    plan is replicate-then-dedup: each event fans out to its 6 covering
+    windows, a per-batch (window, user) dedup combiner shrinks the
+    exchange, one bucketed exact dedup, then an O(windows) count —
+    the standard scale shape when the window multiplicity is a small
+    constant."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    k = 6  # windows covering each event
+
+    def fanout(t: pa.Table) -> pa.Table:
+        h = (
+            pc.divide(pc.cast(t["ts"], pa.int64()), 3_600 * _US_PER_S)
+            .to_numpy(zero_copy_only=False)
+        )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        win = np.repeat(h, k) - np.tile(np.arange(k, dtype=np.int64), len(h))
+        return pa.table(
+            {"win_h": pa.array(win), "user_id": pa.array(np.repeat(u, k))}
+        )
+
+    pairs = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        fanout, batch_format="pyarrow"
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    distinct = bucketed_group_map(
+        pairs, ["win_h", "user_id"], dedup, batch_partial=dedup
+    )
+    out = bucketed_agg(distinct, ["win_h"], out_col="n_users").to_pandas()
+    out["window_start"] = out["win_h"].astype("int64") * 3600
+    out["n_users"] = out["n_users"].astype("int64")
+    return (
+        out[["window_start", "n_users"]]
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+
+
+def time_to_conversion_users(sf_dir: str):
+    """Per-user view→purchase latency: seconds from the FIRST view to
+    the first purchase AT OR AFTER it (users without either drop out).
+    Only view/purchase rows enter the one bucketed exchange; inside
+    each bucket the conditional min is two vectorized groupby passes —
+    all time math on exact int64 µs."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"])))
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            df[df["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["us"]
+            .min()
+            .rename(columns={"us": "t0"})
+        )
+        p = df[df["event_type"] == "purchase"].merge(v, on="user_id")
+        p = p[p["us"] >= p["t0"]]
+        a = p.groupby("user_id", as_index=False).agg(t1=("us", "min"), t0=("t0", "min"))
+        return pd.DataFrame(
+            {
+                "user_id": a["user_id"].to_numpy(),
+                "secs_to_convert": (a["t1"].to_numpy() - a["t0"].to_numpy())
+                // _US_PER_S,
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4411,6 +4591,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interp_quantiles_lineitem": interp_quantiles_lineitem,
         "token_freq_spectrum_documents": token_freq_spectrum_documents,
         "ship_latency_orders": ship_latency_orders,
+        "table_fingerprint_events": table_fingerprint_events,
+        "grouped_interp_p90_events": grouped_interp_p90_events,
+        "longest_streak_users": longest_streak_users,
+        "sliding_distinct_users_events": sliding_distinct_users_events,
+        "time_to_conversion_users": time_to_conversion_users,
     }
 
 
@@ -6280,5 +6465,58 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_orders
             from orders join fs using (o_orderkey)
             group by latency_days order by latency_days
+        """,
+        "table_fingerprint_events": """
+            with h as (
+              select FNV as hv from events),
+            b as (select (hv %% 64)::bigint as bucket, hv from h)
+            select bucket, count(*) as n_rows,
+                   (sum(hv) %% 9223372036854775808)::bigint as checksum
+            from b group by bucket order by bucket
+        """.replace('FNV', _FNV_EVENT_ID).replace('%%', '%'),
+        "grouped_interp_p90_events": """
+            select event_type, round(quantile_cont(value, 0.9), 6) as p90
+            from events group by event_type order by event_type
+        """,
+        "longest_streak_users": """
+            with d as (
+              -- epoch_us floor-division: epoch(ts)::bigint ROUNDS the
+              -- fractional second and flips boundary events
+              select distinct user_id,
+                     (epoch_us(ts) // 86400000000) as day
+              from events),
+            r as (
+              select user_id, day,
+                     day - row_number() over (partition by user_id
+                                              order by day) as isl
+              from d),
+            runs as (select user_id, isl, count(*) as cnt
+                     from r group by user_id, isl)
+            select user_id, max(cnt)::bigint as longest_streak
+            from runs group by user_id order by user_id
+        """,
+        "sliding_distinct_users_events": """
+            with e as (
+              -- epoch_us floor-division (epoch()::bigint would ROUND)
+              select (epoch_us(ts) // 3600000000) as h, user_id from events),
+            w as (
+              select (e.h - k.k) * 3600 as window_start, e.user_id
+              from e cross join (select unnest(range(0, 6)) as k) k)
+            select window_start, count(distinct user_id) as n_users
+            from w group by window_start order by window_start
+        """,
+        "time_to_conversion_users": """
+            with v as (
+              select user_id, min(epoch_us(ts)) as t0
+              from events where event_type = 'view' group by user_id),
+            p as (
+              select e.user_id, min(epoch_us(e.ts)) as t1
+              from events e join v on e.user_id = v.user_id
+              where e.event_type = 'purchase' and epoch_us(e.ts) >= v.t0
+              group by e.user_id)
+            select p.user_id,
+                   ((t1 - t0) // 1000000)::bigint as secs_to_convert
+            from p join v on p.user_id = v.user_id
+            order by p.user_id
         """,
     }

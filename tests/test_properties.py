@@ -1538,3 +1538,18 @@ class TestNtileFromRank:
             )
             mine = ntile_from_rank(np.arange(1, n + 1), n, t)
             assert (sql == mine).all(), (n, t)
+
+
+class TestTableFingerprint:
+    def test_partitioning_invariant(self, ray_session):
+        """The fingerprint is a pure function of row CONTENT — any
+        repartitioning / row order must produce identical bucket rows
+        (the property that makes it a valid cross-copy audit)."""
+        import __ray_entry__ as entrymod
+
+        sf = "/root/testdata/sf0.01"
+        a = entrymod.table_fingerprint_events(sf)
+        b = entrymod.table_fingerprint_events(sf)  # independent plan
+        assert a.equals(b)
+        assert a["n_rows"].sum() == 10000
+        assert (a["checksum"] >= 0).all()

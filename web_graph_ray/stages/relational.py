@@ -1137,17 +1137,27 @@ def grouped_quantile(
     q: float,
     out_col: str = "quantile",
     num_buckets: int = 32,
+    interpolate: bool = False,
 ) -> "ray.data.Dataset":
-    """Exact per-group q-quantile (percentile_disc semantics: k-th
-    smallest, k = ceil(q·n_group)).  One bucketed exchange; quantiles
-    don't admit a combiner, so the shuffle carries the group rows —
-    fine whenever single groups fit a bucket task (the same assumption
-    as sessionize / map_groups; use ``exact_quantile`` per key subset
-    for pathological mega-groups)."""
+    """Exact per-group q-quantile — percentile_disc semantics (k-th
+    smallest, k = ceil(q·n_group)) by default, percentile_cont /
+    quantile_cont linear interpolation with ``interpolate=True``.  One
+    bucketed exchange; quantiles don't admit a combiner, so the
+    shuffle carries the group rows — fine whenever single groups fit a
+    bucket task (the same assumption as sessionize / map_groups; use
+    ``exact_quantile`` / ``interp_quantile`` per key subset for
+    pathological mega-groups)."""
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         def kth(s: pd.Series):
             v = np.sort(s.to_numpy())
+            if interpolate:
+                h = (len(v) - 1) * q
+                lo = int(np.floor(h))
+                frac = h - lo
+                if frac == 0.0:
+                    return float(v[lo])
+                return float(v[lo]) + frac * (float(v[lo + 1]) - float(v[lo]))
             k = min(max(int(np.ceil(q * len(v))), 1), len(v))
             return v[k - 1]
 
