@@ -4401,6 +4401,71 @@ def time_to_conversion_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_documents(sf_dir: str):
+    """Gopher-rules document quality gate (Rae et al. 2021 §A1.1.2, the
+    token-level subset): word count ≥ 30, mean word length in [3, 10],
+    ≥ 80% of words contain an alphabetic character, < 10% of words
+    carry '#' or '...', and ≥ 2 stopwords from the canonical 8-word
+    list.  One stateless vectorized pass (compiled regex per batch, no
+    shuffle at all); every intermediate is an exact integer so the
+    kept flag can't flip on float noise — ratios are emitted at 6 dp
+    for inspection only, the flags divide integers."""
+    import re
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    tok_re = re.compile(r"\S+")
+    alpha_re = re.compile(r"[A-Za-z]")
+    stop = set(_GOPHER_STOPWORDS)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        nw = np.zeros(n, dtype=np.int64)
+        sl = np.zeros(n, dtype=np.int64)
+        na = np.zeros(n, dtype=np.int64)
+        ns = np.zeros(n, dtype=np.int64)
+        nstop = np.zeros(n, dtype=np.int64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            toks = tok_re.findall(txt)
+            nw[i] = len(toks)
+            sl[i] = sum(len(w) for w in toks)
+            na[i] = sum(1 for w in toks if alpha_re.search(w))
+            ns[i] = sum(1 for w in toks if "#" in w or "..." in w)
+            nstop[i] = sum(1 for w in toks if w.lower() in stop)
+        nwf = np.maximum(nw, 1).astype("float64")
+        mwl = sl / nwf
+        kept = (
+            (nw >= 30)
+            & (mwl >= 3.0)
+            & (mwl <= 10.0)
+            & (na / nwf >= 0.8)
+            & (ns / nwf < 0.1)
+            & (nstop >= 2)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_words": pa.array(nw),
+                "mean_word_len": pa.array(round_half_away(mwl, 6)),
+                "alpha_ratio": pa.array(round_half_away(na / nwf, 6)),
+                "symbol_ratio": pa.array(round_half_away(ns / nwf, 6)),
+                "n_stopwords": pa.array(nstop),
+                "kept": pa.array(kept),
+            }
+        )
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4596,6 +4661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak_users": longest_streak_users,
         "sliding_distinct_users_events": sliding_distinct_users_events,
         "time_to_conversion_users": time_to_conversion_users,
+        "gopher_quality_documents": gopher_quality_documents,
     }
 
 
@@ -6518,5 +6584,34 @@ def oracle_sql() -> dict[str, str]:
                    ((t1 - t0) // 1000000)::bigint as secs_to_convert
             from p join v on p.user_id = v.user_id
             order by p.user_id
+        """,
+        "gopher_quality_documents": r"""
+            with t as (
+              select doc_id, unnest(regexp_extract_all(text, '\S+')) w
+              from documents),
+            a as (
+              select doc_id,
+                     count(*) as n_words,
+                     sum(len(w)) as sl,
+                     sum(case when regexp_matches(w, '[A-Za-z]')
+                         then 1 else 0 end) as na,
+                     sum(case when contains(w, '#') or contains(w, '...')
+                         then 1 else 0 end) as ns,
+                     sum(case when lower(w) in ('the','be','to','of',
+                                                'and','that','have','with')
+                         then 1 else 0 end) as n_stopwords
+              from t group by doc_id)
+            select doc_id, n_words,
+                   round(sl / n_words::double, 6) as mean_word_len,
+                   round(na / n_words::double, 6) as alpha_ratio,
+                   round(ns / n_words::double, 6) as symbol_ratio,
+                   n_stopwords,
+                   (n_words >= 30
+                    and sl / n_words::double >= 3.0
+                    and sl / n_words::double <= 10.0
+                    and na / n_words::double >= 0.8
+                    and ns / n_words::double < 0.1
+                    and n_stopwords >= 2) as kept
+            from a order by doc_id
         """,
     }
