@@ -253,8 +253,11 @@ def cosine_pairs(
             }
         )
 
+    # coalesce before the sort-based groupby (per-block fixed cost —
+    # see relational.bucketed_group_map); one task per LSH bucket anyway
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(max(1, min(64, 1 << nbits)))
         .groupby("bucket")
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )

@@ -764,7 +764,13 @@ def global_rank(
         df["rank"] = off[b] + np.arange(1, len(df) + 1, dtype=np.int64)
         return df
 
-    return with_b.groupby("_b").map_groups(rank_bucket, batch_format="pandas")
+    # coalesce before the sort-based groupby (same per-block fixed-cost
+    # rationale as bucketed_group_map; each bucket is one task anyway)
+    return (
+        with_b.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
 
 
 def global_prefix_sum(
@@ -829,7 +835,13 @@ def global_prefix_sum(
         df[out_col] = off[b] + np.concatenate(([0], np.cumsum(v)[:-1]))
         return df
 
-    return with_b.groupby("_b").map_groups(scan_bucket, batch_format="pandas")
+    # coalesce before the sort-based groupby (same per-block fixed-cost
+    # rationale as bucketed_group_map; each bucket is one task anyway)
+    return (
+        with_b.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
 
 
 def mix_corpus(
