@@ -4466,6 +4466,101 @@ def gopher_quality_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def price_bands_lineitem(sf_dir: str):
+    """Keyless gaps-and-islands over a GLOBAL value order
+    (stages/relational.py::value_bands): cluster l_extendedprice into
+    bands split at gaps > 10 — range-bucketed segment summaries with
+    driver-side cross-bucket stitching, O(segments) driver rows, never
+    the column.  lo/hi are stored doubles (no arithmetic)."""
+    from web_graph_ray.stages.relational import value_bands
+
+    return value_bands(
+        _t(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", eps=10.0
+    )
+
+
+def locf_events(sf_dir: str):
+    """Forward fill / LOCF (last observation carried forward): repair a
+    deterministically-nulled value column (event_id % 7 == 0 → null)
+    per user under (ts, event_id) order — the telemetry gap-repair
+    primitive.  One bucketed exchange, vectorized groupby-ffill per
+    bucket; leading nulls stay null on both engines."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype("float64").copy()
+        v[eid % 7 == 0] = np.nan
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_id": t["event_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "v": pa.array(v),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        filled = df.groupby("user_id", sort=False)["v"].ffill()
+        return pd.DataFrame(
+            {"event_id": df["event_id"].to_numpy(), "filled_value": filled.to_numpy()}
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_trigrams_topk(sf_dir: str):
+    """Sequence mining: top-15 per-user event-type TRIGRAMS corpus-wide
+    (order by count desc, lexicographic tie-break).  One bucketed
+    exchange on user_id with vectorized double-shift inside each
+    bucket, a (t1,t2,t3) count fold, then partial-top-k → tiny driver
+    merge; exact integer counts so the cutoff can't flip."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def trigrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same2 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        return pd.DataFrame(
+            {"t1": t[:-2][same2], "t2": t[1:-1][same2], "t3": t[2:][same2]}
+        )
+
+    tri = bucketed_group_map(ds, ["user_id"], trigrams)
+    counts = bucketed_agg(tri, ["t1", "t2", "t3"], out_col="n")
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "t1", "t2", "t3"], ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(15)
+
+    out = counts.map_batches(part_topk, batch_format="pandas").to_pandas()
+    out = part_topk(out).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4662,6 +4757,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users_events": sliding_distinct_users_events,
         "time_to_conversion_users": time_to_conversion_users,
         "gopher_quality_documents": gopher_quality_documents,
+        "price_bands_lineitem": price_bands_lineitem,
+        "locf_events": locf_events,
+        "event_trigrams_topk": event_trigrams_topk,
     }
 
 
@@ -6613,5 +6711,43 @@ def oracle_sql() -> dict[str, str]:
                     and ns / n_words::double < 0.1
                     and n_stopwords >= 2) as kept
             from a order by doc_id
+        """,
+        "price_bands_lineitem": """
+            with o as (
+              select l_extendedprice v,
+                     case when l_extendedprice
+                               - lag(l_extendedprice) over (order by l_extendedprice)
+                               > 10 then 1 else 0 end brk
+              from lineitem),
+            c as (
+              select v, sum(brk) over (order by v
+                                       rows unbounded preceding) + 1 band_id
+              from o)
+            select band_id::bigint as band_id, count(*) as n_rows,
+                   min(v) as lo, max(v) as hi
+            from c group by band_id order by band_id
+        """,
+        "locf_events": """
+            with src as (
+              select event_id, user_id, ts,
+                     case when event_id % 7 = 0 then null else value end as v
+              from events)
+            select event_id,
+                   last_value(v ignore nulls) over (
+                     partition by user_id order by ts, event_id
+                     rows unbounded preceding) as filled_value
+            from src order by event_id
+        """,
+        "event_trigrams_topk": """
+            with s as (
+              select user_id, event_type t1,
+                     lead(event_type, 1) over w t2,
+                     lead(event_type, 2) over w t3
+              from events
+              window w as (partition by user_id order by ts, event_id))
+            select t1, t2, t3, count(*) as n
+            from s where t2 is not null and t3 is not null
+            group by t1, t2, t3
+            order by n desc, t1, t2, t3 limit 15
         """,
     }

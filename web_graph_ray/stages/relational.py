@@ -2039,3 +2039,88 @@ def ntile_from_rank(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
     big = r0 // (q + 1)
     small = rem + (r0 - cut) // q
     return np.where(r0 < cut, big, small).astype(np.int64) + 1
+
+
+def value_bands(
+    ds: "ray.data.Dataset",
+    col: str,
+    eps: float,
+    num_buckets: int = 64,
+    max_segments: int = 200_000,
+) -> pd.DataFrame:
+    """1-D single-linkage clustering over a GLOBAL value order ("value
+    bands"): split the sorted column wherever the gap to the previous
+    value exceeds ``eps``; a band is a maximal run of values with all
+    adjacent gaps ≤ eps.  Returns per-band stats (band_id in value
+    order, n_rows, lo, hi) — the gaps-and-islands pattern WITHOUT a
+    partition key, which needs cross-partition stitching:
+
+    (1) range-bucket rows by value (equal values co-bucket, like
+    global_rank); (2) per bucket: sort, find internal breaks, emit one
+    row PER SEGMENT (n, lo, hi) — never the rows; (3) the driver sorts
+    the O(segments) summary and merges adjacent segments across bucket
+    boundaries when the inter-bucket gap is ≤ eps.  Driver state is
+    O(segments), guarded by ``max_segments`` (a column where every gap
+    exceeds eps degenerates to one band per row — that's a sort, not a
+    banding, and the guard fails loudly instead of OOMing)."""
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(col), ray.data.aggregate.Max(col)
+    )
+    lo_v = float(stats[f"min({col})"])
+    hi_v = float(stats[f"max({col})"])
+    width = (hi_v - lo_v) / num_buckets if hi_v > lo_v else 1.0
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[col]].copy()
+        out["_b"] = np.clip(
+            np.floor((out[col].to_numpy(dtype="float64") - lo_v) / width).astype(
+                np.int64
+            ),
+            0,
+            num_buckets - 1,
+        )
+        return out
+
+    def segments(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["_b"].iloc[0])
+        v = np.sort(df[col].to_numpy(dtype="float64"))
+        brk = np.flatnonzero(np.diff(v) > eps) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(v)]))
+        return pd.DataFrame(
+            {
+                "_b": b,
+                "seg": np.arange(len(starts), dtype=np.int64),
+                "n": (ends - starts).astype(np.int64),
+                "lo": v[starts],
+                "hi": v[ends - 1],
+            }
+        )
+
+    segs = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(segments, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(segs) > max_segments:
+        raise ValueError(
+            f"value_bands: {len(segs)} segments (> max_segments="
+            f"{max_segments}); eps={eps} is too small for a banding — "
+            "raise eps or the cap deliberately."
+        )
+    segs = segs.sort_values(["_b", "seg"], kind="mergesort").reset_index(drop=True)
+    lo_a = segs["lo"].to_numpy()
+    hi_a = segs["hi"].to_numpy()
+    # a new band starts where the gap to the previous segment's hi > eps
+    new_band = np.concatenate(([True], lo_a[1:] - hi_a[:-1] > eps))
+    band = np.cumsum(new_band)
+    out = pd.DataFrame(
+        {"band_id": band, "n_rows": segs["n"], "lo": lo_a, "hi": hi_a}
+    ).groupby("band_id", as_index=False).agg(
+        n_rows=("n_rows", "sum"), lo=("lo", "min"), hi=("hi", "max")
+    )
+    out["band_id"] = out["band_id"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("band_id").reset_index(drop=True)
