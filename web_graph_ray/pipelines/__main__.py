@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -28,8 +29,13 @@ def serve_main(argv: list[str]) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False, logging_level="ERROR")
+        # honor RAY_ADDRESS so `ray job submit` connects to the cluster;
+        # num_cpus is only meaningful (or legal) when starting local mode
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=addr, **kwargs)
     import logging
 
     import ray.data
@@ -89,12 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=args.num_cpus,
-            include_dashboard=False,
-            logging_level="ERROR",
-        )
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if addr == "local":
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address=addr, **kwargs)
     import logging
 
     import ray.data
