@@ -4561,6 +4561,65 @@ def event_trigrams_topk(sf_dir: str):
     return out
 
 
+def containment_pairs_documents(sf_dir: str):
+    """Shingle CONTAINMENT near-dup pairs (Broder's max-containment,
+    |A∩B|/min(|A|,|B|) ≥ 0.6): catches subset duplicates — quoted or
+    truncated copies — that Jaccard dilutes.  Same df-capped blocking +
+    exact verify plan as ngram_jaccard_pairs (score='containment')."""
+    from web_graph_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.6, score="containment").to_pandas()
+    return _round_cols(out, {"containment": 6}).sort_values(["a", "b"]).reset_index(
+        drop=True
+    )
+
+
+def cohort_matrix_events(sf_dir: str):
+    """Weekly cohort-retention MATRIX: users bucketed by first-seen
+    week (min combiner), every (cohort, week-offset, user) made
+    distinct through a per-batch dedup combiner + one bucketed exact
+    dedup, then an O(cohorts·offsets) count — the standard growth
+    analytics surface.  All week math on exact int64 µs."""
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    wk_us = 7 * 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "wk": pc.divide(pc.cast(t["ts"], pa.int64()), wk_us),
+            }
+        )
+
+    w = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(proj, batch_format="pyarrow")
+    first = bucketed_agg(w, ["user_id"], value_col="wk", how="min", out_col="cw")
+    j = bucket_hash_join(w, first, on=["user_id"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    distinct = bucketed_group_map(
+        j, ["user_id", "wk"], dedup, batch_partial=dedup
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "cohort_start": df["cw"].to_numpy() * (7 * 86_400),
+                "offset_weeks": df["wk"].to_numpy() - df["cw"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = bucketed_agg(distinct, ["cohort_start", "offset_weeks"], out_col="n_users").to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_start", "offset_weeks"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4760,6 +4819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bands_lineitem": price_bands_lineitem,
         "locf_events": locf_events,
         "event_trigrams_topk": event_trigrams_topk,
+        "containment_pairs_documents": containment_pairs_documents,
+        "cohort_matrix_events": cohort_matrix_events,
     }
 
 
@@ -6749,5 +6810,40 @@ def oracle_sql() -> dict[str, str]:
             from s where t2 is not null and t3 is not null
             group by t1, t2, t3
             order by n desc, t1, t2, t3 limit 15
+        """,
+        "containment_pairs_documents": """
+            with d as (select doc_id, lower(text) t from documents),
+            sh as (
+              select distinct doc_id, substr(t, i, 5) sh
+              from d cross join generate_series(1, 4000) g(i)
+              where i <= length(t) - 4),
+            sizes as (select doc_id, count(*) n from sh group by 1),
+            rare as (select sh from sh group by sh
+                     having count(*) <= greatest(20, (select count(*) from sizes) // 100)),
+            cand as (select s1.doc_id a, s2.doc_id b
+                     from sh s1 join sh s2 using (sh)
+                     where s1.doc_id < s2.doc_id and sh in (select sh from rare)
+                     group by 1, 2 having count(*) >= 5),
+            inter as (select s1.doc_id a, s2.doc_id b, count(*) i
+                      from sh s1 join sh s2 using (sh)
+                      join cand on cand.a = s1.doc_id and cand.b = s2.doc_id
+                      group by 1, 2),
+            con as (select a, b,
+                           round(cast(i as double) / least(na.n, nb.n), 6) containment
+                    from inter
+                    join sizes na on na.doc_id = a
+                    join sizes nb on nb.doc_id = b)
+            select a, b, containment from con where containment >= 0.6
+        """,
+        "cohort_matrix_events": """
+            with w as (
+              select user_id, (epoch_us(ts) // 604800000000) wk from events),
+            c as (select user_id, min(wk) cw from w group by user_id)
+            select cw * 604800 as cohort_start,
+                   (wk - cw) as offset_weeks,
+                   count(distinct w.user_id) as n_users
+            from w join c using (user_id)
+            group by cohort_start, offset_weeks
+            order by cohort_start, offset_weeks
         """,
     }

@@ -127,8 +127,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_block: int | None = None,
     min_shared: int = 5,
+    score: str = "jaccard",
 ) -> "ray.data.Dataset":
-    """Exact character-k-gram Jaccard duplicate pairs.
+    """Exact character-k-gram near-duplicate pairs — ``score`` picks the
+    measure: "jaccard" = |A∩B| / |A∪B| (symmetric resemblance) or
+    "containment" = |A∩B| / min(|A|, |B|) (Broder's max-containment —
+    catches subset duplicates like quoted or truncated copies that
+    Jaccard dilutes).  Same blocking/verify plan either way.
 
     1. explode distinct shingles per doc (map_batches, 1→N)
     2. candidates: pairs sharing ≥ ``min_shared`` RARE shingles (doc
@@ -195,7 +200,7 @@ def ngram_jaccard_pairs(
             pa.Table.from_pydict(
                 {"a": pa.array([], type=pa.int64()),
                  "b": pa.array([], type=pa.int64()),
-                 "jaccard": pa.array([], type=pa.float64())}
+                 score: pa.array([], type=pa.float64())}
             )
         )
 
@@ -259,24 +264,27 @@ def ngram_jaccard_pairs(
         sz_df = sizes.to_pandas()
         n_ref = ray.put(dict(zip(sz_df[id_col], sz_df["count()"])))
 
-        def score(batch: pa.Table) -> pa.Table:
+        def score_bcast(batch: pa.Table) -> pa.Table:
             n = ray.get(n_ref)
             a = batch["a"].to_pylist()
             b = batch["b"].to_pylist()
             inter_n = np.asarray(batch["count()"].to_pylist(), dtype=np.float64)
             na = np.asarray([n[x] for x in a], dtype=np.float64)
             nb = np.asarray([n[y] for y in b], dtype=np.float64)
-            jac = inter_n / (na + nb - inter_n)
+            if score == "containment":
+                val = inter_n / np.minimum(na, nb)
+            else:
+                val = inter_n / (na + nb - inter_n)
             t = pa.Table.from_pydict(
                 {
                     "a": pa.array(a, type=pa.int64()),
                     "b": pa.array(b, type=pa.int64()),
-                    "jaccard": pa.array(jac, type=pa.float64()),
+                    score: pa.array(val, type=pa.float64()),
                 }
             )
-            return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
+            return t.filter(pa.compute.greater_equal(t[score], threshold))
 
-        return inter.map_batches(score, batch_format="pyarrow")
+        return inter.map_batches(score_bcast, batch_format="pyarrow")
 
     size_a = sizes.map_batches(
         lambda t: pa.Table.from_pydict(
@@ -300,16 +308,19 @@ def ngram_jaccard_pairs(
         inter_n = batch["count()"].cast(pa.float64())
         na = batch["n_a"].cast(pa.float64())
         nb = batch["n_b"].cast(pa.float64())
-        union = pa.compute.subtract(pa.compute.add(na, nb), inter_n)
-        jac = pa.compute.divide(inter_n, union)
+        if score == "containment":
+            denom = pa.compute.min_element_wise(na, nb)
+        else:
+            denom = pa.compute.subtract(pa.compute.add(na, nb), inter_n)
+        val = pa.compute.divide(inter_n, denom)
         t = pa.Table.from_pydict(
             {
                 "a": batch["a"].combine_chunks().cast(pa.int64()),
                 "b": batch["b"].combine_chunks().cast(pa.int64()),
-                "jaccard": jac,
+                score: val,
             }
         )
-        return t.filter(pa.compute.greater_equal(t["jaccard"], threshold))
+        return t.filter(pa.compute.greater_equal(t[score], threshold))
 
     return joined.map_batches(score_j, batch_format="pyarrow")
 
