@@ -1553,3 +1553,43 @@ class TestTableFingerprint:
         assert a.equals(b)
         assert a["n_rows"].sum() == 10000
         assert (a["checksum"] >= 0).all()
+
+
+class TestValueBands:
+    def test_matches_local_single_linkage(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import value_bands
+
+        rng = np.random.default_rng(9)
+        # three well-separated clusters + duplicates
+        v = np.concatenate([
+            rng.uniform(0, 10, 400), rng.uniform(100, 120, 300),
+            rng.uniform(500, 501, 200), [505.0, 505.0],
+        ])
+        ds = ray.data.from_pandas(pd.DataFrame({"x": v})).repartition(7)
+        got = value_bands(ds, "x", eps=5.0)
+
+        sv = np.sort(v)
+        brk = np.flatnonzero(np.diff(sv) > 5.0) + 1
+        bands = np.split(sv, brk)
+        assert len(got) == len(bands)
+        for row, seg in zip(got.itertuples(index=False), bands):
+            assert row.n_rows == len(seg)
+            assert row.lo == seg[0] and row.hi == seg[-1]
+
+    def test_degenerate_eps_guard(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest
+        import ray.data
+
+        from web_graph_ray.stages.relational import value_bands
+
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"x": np.arange(0, 5000, dtype="float64") * 10})
+        )
+        with pytest.raises(ValueError, match="max_segments"):
+            value_bands(ds, "x", eps=1.0, max_segments=100)
