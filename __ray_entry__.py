@@ -4436,7 +4436,13 @@ def gopher_quality_documents(sf_dir: str):
             na[i] = sum(1 for w in toks if alpha_re.search(w))
             ns[i] = sum(1 for w in toks if "#" in w or "..." in w)
             nstop[i] = sum(1 for w in toks if w.lower() in stop)
-        nwf = np.maximum(nw, 1).astype("float64")
+        # token-less docs produce ZERO rows in the unnest-based twin;
+        # drop them here too so the row sets agree on any corpus
+        has = nw > 0
+        ids, nw, sl, na, ns, nstop = (
+            ids[has], nw[has], sl[has], na[has], ns[has], nstop[has]
+        )
+        nwf = nw.astype("float64")
         mwl = sl / nwf
         kept = (
             (nw >= 30)

@@ -1593,3 +1593,33 @@ class TestValueBands:
         )
         with pytest.raises(ValueError, match="max_segments"):
             value_bands(ds, "x", eps=1.0, max_segments=100)
+
+
+class TestBloomDtypeParity:
+    def test_int32_keys_probe_int64(self, ray_session):
+        """hash_pandas_object hashes raw native-width bytes, so an
+        int32-keyed build probed by int64 keys would false-negative
+        every match without the cast_to alignment — the silent-drop bug
+        class bucket_semi_join already defends against."""
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.stages.relational import bloom_semi_join, bucket_semi_join
+
+        big = pd.DataFrame(
+            {"k": np.arange(-500, 500, dtype=np.int64), "v": np.arange(1000)}
+        )
+        keys = pd.DataFrame({"k": np.arange(-500, 500, 7, dtype=np.int32)})
+        big_ds = ray.data.from_pandas(big).repartition(4)
+        keys_ds = ray.data.from_pandas(keys).repartition(2)
+        got = (
+            bloom_semi_join(big_ds, keys_ds, ["k"], m_bits=1 << 14)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        exp = (
+            bucket_semi_join(big_ds, keys_ds, ["k"])
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert len(exp) == len(keys)  # sanity: the exact path matches all keys
+        assert got.equals(exp)

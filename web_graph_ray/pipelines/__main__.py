@@ -14,6 +14,21 @@ import os
 import sys
 
 
+def _init_ray(num_cpus: int | None) -> None:
+    """Session init shared by every CLI entrypoint: honor RAY_ADDRESS so
+    `ray job submit` connects to the cluster; num_cpus is only
+    meaningful (or legal) when starting local mode."""
+    import ray
+
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS", "local")
+    kwargs = dict(include_dashboard=False, logging_level="ERROR")
+    if addr == "local":
+        kwargs["num_cpus"] = num_cpus
+    ray.init(address=addr, **kwargs)
+
+
 def serve_main(argv: list[str]) -> int:
     """``python -m web_graph_ray.pipelines serve``: HTTP layer over a
     crawled work dir — the reference's link-api routes
@@ -26,16 +41,7 @@ def serve_main(argv: list[str]) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
-    import ray
-
-    if not ray.is_initialized():
-        # honor RAY_ADDRESS so `ray job submit` connects to the cluster;
-        # num_cpus is only meaningful (or legal) when starting local mode
-        addr = os.environ.get("RAY_ADDRESS", "local")
-        kwargs = dict(include_dashboard=False, logging_level="ERROR")
-        if addr == "local":
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=addr, **kwargs)
+    _init_ray(args.num_cpus)
     import logging
 
     import ray.data
@@ -92,14 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     if not seeds and not resuming:
         p.error("need --seeds-file/--seed-url for a fresh crawl")
 
-    import ray
-
-    if not ray.is_initialized():
-        addr = os.environ.get("RAY_ADDRESS", "local")
-        kwargs = dict(include_dashboard=False, logging_level="ERROR")
-        if addr == "local":
-            kwargs["num_cpus"] = args.num_cpus
-        ray.init(address=addr, **kwargs)
+    _init_ray(args.num_cpus)
     import logging
 
     import ray.data

@@ -481,7 +481,7 @@ def _canon_edges(
 
 
 def _oriented_edges(
-    e0: "ray.data.Dataset", num_buckets: int
+    e0: "ray.data.Dataset", num_buckets: int, deg: "ray.data.Dataset | None" = None
 ) -> "ray.data.Dataset":
     """Degree-orient the canonical edge set (Schank & Wagner): every
     edge points from its lexicographically smaller (degree, node)
@@ -493,9 +493,10 @@ def _oriented_edges(
     Distributed blocks, never driver rows."""
     from .relational import bucket_hash_join
 
-    deg = degrees(e0, "lo", "hi", num_buckets=num_buckets).map_batches(
-        lambda df: df[["node", "deg"]], batch_format="pandas"
-    )
+    if deg is None:
+        deg = degrees(e0, "lo", "hi", num_buckets=num_buckets).map_batches(
+            lambda df: df[["node", "deg"]], batch_format="pandas"
+        )
 
     j = bucket_hash_join(
         e0,
@@ -530,6 +531,40 @@ def _oriented_edges(
     return j.map_batches(orient, batch_format="pandas").materialize()
 
 
+def _wedge_fn(with_apex: bool):
+    """Per-bucket wedge generator over oriented edges grouped by source
+    u: each out-neighbor pair (v1, v2) in min-(deg, node)-first order is
+    one wedge.  ONE definition of the corner-ordering predicate — the
+    triangle counter and the per-node crediting must agree on which
+    corner discovers a triangle."""
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="u", suffixes=("_1", "_2"))
+        first = (m["v_deg_1"] < m["v_deg_2"]) | (
+            (m["v_deg_1"] == m["v_deg_2"]) & (m["v_1"] < m["v_2"])
+        )
+        m = m[first]
+        out = {"u": m["v_1"], "v": m["v_2"]}
+        if with_apex:
+            out["apex"] = m["u"]
+        return pd.DataFrame(out)
+
+    return wedge_pairs
+
+
+def _tag_uv(side: int, with_apex: bool):
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u", "v"]].copy()
+        if with_apex:
+            # side-1 (edge) rows never read apex; duplicating u keeps
+            # the union schema dtype-stable for any node type
+            out["apex"] = df["apex"] if side == 0 else df["u"]
+        out["_side"] = np.int8(side)
+        return out
+
+    return f
+
+
 def clustering_coefficients(
     edges: "ray.data.Dataset",
     src_col: str = "src",
@@ -547,11 +582,14 @@ def clustering_coefficients(
     never the triangle list."""
     from .relational import bucket_left_join, bucketed_agg, bucketed_group_map
 
-    e0 = _canon_edges(edges, src_col, dst_col, num_buckets)
+    # e0 feeds BOTH the degree pass and the orientation joins — without
+    # materializing, its canon+dedup exchange re-executes per consumer;
+    # deg likewise feeds orientation AND the final left join
+    e0 = _canon_edges(edges, src_col, dst_col, num_buckets).materialize()
     deg = degrees(e0, "lo", "hi", num_buckets=num_buckets).map_batches(
         lambda df: df[["node", "deg"]], batch_format="pandas"
-    )
-    oriented = _oriented_edges(e0, num_buckets)
+    ).materialize()
+    oriented = _oriented_edges(e0, num_buckets, deg=deg)
 
     def zero_fill(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -567,28 +605,10 @@ def clustering_coefficients(
             lambda df: df.assign(triangles=np.int64(0)), batch_format="pandas"
         )
 
-    def wedge_pairs_apex(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="u", suffixes=("_1", "_2"))
-        first = (m["v_deg_1"] < m["v_deg_2"]) | (
-            (m["v_deg_1"] == m["v_deg_2"]) & (m["v_1"] < m["v_2"])
-        )
-        m = m[first]
-        return pd.DataFrame({"u": m["v_1"], "v": m["v_2"], "apex": m["u"]})
-
     wedges = bucketed_group_map(
-        oriented, ["u"], wedge_pairs_apex, num_buckets=num_buckets
+        oriented, ["u"], _wedge_fn(with_apex=True), num_buckets=num_buckets
     )
-
-    def tag(side: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["u", "v"]].copy()
-            # side-1 (edge) rows never read apex; duplicating u keeps
-            # the union schema dtype-stable for any node type
-            out["apex"] = df["apex"] if side == 0 else df["u"]
-            out["_side"] = np.int8(side)
-            return out
-
-        return f
+    tag = lambda side: _tag_uv(side, with_apex=True)  # noqa: E731
 
     def credit_corners(df: pd.DataFrame) -> pd.DataFrame:
         e = df[df["_side"] == 1][["u", "v"]].drop_duplicates()
@@ -654,16 +674,8 @@ def triangle_count(
     if oriented.count() == 0:
         return 0
 
-    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="u", suffixes=("_1", "_2"))
-        first = (m["v_deg_1"] < m["v_deg_2"]) | (
-            (m["v_deg_1"] == m["v_deg_2"]) & (m["v_1"] < m["v_2"])
-        )
-        m = m[first]
-        return pd.DataFrame({"u": m["v_1"], "v": m["v_2"]})
-
     wedges = bucketed_group_map(
-        oriented, ["u"], wedge_pairs, num_buckets=num_buckets
+        oriented, ["u"], _wedge_fn(with_apex=False), num_buckets=num_buckets
     )
 
     # closing semi-join, inlined as one co-partitioned exchange: a
@@ -672,13 +684,7 @@ def triangle_count(
     # generic bucket_semi_join cannot plan around; tagging both sides
     # explicitly sidesteps schema introspection and returns one count
     # row per bucket (O(num_buckets) driver rows)
-    def tag(side: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["u", "v"]].copy()
-            out["_side"] = np.int8(side)
-            return out
-
-        return f
+    tag = lambda side: _tag_uv(side, with_apex=False)  # noqa: E731
 
     def count_closed(df: pd.DataFrame) -> pd.DataFrame:
         e = df[df["_side"] == 1][["u", "v"]].drop_duplicates()

@@ -1033,11 +1033,15 @@ def exact_quantile(
     samples_per_block: int = 128,
     max_driver_rows: int = 100_000,
     k: int | None = None,
+    also_next: bool = False,
 ):
     """EXACT q-quantile (percentile_disc semantics: the k-th smallest
     with k = ceil(q·n) — the smallest value whose cumulative
     distribution ≥ q; pass ``k`` explicitly for an arbitrary
-    order-statistic select), computed distributedly:
+    order-statistic select; ``also_next=True`` returns the pair
+    (k-th, (k+1)-th or None) from the SAME bracket search — the
+    interpolation path needs adjacent order statistics and must not
+    pay two full searches), computed distributedly:
 
     iterate { sample pivots per block → one vectorized count-≤ pass →
     narrow to the (lo, hi] bracket containing the k-th } until the
@@ -1050,7 +1054,7 @@ def exact_quantile(
     vals = _as_arrow(ds.select_columns([col]))
     n = vals.count()
     if n == 0:
-        return None
+        return (None, None) if also_next else None
     if k is None:
         k = int(np.ceil(q * n))
     k = min(max(k, 1), n)
@@ -1108,13 +1112,21 @@ def exact_quantile(
             # pivots could not split the bracket ⇒ every remaining value
             # equals hi (block samples always include smaller values
             # when they exist) — hi IS the answer
-            return hi.item() if hasattr(hi, "item") else hi
+            v = hi.item() if hasattr(hi, "item") else hi
+            if also_next:
+                # the (k+1)-th lies in this all-equal bracket too unless
+                # the k-th is its last element
+                return (v, v if k_rem < count_in else None)
+            return v
     final = (
         vals.map_batches(bracket_filter, batch_format="pyarrow")
         .to_pandas()[col]
         .to_numpy()
     )
     final.sort(kind="mergesort")
+    if also_next:
+        nxt = final[k_rem].item() if k_rem < len(final) else None
+        return (final[k_rem - 1].item(), nxt)
     return final[k_rem - 1].item()
 
 
@@ -1138,16 +1150,25 @@ def interp_quantile(
     h = (n - 1) * q
     lo_k = int(np.floor(h)) + 1  # 1-based order statistic
     frac = h - np.floor(h)
-    v_lo = exact_quantile(
-        ds, col, q, samples_per_block=samples_per_block,
-        max_driver_rows=max_driver_rows, k=lo_k,
-    )
     if frac == 0.0:
-        return float(v_lo)
-    v_hi = exact_quantile(
+        return float(
+            exact_quantile(
+                ds, col, q, samples_per_block=samples_per_block,
+                max_driver_rows=max_driver_rows, k=lo_k,
+            )
+        )
+    # one bracket search yields BOTH adjacent order statistics; only
+    # when the k-th is the bracket's last element (rare) does the
+    # (k+1)-th need its own search
+    v_lo, v_hi = exact_quantile(
         ds, col, q, samples_per_block=samples_per_block,
-        max_driver_rows=max_driver_rows, k=lo_k + 1,
+        max_driver_rows=max_driver_rows, k=lo_k, also_next=True,
     )
+    if v_hi is None:
+        v_hi = exact_quantile(
+            ds, col, q, samples_per_block=samples_per_block,
+            max_driver_rows=max_driver_rows, k=lo_k + 1,
+        )
     return float(v_lo) + float(frac) * (float(v_hi) - float(v_lo))
 
 
@@ -1962,16 +1983,23 @@ def _bloom_hashes(df: pd.DataFrame, on: list[str]) -> tuple[np.ndarray, np.ndarr
 
 
 def build_bloom(keys: "ray.data.Dataset", on: list[str], m_bits: int = 1 << 23,
-                k: int = 4) -> np.ndarray:
+                k: int = 4, cast_to: dict | None = None) -> np.ndarray:
     """Distributed Bloom-filter build: each block maps to an m/8-byte
     partial bitmap (vectorized np.bitwise_or.at), the driver OR-folds
     the partials — O(blocks · m/8) driver bytes, never the keys
     themselves.  m_bits=2^23 (1 MiB) holds ~1.4 M keys at k=4 under 5%
-    false positives; callers size m to the expected key count."""
+    false positives; callers size m to the expected key count.
+
+    ``cast_to`` (col → pandas dtype) aligns the key dtypes with the
+    PROBE side before hashing: hash_pandas_object hashes raw
+    native-width bytes, so int32 −1 and int64 −1 hash differently —
+    an unaligned build would silently false-negative matching rows."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits >> 3, dtype=np.uint8)
         if len(df):
+            if cast_to:
+                df = df.astype(cast_to, copy=False)
             h1, h2 = _bloom_hashes(df, on)
             pos = _bloom_positions(h1, h2, k, m_bits).ravel()
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
@@ -2015,8 +2043,20 @@ def bloom_semi_join(
     but the all-to-all exchange carries only the pruned survivor rows
     — the classic big-probe/small-build semi-join shape at 100 TB
     (e.g. "orders of flagged customers") where even the key SET is too
-    big to broadcast exactly but an m-bit filter is not."""
-    bits_ref = ray.put(build_bloom(keys, on, m_bits=m_bits, k=k))
+    big to broadcast exactly but an m-bit filter is not.
+
+    The key set is materialized (it is small by the operator's own
+    premise) so its lineage is not re-executed by the scrub pass, and
+    its key dtypes are cast to the probe side's before hashing (raw
+    native-width bytes: int32 keys vs int64 probes would otherwise
+    silently drop every match)."""
+    keys = _as_arrow(keys).materialize()
+    ds = _as_arrow(ds)
+    schema = ds.schema()
+    probe_dtypes = {
+        n: t.to_pandas_dtype() for n, t in zip(schema.names, schema.types) if n in on
+    }
+    bits_ref = ray.put(build_bloom(keys, on, m_bits=m_bits, k=k, cast_to=probe_dtypes))
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         return df[bloom_probe_mask(df, on, ray.get(bits_ref), m_bits, k)]
@@ -2072,12 +2112,14 @@ def value_bands(
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[col]].copy()
+        v = out[col].to_numpy(dtype="float64")
+        if np.isnan(v).any():
+            raise ValueError(
+                f"value_bands: column {col!r} contains NaN/NULL; gap "
+                "comparisons are ill-defined — filter first."
+            )
         out["_b"] = np.clip(
-            np.floor((out[col].to_numpy(dtype="float64") - lo_v) / width).astype(
-                np.int64
-            ),
-            0,
-            num_buckets - 1,
+            np.floor((v - lo_v) / width).astype(np.int64), 0, num_buckets - 1
         )
         return out
 
@@ -2097,19 +2139,24 @@ def value_bands(
             }
         )
 
-    segs = (
+    segs_ds = (
         ds.map_batches(add_bucket, batch_format="pandas")
         .repartition(num_buckets)
         .groupby("_b")
         .map_groups(segments, batch_format="pandas")
-        .to_pandas()
+        .materialize()
     )
-    if len(segs) > max_segments:
+    # guard BEFORE collecting: an every-gap-exceeds-eps column emits one
+    # segment per row, and pulling that to the driver IS the OOM the
+    # guard exists to prevent
+    n_segs = segs_ds.count()
+    if n_segs > max_segments:
         raise ValueError(
-            f"value_bands: {len(segs)} segments (> max_segments="
+            f"value_bands: {n_segs} segments (> max_segments="
             f"{max_segments}); eps={eps} is too small for a banding — "
             "raise eps or the cap deliberately."
         )
+    segs = segs_ds.to_pandas()
     segs = segs.sort_values(["_b", "seg"], kind="mergesort").reset_index(drop=True)
     lo_a = segs["lo"].to_numpy()
     hi_a = segs["hi"].to_numpy()
