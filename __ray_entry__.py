@@ -4626,6 +4626,351 @@ def cohort_matrix_events(sf_dir: str):
     return out.sort_values(["cohort_start", "offset_weeks"]).reset_index(drop=True)
 
 
+def ema_users_events(sf_dir: str):
+    """Per-user FINAL exponential moving average of value (α=0.5) under
+    (ts, event_id) order — the streaming-feature smoother.  One bucketed
+    exchange; inside each bucket pandas' cython grouped ewm
+    (adjust=False ⇒ y_t = 0.5·y_{t-1} + 0.5·x_t, y_0 = x_0), which is
+    bit-identical to the twin's left list_reduce fold."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+                "v": t["value"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        ema = (
+            df.groupby("user_id", sort=False)["v"]
+            .ewm(alpha=0.5, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        last = ~df["user_id"].duplicated(keep="last").to_numpy()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy()[last],
+                "ema_value": round_half_away(ema[last], 6),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def mom_revenue_orders(sf_dir: str):
+    """Month-over-month revenue growth: grouped monthly sums (per-batch
+    partial combiner → tiny final), growth computed on the ROUNDED
+    revenues so the ratio is deterministic across summation orders.
+    O(months) driver rows only."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(t["o_orderdate"], format="%Y-%m"),
+                "v": t["o_totalprice"].combine_chunks(),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("month", as_index=False)["v"].sum()
+
+    parts = (
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(proj, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    m = parts.groupby("month", as_index=False)["v"].sum().sort_values("month")
+    rev = round_half_away(m["v"].to_numpy(), 2)
+    prev = np.roll(rev, 1)
+    growth = round_half_away((rev - prev) / prev, 6)
+    growth[0] = np.nan
+    return pd.DataFrame(
+        {"month": m["month"].to_numpy(), "revenue": rev, "mom_growth": growth}
+    ).reset_index(drop=True)
+
+
+def autocorr_daily_events(sf_dir: str):
+    """Lag-1 autocorrelation of the daily event-count series — the
+    load-seasonality scalar.  Daily counts via per-batch partials (tiny:
+    O(days) rows collect), then Pearson r from EXACT integer moment sums
+    (python ints, no overflow) so both engines divide identical floats."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.divide(pc.cast(t["ts"], pa.int64()), 86_400 * _US_PER_S)}
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("day", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = (
+        _t(sf_dir, "events", ["ts"])
+        .map_batches(proj, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    d = parts.groupby("day", as_index=False)["n"].sum().sort_values("day")
+    n = [int(x) for x in d["n"].to_numpy()]
+    cur, prv = n[1:], n[:-1]
+    cnt = len(cur)
+    sx, sy = sum(cur), sum(prv)
+    sxx = sum(x * x for x in cur)
+    syy = sum(y * y for y in prv)
+    sxy = sum(x * y for x, y in zip(cur, prv))
+    import math
+
+    r = (cnt * sxy - sx * sy) / (
+        math.sqrt(cnt * sxx - sx * sx) * math.sqrt(cnt * syy - sy * sy)
+    )
+    return pd.DataFrame({"lag1_autocorr": round_half_away(np.array([r]), 6)})
+
+
+def benford_lineitem(sf_dir: str):
+    """First-significant-digit distribution of l_extendedprice (Benford
+    audit).  Vectorized digit extraction (log-step integer halving, no
+    strings), per-batch partial counts → O(9×blocks) collect; shares
+    from exact integer counts."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def digits(t: pa.Table) -> pd.DataFrame:
+        d = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        dig, cnt = np.unique(d, return_counts=True)
+        return pd.DataFrame({"digit": dig, "n": cnt})
+
+    parts = (
+        _t(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(digits, batch_format="pyarrow")
+        .to_pandas()
+    )
+    c = parts.groupby("digit", as_index=False)["n"].sum().sort_values("digit")
+    tot = int(c["n"].sum())
+    return pd.DataFrame(
+        {
+            "digit": c["digit"].to_numpy().astype("int64"),
+            "n": c["n"].to_numpy().astype("int64"),
+            "share": round_half_away(c["n"].to_numpy() / tot, 6),
+        }
+    ).reset_index(drop=True)
+
+
+def target_encode_events(sf_dir: str):
+    """Smoothed target encoding of event_type on value — the leakage-safe
+    categorical featurizer: enc = (Σv + m·ȳ)/(n + m), m=50.  Per-batch
+    (type, sum, count) partials → O(types×blocks) collect; sums rounded
+    to 2 dp on both engines before the smoothing arithmetic."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type").agg(s=("value", "sum"), n=("value", "size"))
+        return g.reset_index()
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby("event_type", as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum")
+    )
+    gs = float(round_half_away(np.array([g["s"].sum()]), 2)[0])
+    gn = int(g["n"].sum())
+    s = round_half_away(g["s"].to_numpy(), 2)
+    n = g["n"].to_numpy().astype("int64")
+    enc = round_half_away((s + 50 * (gs / gn)) / (n + 50), 6)
+    return (
+        pd.DataFrame({"event_type": g["event_type"], "n": n, "enc": enc})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def kaplan_meier_users(sf_dir: str):
+    """Kaplan-Meier survival of user LIFETIME (days between first and
+    last event; no censoring, so S(t) is the exact empirical tail
+    share).  Bucketed per-user min/max (combiner pattern) → O(distinct
+    lifetimes) collect; survival from exact integer counts."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def span(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id")["us"].agg(["min", "max"])
+        return pd.DataFrame({"lt": (g["max"] - g["min"]) // day_us})
+
+    lt = bucketed_group_map(ds, ["user_id"], span)
+    counts = (
+        lt.map_batches(
+            lambda df: df.groupby("lt", as_index=False)
+            .size()
+            .rename(columns={"size": "d"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("lt", as_index=False)["d"]
+        .sum()
+        .sort_values("lt")
+    )
+    d = counts["d"].to_numpy().astype("int64")
+    total = int(d.sum())
+    cum = np.cumsum(d)
+    return pd.DataFrame(
+        {
+            "lifetime_days": counts["lt"].to_numpy().astype("int64"),
+            "n_at_risk": (total - (cum - d)).astype("int64"),
+            "survival": round_half_away((total - cum) / total, 6),
+        }
+    ).reset_index(drop=True)
+
+
+_BM25_TERMS = ("hash", "merge", "window")
+
+
+def bm25_topk_documents(sf_dir: str):
+    """BM25 (k1=1.2, b=0.75) top-20 docs for a fixed 3-term query — the
+    lexical-retrieval scorer.  Two streaming passes over a pruned
+    2-column read: (1) per-batch partial corpus stats (N, Σdl, per-term
+    df) → O(terms×blocks) collect; (2) score per batch against the
+    broadcast stats, per-block partial top-20 → tiny driver merge.
+    Term contributions are summed in ALPHABETICAL term order on both
+    engines (the twin uses an ordered list fold) so the 6-dp cutoff
+    cannot flip."""
+    import re
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    terms = sorted(_BM25_TERMS)
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        n_docs = len(texts)
+        tot_dl = 0
+        df_counts = {w: 0 for w in terms}
+        for s in texts:
+            toks = tok_re.findall(s.lower())
+            tot_dl += len(toks)
+            seen = set(toks)
+            for w in terms:
+                if w in seen:
+                    df_counts[w] += 1
+        return pd.DataFrame(
+            {
+                "n_docs": [n_docs],
+                "tot_dl": [tot_dl],
+                **{f"df_{w}": [df_counts[w]] for w in terms},
+            }
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    st = docs.map_batches(stats_partial, batch_format="pyarrow").to_pandas().sum()
+    n_total = int(st["n_docs"])
+    avgdl = float(st["tot_dl"]) / n_total
+    idf = {
+        w: float(
+            np.log(
+                (n_total - int(st[f"df_{w}"]) + 0.5) / (int(st[f"df_{w}"]) + 0.5) + 1
+            )
+        )
+        for w in terms
+    }
+
+    k1, b = 1.2, 0.75
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows = []
+        for i, s in enumerate(t["text"].to_pylist()):
+            toks = tok_re.findall(s.lower())
+            dl = len(toks)
+            sc = 0.0
+            hit = False
+            for w in terms:
+                tf = toks.count(w)
+                if tf:
+                    hit = True
+                    sc = sc + idf[w] * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+            if hit:
+                rows.append((int(ids[i]), sc))
+        out = pd.DataFrame(rows, columns=["doc_id", "raw"])
+        out["bm25"] = round_half_away(out["raw"].to_numpy(), 6)
+        out = out.drop(columns=["raw"]).sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return out.head(20)
+
+    parts = docs.map_batches(score, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def dow_seasonality_events(sf_dir: str):
+    """Day-of-week seasonality index: events per weekday (0=Monday via
+    explicit epoch-day arithmetic, no engine DOW convention) and the
+    ×7/total load index.  Per-batch partial counts → O(7×blocks)
+    collect; index from exact integer counts."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        day = t["ts"].to_numpy(zero_copy_only=False).astype("int64") // (
+            86_400 * _US_PER_S
+        )
+        dow = (day + 3) % 7  # 1970-01-01 is a Thursday; +3 makes Monday 0
+        d, cnt = np.unique(dow, return_counts=True)
+        return pd.DataFrame({"dow": d, "n": cnt})
+
+    parts = (
+        _t(sf_dir, "events", ["ts"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    c = parts.groupby("dow", as_index=False)["n"].sum().sort_values("dow")
+    tot = int(c["n"].sum())
+    return pd.DataFrame(
+        {
+            "dow": c["dow"].to_numpy().astype("int64"),
+            "n": c["n"].to_numpy().astype("int64"),
+            "load_index": round_half_away(7.0 * c["n"].to_numpy() / tot, 6),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4827,6 +5172,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams_topk": event_trigrams_topk,
         "containment_pairs_documents": containment_pairs_documents,
         "cohort_matrix_events": cohort_matrix_events,
+        "ema_users_events": ema_users_events,
+        "mom_revenue_orders": mom_revenue_orders,
+        "autocorr_daily_events": autocorr_daily_events,
+        "benford_lineitem": benford_lineitem,
+        "target_encode_events": target_encode_events,
+        "kaplan_meier_users": kaplan_meier_users,
+        "bm25_topk_documents": bm25_topk_documents,
+        "dow_seasonality_events": dow_seasonality_events,
     }
 
 
@@ -6851,5 +7204,118 @@ def oracle_sql() -> dict[str, str]:
             from w join c using (user_id)
             group by cohort_start, offset_weeks
             order by cohort_start, offset_weeks
+        """,
+        "ema_users_events": """
+            select user_id,
+                   round(list_reduce(list(value order by ts, event_id),
+                                     (acc, x) -> acc * 0.5 + x * 0.5),
+                         6) as ema_value
+            from events group by user_id order by user_id
+        """,
+        "mom_revenue_orders": """
+            with m as (
+              select strftime(o_orderdate, '%Y-%m') as month,
+                     round(sum(o_totalprice), 2) as revenue
+              from orders group by 1)
+            select month, revenue,
+                   round((revenue - lag(revenue) over (order by month))
+                         / lag(revenue) over (order by month), 6) as mom_growth
+            from m order by month
+        """,
+        "autocorr_daily_events": """
+            with d as (
+              select epoch_us(ts) // 86400000000 as day, count(*)::bigint as n
+              from events group by 1),
+            s as (select n as cur, lag(n) over (order by day) as prev from d),
+            p as (select count(*)::hugeint as cnt,
+                         sum(cur)::hugeint as sx, sum(prev)::hugeint as sy,
+                         sum(cur * cur)::hugeint as sxx,
+                         sum(prev * prev)::hugeint as syy,
+                         sum(cur * prev)::hugeint as sxy
+                  from s where prev is not null)
+            select round(
+                     cast(cnt * sxy - sx * sy as double)
+                     / (sqrt(cast(cnt * sxx - sx * sx as double))
+                        * sqrt(cast(cnt * syy - sy * sy as double))),
+                     6) as lag1_autocorr
+            from p
+        """,
+        "benford_lineitem": """
+            with d as (
+              select substr(cast(cast(floor(l_extendedprice) as bigint) as varchar),
+                            1, 1)::bigint as digit
+              from lineitem),
+            c as (select digit, count(*)::bigint as n from d group by 1)
+            select digit, n,
+                   round(cast(n as double)
+                         / (select cast(sum(n) as double) from c), 6) as share
+            from c order by digit
+        """,
+        "target_encode_events": """
+            with t as (
+              select event_type, round(sum(value), 2) as s, count(*)::bigint as n
+              from events group by 1),
+            g as (select round(sum(value), 2) as gs, count(*)::bigint as gn
+                  from events)
+            select event_type, n,
+                   round((s + 50 * (gs / gn)) / (n + 50), 6) as enc
+            from t, g order by event_type
+        """,
+        "kaplan_meier_users": """
+            with u as (
+              select user_id,
+                     (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+                       as lifetime_days
+              from events group by user_id),
+            d as (select lifetime_days, count(*)::bigint as d from u group by 1),
+            t as (select count(*)::bigint as n from u)
+            select lifetime_days,
+                   (n - coalesce(sum(d) over (order by lifetime_days
+                       rows between unbounded preceding and 1 preceding), 0)
+                   )::bigint as n_at_risk,
+                   round(cast(n - sum(d) over (order by lifetime_days
+                                               rows unbounded preceding) as double)
+                         / n, 6) as survival
+            from d, t order by lifetime_days
+        """,
+        "bm25_topk_documents": f"""
+            with tok as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+              from documents),
+            dl as (select doc_id, count(*)::bigint as dl from tok group by 1),
+            stats as (
+              select (select count(*) from documents)::bigint as n,
+                     (select sum(dl) from dl)::bigint as tot),
+            tf as (select doc_id, tok, count(*)::bigint as tf
+                   from tok
+                   where tok in ('hash', 'merge', 'window')
+                   group by 1, 2),
+            df as (select tok, count(*)::bigint as df from tf group by 1),
+            contrib as (
+              select tf.doc_id, tf.tok,
+                     ln((n - df + 0.5) / (df + 0.5) + 1) * tf
+                       / (tf + 1.2 * (1 - 0.75
+                          + 0.75 * dl.dl / (cast(tot as double) / n))) as c
+              from tf
+              join df using (tok)
+              join dl using (doc_id)
+              cross join stats),
+            sc as (
+              select doc_id,
+                     list_reduce(list_prepend(0.0::double, list(c order by tok)),
+                                 (acc, x) -> acc + x) as s
+              from contrib group by doc_id)
+            select doc_id, round(s, 6) as bm25
+            from sc order by bm25 desc, doc_id limit 20
+        """,
+        "dow_seasonality_events": """
+            with d as (
+              select ((epoch_us(ts) // 86400000000) + 3) % 7 as dow from events),
+            c as (select dow, count(*)::bigint as n from d group by 1)
+            select dow, n,
+                   round(7.0 * n / (select cast(sum(n) as double) from c),
+                         6) as load_index
+            from c order by dow
         """,
     }
