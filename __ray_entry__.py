@@ -4971,6 +4971,395 @@ def dow_seasonality_events(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def pmi_bigrams_documents(sf_dir: str):
+    """Top-15 adjacent-token collocations by pointwise mutual
+    information (PMI = ln(p(ab)/(p(a)p(b))), min pair count 30) — the
+    classic phrase-mining signal.  Vocabulary is bounded (unigram and
+    bigram count tables are O(V)/O(V²)), so per-batch partial counts
+    collapse on the driver; PMI from exact integer counts in ONE float
+    expression, 6 dp before the top-k cutoff."""
+    import re
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        uni: dict[str, int] = {}
+        big: dict[tuple[str, str], int] = {}
+        n_tok = 0
+        n_pair = 0
+        for s in t["text"].to_pylist():
+            toks = tok_re.findall(s.lower())
+            n_tok += len(toks)
+            n_pair += max(0, len(toks) - 1)
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        rows = [("u", w, "", c) for w, c in uni.items()]
+        rows += [("b", a, b, c) for (a, b), c in big.items()]
+        rows.append(("t", "", "", n_tok))
+        rows.append(("p", "", "", n_pair))
+        return pd.DataFrame(rows, columns=["kind", "w1", "w2", "n"])
+
+    parts = (
+        _t(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby(["kind", "w1", "w2"], as_index=False)["n"].sum()
+    n_tok = int(agg.loc[agg["kind"] == "t", "n"].sum())
+    n_pair = int(agg.loc[agg["kind"] == "p", "n"].sum())
+    uni = dict(
+        zip(agg.loc[agg["kind"] == "u", "w1"], agg.loc[agg["kind"] == "u", "n"])
+    )
+    big = agg.loc[(agg["kind"] == "b") & (agg["n"] >= 30)].copy()
+    c_ab = big["n"].to_numpy(dtype="float64")
+    c_a = big["w1"].map(uni).to_numpy(dtype="float64")
+    c_b = big["w2"].map(uni).to_numpy(dtype="float64")
+    pmi = np.log((c_ab / n_pair) / ((c_a / n_tok) * (c_b / n_tok)))
+    out = pd.DataFrame(
+        {
+            "w1": big["w1"].to_numpy(),
+            "w2": big["w2"].to_numpy(),
+            "n": big["n"].to_numpy().astype("int64"),
+            "pmi": round_half_away(pmi, 6),
+        }
+    )
+    return (
+        out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True],
+                        kind="mergesort")
+        .head(15)
+        .reset_index(drop=True)
+    )
+
+
+def categorify_events(sf_dir: str):
+    """Dense-id categorical encoding (the feature-engineering
+    "categorify"): event_type → contiguous code ordered by (count desc,
+    type asc), returning the dictionary (type, code, n).  Per-batch
+    partial counts → O(types×blocks) collect."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = (
+        _t(sf_dir, "events", ["event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    g = (
+        parts.groupby("event_type", as_index=False)["n"]
+        .sum()
+        .sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    g["code"] = np.arange(1, len(g) + 1, dtype="int64")
+    g["n"] = g["n"].astype("int64")
+    return g[["event_type", "code", "n"]]
+
+
+def histogram2d_events(sf_dir: str):
+    """2-D fixed-bin histogram: hour-of-day × value band
+    (floor(value/50)) event counts — the heatmap primitive.  Bin count
+    is bounded (24 × bands), so per-batch partial counts collapse on
+    the driver; exact integers throughout."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        hour = (us // (3_600 * _US_PER_S)) % 24
+        band = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) / 50.0
+        ).astype("int64")
+        g = pd.DataFrame({"hour": hour, "band": band})
+        return g.groupby(["hour", "band"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby(["hour", "band"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["hour", "band"]).reset_index(drop=True)
+
+
+def melt_lineitem(sf_dir: str):
+    """UNPIVOT via stages/relational.py::melt — the high-quantity
+    lineitem slice long-formed over four measure columns (one output
+    row per row×measure, pure streaming transform, no shuffle)."""
+    from web_graph_ray.stages.relational import melt
+
+    ds = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    ).filter(expr="l_quantity >= 48")
+    out = melt(
+        ds,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_col="metric",
+        val_col="value",
+    ).to_pandas()
+    return out.sort_values(
+        ["l_orderkey", "l_linenumber", "metric"]
+    ).reset_index(drop=True)
+
+
+def event_type_user_jaccard(sf_dir: str):
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS of
+    every event-type pair — the co-audience signal.  One bucketed
+    exchange on user_id (dedup (user, type) with a per-batch
+    combiner), per-user pair explode inside each bucket via a
+    self-merge (types per user are bounded), then exact integer
+    intersection/marginal counts; |types|² is tiny so the final fold
+    is a driver sum."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        p = (
+            m.groupby(["event_type_x", "event_type_y"], as_index=False)
+            .size()
+            .rename(columns={"size": "i", "event_type_x": "t1", "event_type_y": "t2"})
+        )
+        s = (
+            df.groupby("event_type", as_index=False)
+            .size()
+            .rename(columns={"size": "n", "event_type": "t1"})
+        )
+        s["t2"] = ""
+        return pd.concat([p, s], ignore_index=True)
+
+    parts = bucketed_group_map(ds, ["user_id"], pairs, batch_partial=dedup).to_pandas()
+    sizes = (
+        parts.loc[parts["t2"] == ""]
+        .groupby("t1")["n"]
+        .sum()
+        .astype("int64")
+        .to_dict()
+    )
+    p = (
+        parts.loc[parts["t2"] != ""]
+        .groupby(["t1", "t2"], as_index=False)["i"]
+        .sum()
+    )
+    i = p["i"].to_numpy(dtype="int64")
+    na = p["t1"].map(sizes).to_numpy(dtype="int64")
+    nb = p["t2"].map(sizes).to_numpy(dtype="int64")
+    return (
+        pd.DataFrame(
+            {
+                "t1": p["t1"].to_numpy(),
+                "t2": p["t2"].to_numpy(),
+                "jaccard": round_half_away(i / (na + nb - i), 6),
+            }
+        )
+        .sort_values(["t1", "t2"])
+        .reset_index(drop=True)
+    )
+
+
+def median_gap_users(sf_dir: str):
+    """Per-user MEDIAN inter-event gap (seconds) — the cadence
+    statistic.  One bucketed exchange on user_id; inside each bucket a
+    vectorized int64-µs adjacent diff (never a float shift) and a
+    segment-median; even-count medians average two exact integers <
+    2^52, so both engines produce the identical double."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        us = df["us"].to_numpy()
+        gap = us[1:] - us[:-1]
+        same = u[1:] == u[:-1]
+        g = pd.DataFrame({"user_id": u[1:][same], "gap": gap[same]})
+        med = g.groupby("user_id", as_index=False)["gap"].median()
+        return pd.DataFrame(
+            {
+                "user_id": med["user_id"].to_numpy(),
+                "median_gap_s": round_half_away(
+                    med["gap"].to_numpy(dtype="float64") / 1_000_000, 6
+                ),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def rfm_segments_customers(sf_dir: str):
+    """RFM segmentation: per-customer Recency (days since last order,
+    µs-exact) / Frequency / Monetary (2-dp rounded), each scored into
+    exact global quintiles (TeraSort global_rank + ntile_from_rank,
+    fully deterministic tie-breaks on custkey), then the (r,f,m) cell
+    counts — the classic CRM cube.  Only per-customer aggregates are
+    ever ranked; orders never leave the combiner."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucketed_group_map,
+        global_rank,
+        ntile_from_rank,
+    )
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "us": pc.cast(t["o_orderdate"], pa.int64()),
+                "v": t["o_totalprice"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last=("us", "max"), n=("us", "size"), s=("v", "sum")
+        )
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            last=("last", "max"), n=("n", "sum"), s=("s", "sum")
+        )
+
+    cust = bucketed_group_map(
+        ds, ["o_custkey"], final, batch_partial=partial
+    ).materialize()
+    gmax = int(
+        cust.map_batches(
+            lambda df: pd.DataFrame({"m": [df["last"].max()]}), batch_format="pandas"
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+    n_cust = cust.count()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].to_numpy(),
+                "recency": (gmax - df["last"].to_numpy()) // day_us,
+                "freq": df["n"].to_numpy().astype("int64"),
+                "monetary": round_half_away(df["s"].to_numpy(dtype="float64"), 2),
+            }
+        )
+        out["_negf"] = -out["freq"]
+        out["_negm"] = -out["monetary"]
+        return out
+
+    f = cust.map_batches(feats, batch_format="pandas")
+
+    def score(ds_in, col, name):
+        ranked = global_rank(ds_in, col, tie_cols=["o_custkey"])
+
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[name] = ntile_from_rank(df["rank"].to_numpy(), n_cust, 5)
+            return df.drop(columns=["rank"])
+
+        return ranked.map_batches(add, batch_format="pandas")
+
+    scored = score(score(score(f, "recency", "r_score"), "_negf", "f_score"),
+                   "_negm", "m_score")
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["r_score", "f_score", "m_score"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_customers"})
+        )
+
+    out = scored.map_batches(cells, batch_format="pandas").to_pandas()
+    out = out.groupby(["r_score", "f_score", "m_score"], as_index=False)[
+        "n_customers"
+    ].sum()
+    for c in ["r_score", "f_score", "m_score", "n_customers"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["r_score", "f_score", "m_score"]).reset_index(drop=True)
+
+
+_KCORE_K = 45
+_KCORE_ROUNDS = 12
+
+
+def kcore_lineitem_graph(sf_dir: str):
+    """k-core membership (k=45) of the simple undirected mix graph via
+    stages/graph.py::kcore — synchronous peel, 12 unrolled rounds on
+    both engines so the result is exactly reproducible even short of
+    convergence."""
+    from web_graph_ray.stages.graph import kcore
+
+    out = kcore(_mix_graph(sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """DuckDB twin: same simple undirected graph, same synchronous peel
+    unrolled as CTEs."""
+    sql = """
+            with e0 as materialized (
+              select distinct
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            edges as materialized (
+              select u node, v peer from e0 union all select v, u from e0),
+            a0 as materialized (select distinct node from edges)"""
+    for r in range(1, rounds + 1):
+        # MATERIALIZED: each round references the previous alive set
+        # TWICE (own aliveness + alive-neighbour count); inlining would
+        # expand the plan 2^rounds-fold and hang the optimizer
+        sql += f""",
+            a{r} as materialized (select e.node from edges e
+                   join a{r-1} s on s.node = e.node
+                   join a{r-1} p on p.node = e.peer
+                   group by e.node having count(*) >= {k})"""
+    sql += f"""
+            select node from a{rounds} order by node
+        """
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5180,6 +5569,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_users": kaplan_meier_users,
         "bm25_topk_documents": bm25_topk_documents,
         "dow_seasonality_events": dow_seasonality_events,
+        "pmi_bigrams_documents": pmi_bigrams_documents,
+        "categorify_events": categorify_events,
+        "histogram2d_events": histogram2d_events,
+        "melt_lineitem": melt_lineitem,
+        "event_type_user_jaccard": event_type_user_jaccard,
+        "median_gap_users": median_gap_users,
+        "rfm_segments_customers": rfm_segments_customers,
+        "kcore_lineitem_graph": kcore_lineitem_graph,
     }
 
 
@@ -7318,4 +7715,104 @@ def oracle_sql() -> dict[str, str]:
                          6) as load_index
             from c order by dow
         """,
+        "pmi_bigrams_documents": """
+            with t as (
+              select doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') as toks
+              from documents),
+            tok as (select doc_id, unnest(toks) as w,
+                           generate_subscripts(toks, 1) as i
+                    from t),
+            uni as (select w, count(*)::bigint as c from tok group by w),
+            ntok as (select count(*)::bigint as n from tok),
+            big as (select a.w as w1, b.w as w2, count(*)::bigint as nb
+                    from tok a join tok b
+                      on a.doc_id = b.doc_id and b.i = a.i + 1
+                    group by 1, 2),
+            npair as (select sum(nb)::bigint as p from big),
+            f as (select w1, w2, nb as n,
+                         round(ln((cast(nb as double) / p)
+                                  / ((cast(ua.c as double) / ntok.n)
+                                     * (cast(ub.c as double) / ntok.n))),
+                               6) as pmi
+                  from big
+                  join uni ua on ua.w = w1
+                  join uni ub on ub.w = w2
+                  cross join npair cross join ntok
+                  where nb >= 30)
+            select w1, w2, n, pmi from f
+            order by pmi desc, w1, w2 limit 15
+        """,
+        "categorify_events": """
+            with c as (select event_type, count(*)::bigint as n
+                       from events group by 1)
+            select event_type,
+                   row_number() over (order by n desc, event_type)::bigint as code,
+                   n
+            from c order by code
+        """,
+        "histogram2d_events": """
+            with b as (
+              select (epoch_us(ts) // 3600000000) % 24 as hour,
+                     cast(floor(value / 50.0) as bigint) as band
+              from events)
+            select hour, band, count(*)::bigint as n
+            from b group by 1, 2 order by hour, band
+        """,
+        "melt_lineitem": """
+            with src as (
+              select l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                     l_discount, l_tax
+              from lineitem where l_quantity >= 48)
+            select l_orderkey, l_linenumber, 'l_quantity' as metric,
+                   l_quantity::double as value from src
+            union all
+            select l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            from src
+            union all
+            select l_orderkey, l_linenumber, 'l_discount', l_discount from src
+            union all
+            select l_orderkey, l_linenumber, 'l_tax', l_tax from src
+            order by l_orderkey, l_linenumber, metric
+        """,
+        "event_type_user_jaccard": """
+            with d as (select distinct event_type as t, user_id as u from events),
+            s as (select t, count(*)::bigint as n from d group by t),
+            p as (select a.t as t1, b.t as t2, count(*)::bigint as i
+                  from d a join d b on a.u = b.u and a.t < b.t
+                  group by 1, 2)
+            select t1, t2,
+                   round(cast(i as double) / (na.n + nb.n - i), 6) as jaccard
+            from p join s na on na.t = t1 join s nb on nb.t = t2
+            order by t1, t2
+        """,
+        "median_gap_users": """
+            with g as (
+              select user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) over (
+                       partition by user_id order by ts, event_id) as gap
+              from events)
+            select user_id, round(median(gap) / 1000000, 6) as median_gap_s
+            from g where gap is not null
+            group by user_id order by user_id
+        """,
+        "rfm_segments_customers": """
+            with maxd as (select max(epoch_us(o_orderdate)) as md from orders),
+            c as (select o_custkey,
+                         (md - max(epoch_us(o_orderdate))) // 86400000000
+                           as recency,
+                         count(*)::bigint as freq,
+                         round(sum(o_totalprice), 2) as monetary
+                  from orders cross join maxd
+                  group by o_custkey, md),
+            sc as (select o_custkey,
+                          ntile(5) over (order by recency, o_custkey) as r,
+                          ntile(5) over (order by freq desc, o_custkey) as f,
+                          ntile(5) over (order by monetary desc, o_custkey) as m
+                   from c)
+            select r::bigint as r_score, f::bigint as f_score,
+                   m::bigint as m_score, count(*)::bigint as n_customers
+            from sc group by 1, 2, 3
+            order by r_score, f_score, m_score
+        """,
+        "kcore_lineitem_graph": _kcore_sql(),
     }

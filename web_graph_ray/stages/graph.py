@@ -68,6 +68,7 @@ __all__ = [
     "triangle_count",
     "hits",
     "bfs_layers",
+    "kcore",
 ]
 
 
@@ -913,4 +914,122 @@ def bfs_layers(
     reached = ray.data.from_pandas_refs(dist_refs)
     return reached.map_batches(
         lambda df: df[df["dist"] < _BFS_INF], batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (synchronous peel)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _kc_init(ndir: str, b: int) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="object"), "alive": pd.Series([], dtype=bool)}
+        )
+    nodes = pd.read_parquet(p)
+    return pd.DataFrame({"node": nodes["node"], "alive": True})
+
+
+@ray.remote
+def _kc_messages(edir: str, b: int, num_buckets: int, state: pd.DataFrame):
+    """Map phase for sender-bucket b: every ALIVE sender contributes 1
+    to each of its neighbours; partial-sum by (dst_bucket, dst)."""
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame(
+        {"node": pd.Series([], dtype="object"), "m": pd.Series([], dtype="int64")}
+    )
+    if not os.path.exists(p):
+        return [empty] * num_buckets
+    e = pd.read_parquet(p)
+    alive = state.loc[state["alive"], ["node"]].rename(columns={"node": "src"})
+    m = e.merge(alive, on="src", how="inner")
+    parts = (
+        m.groupby(["dst_bucket", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "m"})
+    )
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node"})[["node", "m"]] if g is not None else empty
+        )
+    return out
+
+
+@ray.remote
+def _kc_reduce(k: int, prev: pd.DataFrame, *parts) -> "pd.DataFrame":
+    if not len(prev):
+        return prev
+    live = [x for x in parts if len(x)]
+    if live:
+        allp = pd.concat(live, ignore_index=True)
+        deg = allp.groupby("node", as_index=False)["m"].sum()
+        df = prev.merge(deg, on="node", how="left")
+        df["m"] = df["m"].fillna(0)
+    else:
+        df = prev.copy()
+        df["m"] = 0
+    df["alive"] = df["alive"] & (df["m"] >= k)
+    return df[["node", "alive"]]
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 12,
+    num_buckets: int = 32,
+    work_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """k-core membership by SYNCHRONOUS iterative peeling: each round,
+    every alive node counts its alive neighbours in the SIMPLE
+    undirected graph (distinct min/max pairs, self-loops dropped) and
+    dies if the count is < k.  After ``rounds`` synchronous rounds the
+    survivors are returned as (node) rows — exactly reproducible by an
+    unrolled-SQL twin because both engines peel the same fixed number
+    of rounds (extra rounds past convergence are no-ops).
+
+    Same partition-once / message-exchange shape as
+    connected_components: edge sidecars written once, O(k)-free driver
+    state (only num_buckets object refs)."""
+    from .relational import bucketed_group_map
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        s = t[src_col].to_numpy(zero_copy_only=False)
+        d = t[dst_col].to_numpy(zero_copy_only=False)
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    simple = bucketed_group_map(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    edir, ndir = _partition_graph(
+        simple, "u", "v", num_buckets, work_dir, symmetric=True
+    )
+    state = [_kc_init.remote(ndir, b) for b in range(num_buckets)]
+    for _ in range(rounds):
+        msg = [
+            _kc_messages.options(num_returns=num_buckets).remote(
+                edir, b, num_buckets, state[b]
+            )
+            for b in range(num_buckets)
+        ]
+        state = [
+            _kc_reduce.remote(k, state[b], *[msg[sb][b] for sb in range(num_buckets)])
+            for b in range(num_buckets)
+        ]
+    members = ray.data.from_pandas_refs(state)
+    return members.map_batches(
+        lambda df: df.loc[df["alive"], ["node"]], batch_format="pandas"
     )

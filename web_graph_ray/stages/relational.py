@@ -2081,6 +2081,33 @@ def ntile_from_rank(rank: np.ndarray, n: int, tiles: int) -> np.ndarray:
     return np.where(r0 < cut, big, small).astype(np.int64) + 1
 
 
+def melt(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "metric",
+    val_col: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT (long-form melt): one output row per (input row, value
+    column) — the inverse of pivot.  A pure per-batch streaming
+    transform (vertical concat of one slice per value column, metric
+    name attached as a constant), no shuffle, no driver state; output
+    is |value_cols|× the input rows but streams block-by-block.
+    Mirrors `UNPIVOT` / `UNION ALL` of per-column projections in SQL
+    (reference has no unpivot; complements rollup/cube/pivot)."""
+
+    def unpivot(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in value_cols:
+            p = df[id_cols].copy()
+            p[var_col] = c
+            p[val_col] = df[c].to_numpy(dtype="float64")
+            parts.append(p)
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(unpivot, batch_format="pandas")
+
+
 def value_bands(
     ds: "ray.data.Dataset",
     col: str,
