@@ -997,7 +997,11 @@ def kcore(
 
     Same partition-once / message-exchange shape as
     connected_components: edge sidecars written once, O(k)-free driver
-    state (only num_buckets object refs)."""
+    state (only num_buckets object refs).
+
+    NOTE: a graph that peels to nothing returns an EMPTY Dataset, and
+    Ray 2.49 drops pandas-block schema on fully-empty datasets —
+    ``to_pandas()`` then has no columns; check ``len()`` first."""
     from .relational import bucketed_group_map
 
     def canon(t: pa.Table) -> pd.DataFrame:
