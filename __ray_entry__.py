@@ -5360,6 +5360,235 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     return sql
 
 
+def ohlc_events(sf_dir: str):
+    """Hourly OHLC bars of value (open/high/low/close + count) — the
+    time-series downsampler.  One bucketed exchange on the hour key;
+    inside each bucket one mergesort + vectorized groupby first/last/
+    min/max.  Raw doubles carried (no sums), so no rounding needed."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    hr_us = 3_600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table(
+            {
+                "hr": pc.divide(us, hr_us),
+                "us": us,
+                "event_id": t["event_id"].combine_chunks(),
+                "v": t["value"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["ts", "event_id", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["hr", "us", "event_id"], kind="mergesort")
+        g = df.groupby("hr", sort=False)["v"]
+        out = pd.DataFrame(
+            {
+                "open": g.first(),
+                "high": g.max(),
+                "low": g.min(),
+                "close": g.last(),
+                "n_events": g.size().astype("int64"),
+            }
+        ).reset_index()
+        return out
+
+    out = bucketed_group_map(ds, ["hr"], per_bucket).to_pandas()
+    return out.sort_values("hr").reset_index(drop=True)
+
+
+def assortativity_lineitem_graph(sf_dir: str):
+    """Degree assortativity coefficient of the simple undirected mix
+    graph (Newman 2002): Pearson r of (deg u, deg v) over both edge
+    orientations.  Shape: bucketed edge dedup → one bucketed degree
+    count → two co-partitioned joins to attach endpoint degrees → per-
+    batch EXACT integer moment partials → one tiny driver fold; the
+    final r mirrors the twin's cast-to-double-then-divide exactly."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        s, d = ok % 2000, (pk * 31 + sk) % 2000
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    edges = bucketed_group_map(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        batch_partial=lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    ends = edges.map_batches(
+        lambda df: pd.DataFrame({"node": np.concatenate([df["u"], df["v"]])}),
+        batch_format="pandas",
+    )
+    deg = bucketed_agg(ends, ["node"], out_col="deg")
+
+    du = deg.map_batches(
+        lambda df: df.rename(columns={"node": "u", "deg": "du"}), batch_format="pandas"
+    )
+    dv = deg.map_batches(
+        lambda df: df.rename(columns={"node": "v", "deg": "dv"}), batch_format="pandas"
+    )
+    j = bucket_hash_join(bucket_hash_join(edges, du, on=["u"]), dv, on=["v"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["du"].to_numpy(dtype="int64")
+        b = df["dv"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "m": [2 * len(df)],
+                "sx": [int((a + b).sum())],
+                "sxx": [int((a * a + b * b).sum())],
+                "sxy": [int(2 * (a * b).sum())],
+            }
+        )
+
+    p = j.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    m, sx, sxx, sxy = (int(p[c]) for c in ["m", "sx", "sxx", "sxy"])
+    r = float(m * sxy - sx * sx) / float(m * sxx - sx * sx)
+    return pd.DataFrame({"assortativity": round_half_away(np.array([r]), 6)})
+
+
+def asof_next_order_events(sf_dir: str):
+    """FORWARD as-of join (stages/relational.py::asof_join,
+    direction='forward'): each event ↔ the user's NEXT order at-or-
+    after event time, date ties broken by MIN orderkey (forward = first
+    wins under the right-side (date, orderkey) sort)."""
+    from web_graph_ray.stages.relational import asof_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        events, orders, key_col="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["o_orderkey"], right_order=["o_orderkey"],
+        direction="forward",
+    ).to_pandas()
+    out = out[["event_id", "o_orderkey"]]
+    out["o_orderkey"] = out["o_orderkey"].astype("Int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def kmv_union_users_events(sf_dir: str):
+    """KMV sketch MERGEABILITY end-to-end: independently sketch the
+    click-user and purchase-user id sets (stages/sketch.py::kmv_sketch),
+    union-merge the two bottom-k sketches (kmv_union — exactly the
+    sketch of the concatenated input), estimate once.  The twin
+    re-derives the identical estimate from the distinct union because
+    min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B)."""
+    from web_graph_ray.stages.sketch import kmv_estimate, kmv_sketch, kmv_union
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    a = kmv_sketch(ds.filter(expr="event_type == 'click'"), "user_id")
+    b = kmv_sketch(ds.filter(expr="event_type == 'purchase'"), "user_id")
+    return pd.DataFrame([kmv_estimate(kmv_union([a, b]))])
+
+
+def grouping_sets_lineitem(sf_dir: str):
+    """GROUP BY GROUPING SETS ((flag, status), (status), ()) over
+    quantity sums — stages/relational.py::grouping_sets_agg: the input
+    is scanned ONCE (full-key bucketed aggregate); each extra set
+    re-aggregates the already-small group table (sum-of-sums exact)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import grouping_sets_agg
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = grouping_sets_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        sets=[["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        value_col="l_quantity",
+        how="sum",
+        out_col="qty",
+    ).to_pandas()
+    out["qty"] = round_half_away(out["qty"].to_numpy(dtype="float64"), 2)
+    out["level"] = out["level"].astype("int64")
+    return out.sort_values(
+        ["level", "l_returnflag", "l_linestatus"], na_position="first"
+    ).reset_index(drop=True)
+
+
+def weighted_median_lineitem(sf_dir: str):
+    """WEIGHTED median: smallest price p whose cumulative l_quantity
+    weight (per-price totals, ascending price) reaches half the total —
+    2·cum ≥ W in exact int64, no float thresholds.  Shape: range-bucket
+    prices (equal values co-bucket, as in global_rank), O(buckets)
+    integer weight totals on the driver, then ONE filtered per-price
+    fold inside the crossing bucket — never a global sort, never the
+    column on the driver."""
+
+    ds = _t(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    stats = ds.aggregate(
+        ray.data.aggregate.Min("l_extendedprice"),
+        ray.data.aggregate.Max("l_extendedprice"),
+    )
+    lo, hi = float(stats["min(l_extendedprice)"]), float(stats["max(l_extendedprice)"])
+    nb = 64
+    width = (hi - lo) / nb if hi > lo else 1.0
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(
+            np.floor((df["l_extendedprice"].to_numpy() - lo) / width).astype(np.int64),
+            0, nb - 1,
+        )
+        g = pd.DataFrame({"b": b, "w": df["l_quantity"].to_numpy().astype("int64")})
+        return g.groupby("b", as_index=False)["w"].sum()
+
+    per_bucket = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("b")["w"]
+        .sum()
+    )
+    full = np.zeros(nb, dtype=np.int64)
+    full[per_bucket.index.to_numpy()] = per_bucket.to_numpy()
+    total = int(full.sum())
+    cum = np.cumsum(full)
+    b_star = int(np.searchsorted(2 * cum, total, side="left"))
+    before = int(cum[b_star - 1]) if b_star else 0
+
+    def in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["l_extendedprice"].to_numpy()
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, nb - 1)
+        sel = df[b == b_star]
+        return sel.groupby("l_extendedprice", as_index=False)["l_quantity"].sum()
+
+    pw = (
+        ds.map_batches(in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_extendedprice", as_index=False)["l_quantity"]
+        .sum()
+        .sort_values("l_extendedprice")
+    )
+    cw = before + np.cumsum(pw["l_quantity"].to_numpy().astype("int64"))
+    idx = int(np.searchsorted(2 * cw, total, side="left"))
+    return pd.DataFrame(
+        {"weighted_median": [float(pw["l_extendedprice"].to_numpy()[idx])]},
+        dtype="float64",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5577,6 +5806,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_gap_users": median_gap_users,
         "rfm_segments_customers": rfm_segments_customers,
         "kcore_lineitem_graph": kcore_lineitem_graph,
+        "ohlc_events": ohlc_events,
+        "assortativity_lineitem_graph": assortativity_lineitem_graph,
+        "asof_next_order_events": asof_next_order_events,
+        "kmv_union_users_events": kmv_union_users_events,
+        "grouping_sets_lineitem": grouping_sets_lineitem,
+        "weighted_median_lineitem": weighted_median_lineitem,
     }
 
 
@@ -5672,13 +5907,14 @@ def _hll_sql() -> str:
         """
 
 
-def _kmv_sql() -> str:
+def _kmv_sql(source: str = "lineitem", col: str = "l_orderkey") -> str:
     """KMV twin: same FNV-1a + murmur3-finalizer mixed hash per row,
     distinct → 1024 smallest → (k-1)·2^64 / h_(k) (exact count when
     fewer than k distinct hashes).  1023·2^64 is exactly representable
     in float64 and hugeint→double casts round-to-nearest like numpy,
     so the estimate matches the engine bit-for-bit before the 2-dp
-    round."""
+    round.  ``source``/``col`` parameterize the hashed relation (the
+    union-merge twin sketches a filtered subquery)."""
     h = "fnv"
     h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
     h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
@@ -5687,10 +5923,10 @@ def _kmv_sql() -> str:
             with v as (
               select list_reduce(
                        list_prepend(14695981039346656037::hugeint,
-                         list_transform(regexp_extract_all(l_orderkey::varchar, '.'),
+                         list_transform(regexp_extract_all({col}::varchar, '.'),
                                         c -> ascii(c)::bigint)),
                        (h, b) -> {_FNV_SQL_STEP}) fnv
-              from lineitem),
+              from {source}),
             hx as (select distinct {h} as h from v),
             k as (select h from hx order by h limit 1024),
             m as (select max(h) kth, count(*) n from k)
@@ -7815,4 +8051,83 @@ def oracle_sql() -> dict[str, str]:
             order by r_score, f_score, m_score
         """,
         "kcore_lineitem_graph": _kcore_sql(),
+        "ohlc_events": """
+            with s as (
+              select epoch_us(ts) // 3600000000 as hr, epoch_us(ts) as us,
+                     event_id, value
+              from events),
+            w as (
+              select hr, value,
+                     first_value(value) over (
+                       partition by hr order by us, event_id) as o,
+                     last_value(value) over (
+                       partition by hr order by us, event_id
+                       rows between unbounded preceding
+                                and unbounded following) as c
+              from s)
+            select hr, min(o) as open, max(value) as high,
+                   min(value) as low, min(c) as close,
+                   count(*)::bigint as n_events
+            from w group by hr order by hr
+        """,
+        "assortativity_lineitem_graph": """
+            with e0 as materialized (
+              select distinct
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            ends as (select u node from e0 union all select v from e0),
+            deg as (select node, count(*)::bigint d from ends group by node),
+            j as (select a.d du, b.d dv
+                  from e0 join deg a on a.node = e0.u
+                          join deg b on b.node = e0.v),
+            m as (select 2*count(*)::hugeint m,
+                         sum(du + dv)::hugeint sx,
+                         sum(du*du + dv*dv)::hugeint sxx,
+                         2*sum(du*dv)::hugeint sxy
+                  from j)
+            select round(cast(m*sxy - sx*sx as double)
+                         / cast(m*sxx - sx*sx as double), 6) as assortativity
+            from m
+        """,
+        "asof_next_order_events": """
+            with cand as (
+              select e.event_id, o.o_orderkey,
+                     row_number() over (
+                       partition by e.event_id
+                       order by o.o_orderdate, o.o_orderkey) rn
+              from events e
+              join orders o
+                on o.o_custkey = e.user_id and o.o_orderdate >= e.ts)
+            select e.event_id, c.o_orderkey
+            from events e
+            left join cand c on c.event_id = e.event_id and c.rn = 1
+            order by e.event_id
+        """,
+        "kmv_union_users_events": _kmv_sql(
+            source="(select distinct user_id from events "
+                   "where event_type in ('click', 'purchase'))",
+            col="user_id",
+        ),
+        "grouping_sets_lineitem": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as qty,
+                   (2 - grouping(l_returnflag) - grouping(l_linestatus))::bigint
+                     as level
+            from lineitem
+            group by grouping sets ((l_returnflag, l_linestatus),
+                                    (l_linestatus), ())
+            order by level, l_returnflag, l_linestatus
+        """,
+        "weighted_median_lineitem": """
+            with pw as (
+              select l_extendedprice p, sum(l_quantity::bigint)::bigint w
+              from lineitem group by 1),
+            c as (select p,
+                         sum(w) over (order by p rows unbounded preceding) cw,
+                         (select sum(w) from pw) tot
+                  from pw)
+            select min(p)::double as weighted_median from c where 2*cw >= tot
+        """,
     }

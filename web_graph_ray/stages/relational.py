@@ -513,11 +513,15 @@ def asof_join(
     right_cols: list[str],
     right_order: list[str] | None = None,
     num_buckets: int = 32,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
-    """As-of (backward) join: for each left row, the latest right row of
-    the same key with right_ts <= left_ts.  Ties on right_ts are broken
-    by ``right_order`` (last wins — pass it whenever ties are possible,
-    or the winner depends on arrival order).
+    """As-of join: for each left row, the latest right row of
+    the same key with right_ts <= left_ts (``direction="backward"``,
+    the default), or the EARLIEST right row with right_ts >= left_ts
+    (``direction="forward"``).  Ties on right_ts are broken by
+    ``right_order`` (backward: last wins; forward: FIRST wins — the
+    sort-adjacent row on either side; pass it whenever ties are
+    possible, or the winner depends on arrival order).
 
     ``right`` may be a pandas DataFrame (always broadcast) or a Dataset:
     small Datasets (estimated < ASOF_BROADCAST_BYTES) are collected and
@@ -535,6 +539,7 @@ def asof_join(
             return asof_join_partitioned(
                 left, right, key_col, left_ts, right_ts, right_cols,
                 right_order=right_order, num_buckets=num_buckets,
+                direction=direction,
             )
         right = right.to_pandas()
     # keep right_order columns through the sort even when they are not in
@@ -552,7 +557,7 @@ def asof_join(
             rr,
             on=left_ts,
             by=key_col,
-            direction="backward",
+            direction=direction,
             suffixes=("", "_r"),
         )
         return out[list(df.columns) + list(right_cols)]
@@ -569,6 +574,7 @@ def asof_join_partitioned(
     right_cols: list[str],
     right_order: list[str] | None = None,
     num_buckets: int = 32,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
     """Both-sides-large as-of join: same union + bucketed-group-map
     kernel shape as ``bucket_hash_join``, with ``pd.merge_asof`` as the
@@ -631,7 +637,7 @@ def asof_join_partitioned(
             r.sort_values([left_ts] + order_tail, kind="mergesort"),
             on=left_ts,
             by=key_col,
-            direction="backward",
+            direction=direction,
             suffixes=("", "_r"),
         )
         return out[out_cols]
@@ -1398,6 +1404,74 @@ def rollup_agg(
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
+    return out
+
+
+def grouping_sets_agg(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sets: list[list[str]],
+    value_col: str,
+    how: str = "sum",
+    out_col: str = "agg",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY GROUPING SETS``: one aggregate row per group per
+    requested set, absent key columns nulled, plus a ``level`` column
+    (count of concrete keys in that set).  Generalizes rollup_agg /
+    cube_agg to arbitrary set lists.
+
+    Scale shape (same as rollup_agg): the INPUT is scanned once into
+    the full-key bucketed aggregate; every requested set re-aggregates
+    that already-small result — sum-of-sums / min-of-mins / max-of-
+    maxes are exact, and count re-aggregates as sum — so the cost of
+    extra sets is proportional to the number of GROUPS, not rows.
+    Every set must be a subset of ``key_cols`` (the grand total is the
+    empty set)."""
+    up = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}[how]
+    for s in sets:
+        missing = set(s) - set(key_cols)
+        if missing:
+            raise ValueError(f"grouping_sets_agg: {sorted(missing)} not in key_cols")
+
+    full = bucketed_agg(
+        ds, key_cols, value_col, how=how, out_col=out_col, num_buckets=num_buckets
+    ).materialize()
+
+    def pad(level_keys: list[str]):
+        lvl = len(level_keys)
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {c: df[c] if c in level_keys else None for c in key_cols}
+            )
+            out[out_col] = df[out_col]
+            out["level"] = np.int64(lvl)
+            return out
+
+        return f
+
+    parts = []
+    for s in sets:
+        if sorted(s) == sorted(key_cols):
+            cur = full
+        elif s:
+            cur = bucketed_agg(
+                full, list(s), out_col, how=up, out_col=out_col,
+                num_buckets=num_buckets,
+            )
+        else:
+            grand = getattr(full, up)(out_col)  # native Dataset aggregate
+            row = pd.DataFrame({c: [None] for c in key_cols})
+            row[out_col] = [grand]
+            row["level"] = np.int64(0)
+            parts.append(ray.data.from_pandas(row))
+            continue
+        parts.append(cur.map_batches(pad(list(s)), batch_format="pandas"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
     return out
 
 

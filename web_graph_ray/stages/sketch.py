@@ -240,6 +240,47 @@ def hist_quantile(
     return pd.DataFrame(out, columns=["q", "est"])
 
 
+def kmv_sketch(ds: "ray.data.Dataset", col: str, k: int = 1024) -> np.ndarray:
+    """Build the KMV bottom-k sketch (the k smallest DISTINCT mixed
+    64-bit hashes, ascending uint64 array) without estimating — the
+    mergeable half of kmv_distinct.  One bounded k·8-byte summary per
+    block, driver union-merge."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        h = np.unique(_mix64_vec(_fnv1a_buffers(*_utf8_layout(batch[col]))))
+        return pa.Table.from_pydict({"sketch": pa.array([h[:k].tobytes()])})
+
+    parts = [
+        np.frombuffer(row["sketch"], dtype=np.uint64)
+        for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
+    ]
+    merged = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+    return merged[:k]
+
+
+def kmv_union(sketches: list[np.ndarray], k: int = 1024) -> np.ndarray:
+    """Merge KMV sketches: k smallest of the distinct union — EXACTLY
+    the sketch of the concatenated inputs (min-k(min-k(A) ∪ min-k(B)) =
+    min-k(A ∪ B)), so unions of independently-sketched datasets lose
+    nothing.  The mergeability that makes bottom-k work distributed."""
+    merged = (
+        np.unique(np.concatenate(sketches)) if sketches else np.zeros(0, np.uint64)
+    )
+    return merged[:k]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int = 1024) -> dict:
+    """Estimate from a bottom-k sketch: (k-1)·2^64 / h_(k) when the
+    sketch is full, else the exact distinct-hash count."""
+    from ..functions.numeric import round_half_away
+
+    if sketch.size < k:
+        est = float(sketch.size)
+    else:
+        est = (k - 1) * 18446744073709551616.0 / float(sketch[k - 1])
+    return {"estimate": float(round_half_away(est, 2)), "k": k}
+
+
 def kmv_distinct(ds: "ray.data.Dataset", col: str, k: int = 1024) -> dict:
     """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): keep the
     k smallest DISTINCT mixed 64-bit hashes; estimate = (k-1)·2^64 /
@@ -250,25 +291,9 @@ def kmv_distinct(ds: "ray.data.Dataset", col: str, k: int = 1024) -> dict:
 
     Scale shape: one bounded k·8-byte sketch per block (np.unique —
     vectorized), driver merge over ≤ k·blocks values — the HLL merge
-    shape.  Mergeable: union → unique → first k."""
-    from ..functions.numeric import round_half_away
-
-    def sketch_batch(batch: pa.Table) -> pa.Table:
-        h = np.unique(_mix64_vec(_fnv1a_buffers(*_utf8_layout(batch[col]))))
-        return pa.Table.from_pydict({"sketch": pa.array([h[:k].tobytes()])})
-
-    parts = [
-        np.frombuffer(row["sketch"], dtype=np.uint64)
-        for row in ds.map_batches(sketch_batch, batch_format="pyarrow").take_all()
-    ]
-    merged = (
-        np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
-    )[:k]
-    if merged.size < k:
-        est = float(merged.size)
-    else:
-        est = (k - 1) * 18446744073709551616.0 / float(merged[k - 1])
-    return {"estimate": float(round_half_away(est, 2)), "k": k}
+    shape.  Mergeable: union → unique → first k (kmv_sketch /
+    kmv_union / kmv_estimate expose the pieces)."""
+    return kmv_estimate(kmv_sketch(ds, col, k=k), k=k)
 
 
 def frequent_items(
