@@ -5589,6 +5589,273 @@ def weighted_median_lineitem(sf_dir: str):
     )
 
 
+def wow_change_events(sf_dir: str):
+    """Week-over-week change in event counts per type: exact integer
+    weekly counts (per-batch combiner → tiny collect), pct change
+    computed from the integers in one float division.  First week per
+    type is NULL on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    wk_us = 7 * 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "wk": t["ts"].to_numpy(zero_copy_only=False).astype("int64") // wk_us,
+            }
+        )
+        return g.groupby(["event_type", "wk"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    c = (
+        parts.groupby(["event_type", "wk"], as_index=False)["n"]
+        .sum()
+        .sort_values(["event_type", "wk"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = c["n"].to_numpy(dtype="float64")
+    prev = np.roll(n, 1)
+    first = ~c["event_type"].duplicated(keep="first").to_numpy()
+    chg = round_half_away((n - prev) / prev, 6)
+    chg[first] = np.nan
+    return pd.DataFrame(
+        {
+            "event_type": c["event_type"],
+            "wk": c["wk"].astype("int64"),
+            "n": c["n"].astype("int64"),
+            "wow_change": chg,
+        }
+    )
+
+
+def transition_entropy_events(sf_dir: str):
+    """Per-event-type Markov NEXT-type entropy: H(next | cur) from the
+    exact transition counts of each user's (ts, event_id)-ordered
+    stream — the predictability signal.  One bucketed exchange on
+    user_id (vectorized shift per bucket), |types|² count fold, H from
+    exact integers (−Σ p ln p, ln on exact ratios), 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        g = pd.DataFrame({"cur": t[:-1][same], "nxt": t[1:][same]})
+        return g.groupby(["cur", "nxt"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = bucketed_group_map(ds, ["user_id"], trans).to_pandas()
+    c = parts.groupby(["cur", "nxt"], as_index=False)["n"].sum()
+    tot = c.groupby("cur")["n"].sum().rename("tot")
+    c = c.merge(tot, left_on="cur", right_index=True)
+    p = c["n"].to_numpy(dtype="float64") / c["tot"].to_numpy(dtype="float64")
+    c["term"] = -p * np.log(p)
+    # sum terms in nxt order (sequential left fold for these tiny
+    # groups) so the twin's ordered list_reduce produces the same float
+    c = c.sort_values(["cur", "nxt"], kind="mergesort")
+    h = c.groupby("cur", as_index=False)["term"].sum()
+    return pd.DataFrame(
+        {
+            "event_type": h["cur"].to_numpy(),
+            "next_entropy": round_half_away(h["term"].to_numpy(), 6),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+def burstiness_users(sf_dir: str):
+    """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    (Goh-Barabási) from EXACT integer moment sums (n, Σg, Σg²) over
+    WHOLE-SECOND gaps (floored int64-µs diffs — µs² would overflow
+    int64 on both engines) — one bucketed exchange, no float
+    accumulation.  Population σ; users with <2 gaps drop out on both
+    engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        us = df["us"].to_numpy()
+        same = u[:-1] == u[1:]
+        g = pd.DataFrame(
+            {
+                "user_id": u[1:][same],
+                "g": (us[1:][same] - us[:-1][same]) // 1_000_000,
+            }
+        )
+        g["g2"] = g["g"] * g["g"]
+        m = g.groupby("user_id", as_index=False).agg(
+            n=("g", "size"), sx=("g", "sum"), sxx=("g2", "sum")
+        )
+        m = m[m["n"] >= 2]
+        n = m["n"].to_numpy(dtype="float64")
+        sx = m["sx"].to_numpy(dtype="float64")
+        sxx = m["sxx"].to_numpy(dtype="float64")
+        mu = sx / n
+        sig = np.sqrt((n * sxx - sx * sx) / (n * n))
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].to_numpy(),
+                "burstiness": round_half_away((sig - mu) / (sig + mu), 6),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def copurchase_pairs_lineitem(sf_dir: str):
+    """Bipartite projection: top-20 part pairs by shared-order count
+    (co-purchase edges) — the catalogue-affinity query.  Shape: one
+    bucketed exchange on the order key, per-order DISTINCT part lists
+    pair-exploded inside the bucket via a self-merge (parts per order
+    are bounded ~7 → ~21 pairs), bucketed pair counts, per-block
+    partial top-20 → tiny driver merge; exact integer counts."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {"p1": m["l_partkey_x"].to_numpy(), "p2": m["l_partkey_y"].to_numpy()}
+        )
+
+    pr = bucketed_group_map(ds, ["l_orderkey"], pairs, batch_partial=dedup)
+    counts = bucketed_agg(pr, ["p1", "p2"], out_col="n")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "p1", "p2"], ascending=[False, True, True], kind="mergesort"
+        ).head(20)
+
+    out = counts.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(out).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def reciprocity_lineitem_graph(sf_dir: str):
+    """Directed-graph reciprocity of the mix graph: the share of
+    distinct non-loop directed edges whose reverse edge also exists.
+    One bucketed dedup on the UNDIRECTED pair key carrying per-pair
+    direction flags, then exact integer totals — no self-join."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        s, d = ok % 2000, (pk * 31 + sk) % 2000
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        return pd.DataFrame(
+            {"u": u, "v": v, "fwd": (s == u), "bwd": (s != u)}
+        ).groupby(["u", "v"], as_index=False)[["fwd", "bwd"]].max()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], as_index=False)[["fwd", "bwd"]].max()
+        both = (g["fwd"] & g["bwd"]).sum()
+        total = int(g["fwd"].sum()) + int(g["bwd"].sum())
+        return pd.DataFrame({"recip": [2 * int(both)], "total": [total]})
+
+    parts = bucketed_group_map(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        per_bucket,
+    ).to_pandas()
+    recip, total = int(parts["recip"].sum()), int(parts["total"].sum())
+    return pd.DataFrame(
+        {"reciprocity": round_half_away(np.array([recip / total]), 6)}
+    )
+
+
+def order_gap_histogram_orders(sf_dir: str):
+    """Histogram of per-customer consecutive-order gaps (days, µs-exact
+    integer diffs under (date, orderkey) order) — the repurchase-cycle
+    distribution.  One bucketed exchange on custkey, vectorized shift
+    per bucket, exact integer day counts."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "us", "o_orderkey"], kind="mergesort")
+        c = df["o_custkey"].to_numpy()
+        us = df["us"].to_numpy()
+        same = c[:-1] == c[1:]
+        d = (us[1:][same] - us[:-1][same]) // day_us
+        g = pd.DataFrame({"gap_days": d})
+        return g.groupby("gap_days", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = bucketed_group_map(ds, ["o_custkey"], gaps).to_pandas()
+    out = parts.groupby("gap_days", as_index=False)["n"].sum()
+    out["gap_days"] = out["gap_days"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("gap_days").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5812,6 +6079,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_union_users_events": kmv_union_users_events,
         "grouping_sets_lineitem": grouping_sets_lineitem,
         "weighted_median_lineitem": weighted_median_lineitem,
+        "wow_change_events": wow_change_events,
+        "transition_entropy_events": transition_entropy_events,
+        "burstiness_users": burstiness_users,
+        "copurchase_pairs_lineitem": copurchase_pairs_lineitem,
+        "reciprocity_lineitem_graph": reciprocity_lineitem_graph,
+        "order_gap_histogram_orders": order_gap_histogram_orders,
     }
 
 
@@ -8129,5 +8402,88 @@ def oracle_sql() -> dict[str, str]:
                          (select sum(w) from pw) tot
                   from pw)
             select min(p)::double as weighted_median from c where 2*cw >= tot
+        """,
+        "wow_change_events": """
+            with c as (
+              select event_type, epoch_us(ts) // 604800000000 as wk,
+                     count(*)::bigint as n
+              from events group by 1, 2)
+            select event_type, wk, n,
+                   round((cast(n as double)
+                          - lag(n) over (partition by event_type order by wk))
+                         / lag(n) over (partition by event_type order by wk),
+                         6) as wow_change
+            from c order by event_type, wk
+        """,
+        "transition_entropy_events": """
+            with s as (
+              select user_id, event_type as cur,
+                     lead(event_type) over (
+                       partition by user_id order by ts, event_id) as nxt
+              from events),
+            c as (select cur, nxt, count(*)::bigint as n
+                  from s where nxt is not null group by 1, 2),
+            t as (select cur, sum(n)::bigint as tot from c group by cur),
+            term as (select c.cur, c.nxt,
+                            -(cast(n as double) / tot)
+                              * ln(cast(n as double) / tot) as term
+                     from c join t using (cur))
+            select cur as event_type,
+                   round(list_reduce(
+                           list_prepend(0.0::double, list(term order by nxt)),
+                           (acc, x) -> acc + x), 6) as next_entropy
+            from term group by cur order by event_type
+        """,
+        "burstiness_users": """
+            with g as (
+              select user_id,
+                     (epoch_us(ts) - lag(epoch_us(ts)) over (
+                        partition by user_id order by ts, event_id))
+                       // 1000000 as gap
+              from events),
+            m as (select user_id, count(*)::bigint n,
+                         sum(gap)::bigint sx, sum(gap*gap)::bigint sxx
+                  from g where gap is not null group by user_id
+                  having count(*) >= 2),
+            b as (select user_id,
+                         cast(sx as double) / n as mu,
+                         sqrt(cast(n*sxx - sx*sx as double)
+                              / cast(n*n as double)) as sig
+                  from m)
+            select user_id, round((sig - mu) / (sig + mu), 6) as burstiness
+            from b order by user_id
+        """,
+        "copurchase_pairs_lineitem": """
+            with d as (select distinct l_orderkey, l_partkey from lineitem),
+            p as (select a.l_partkey p1, b.l_partkey p2, count(*)::bigint n
+                  from d a join d b
+                    on a.l_orderkey = b.l_orderkey
+                   and a.l_partkey < b.l_partkey
+                  group by 1, 2)
+            select p1, p2, n from p
+            order by n desc, p1, p2 limit 20
+        """,
+        "reciprocity_lineitem_graph": """
+            with e as (
+              select distinct l_orderkey % 2000 as s,
+                     (l_partkey*31 + l_suppkey) % 2000 as d
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            r as (select count(*)::bigint as recip
+                  from e a join e b on a.s = b.d and a.d = b.s),
+            t as (select count(*)::bigint as total from e)
+            select round(cast(recip as double) / total, 6) as reciprocity
+            from r, t
+        """,
+        "order_gap_histogram_orders": """
+            with g as (
+              select o_custkey,
+                     (epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) over (
+                        partition by o_custkey
+                        order by o_orderdate, o_orderkey)) // 86400000000 as gap_days
+              from orders)
+            select gap_days, count(*)::bigint as n
+            from g where gap_days is not null
+            group by gap_days order by gap_days
         """,
     }
