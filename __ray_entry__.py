@@ -17,6 +17,7 @@ driver's value-hash comparison is stable across summation orders.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -5856,6 +5857,391 @@ def order_gap_histogram_orders(sf_dir: str):
     return out.sort_values("gap_days").reset_index(drop=True)
 
 
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — six-table volume-shipping join between two
+    trading nations, revenue by (supp_nation, cust_nation, year).
+    Strategy mix: nation is a driver-side plan constant, the two-nation
+    supplier and customer slices are broadcast dimension sides (zero
+    shuffle), lineitem⋈orders co-partitions on orderkey — the only
+    all-to-all carries already nation-pruned rows with pre-computed
+    volume; exact-int year from µs epoch math."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        broadcast_join,
+        bucket_hash_join,
+        bucketed_agg,
+    )
+
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pair = nat[nat["n_name"].isin(["NATION_1", "NATION_2"])]
+    names = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
+    keys = pa.array(sorted(names), pa.int32())
+
+    supp = (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"s_suppkey": "l_suppkey"})
+    )
+    cust = (
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"].combine_chunks(),
+                "o_custkey": t["o_custkey"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orders_cust = broadcast_join(orders, cust, on="o_custkey").map_batches(
+        lambda df: df[["l_orderkey", "c_nationkey"]], batch_format="pandas"
+    )
+
+    yr_us = pd.Timestamp("1970-01-01").value  # epoch origin; year via pandas
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        yr = pa.array(
+            pd.DatetimeIndex(t["l_shipdate"].to_pandas()).year.astype("int64")
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].combine_chunks(),
+                "l_suppkey": t["l_suppkey"].combine_chunks(),
+                "l_year": yr,
+                "volume": rev,
+            }
+        )
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_proj, batch_format="pyarrow")
+    li_supp = broadcast_join(li, supp, on="l_suppkey")
+
+    j = bucket_hash_join(li_supp, orders_cust, on=["l_orderkey"]).map_batches(
+        lambda df: df[df["s_nationkey"].astype("int64") != df["c_nationkey"].astype("int64")],
+        batch_format="pandas",
+    )
+
+    def name_pair(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "supp_nation": df["s_nationkey"].astype(int).map(names),
+                "cust_nation": df["c_nationkey"].astype(int).map(names),
+                "l_year": df["l_year"].astype("int64"),
+                "volume": df["volume"],
+            }
+        )
+        return out
+
+    out = bucketed_agg(
+        j.map_batches(name_pair, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"],
+        value_col="volume",
+        how="sum",
+        out_col="revenue",
+    ).to_pandas()
+    out["revenue"] = round_half_away(out["revenue"].to_numpy(dtype="float64"), 2)
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+_LP_ROUNDS = 3
+
+
+def label_prop_lineitem_graph(sf_dir: str):
+    """Community detection by deterministic synchronous label
+    propagation (stages/graph.py::label_propagation — mode-of-
+    neighbour-labels with min tie-break) over the simple undirected mix
+    graph; returns the 20 largest communities after 3 rounds.  The SQL
+    twin unrolls the vote rounds as argmax-count CTEs on the identical
+    distinct-edge graph."""
+    from web_graph_ray.stages.graph import label_propagation
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    labels = label_propagation(_mix_graph(sf_dir), rounds=_LP_ROUNDS)
+    sizes = bucketed_agg(labels, ["label"], out_col="size").to_pandas()
+    return (
+        sizes.sort_values(["size", "label"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _label_prop_sql(rounds: int = _LP_ROUNDS) -> str:
+    """DuckDB twin: same simple undirected graph (distinct non-loop
+    pairs, symmetrized), same synchronous vote — per round the most
+    frequent neighbour label, ties to the smallest label."""
+    sql = """
+            with e0 as (
+              select distinct least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            edges as (select u node, v peer from e0 union all select v, u from e0),
+            l0 as (select distinct node, node as lbl from edges)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+            l{k} as (
+              select node, lbl from (
+                select e.node, l.lbl, count(*) as n,
+                       row_number() over (partition by e.node
+                                          order by count(*) desc, l.lbl) rn
+                from edges e join l{k-1} l on l.node = e.peer
+                group by e.node, l.lbl) t where rn = 1)"""
+    sql += f"""
+            select lbl as label, count(*) as size from l{rounds}
+            group by lbl order by size desc, label limit 20
+        """
+    return sql
+
+
+def logodds_terms_documents(sf_dir: str):
+    """Per-source top-5 distinctive terms by Monroe log-odds-ratio
+    z-score (stages/text.py::logodds_terms) — the corpus-comparison
+    keyword extractor (what TF-IDF misses: over-representation, not
+    frequency)."""
+    from web_graph_ray.stages.text import logodds_terms
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    out = logodds_terms(ds, group_col="source", k=5).to_pandas()
+    return (
+        out.sort_values(["source", "zscore", "tok"],
+                        ascending=[True, False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def coverage_time_users(sf_dir: str):
+    """Per-user activity coverage: total µs covered by the union of
+    [ts, ts+300 s) activity intervals — the watch-time / active-time
+    primitive.  Closed form over sorted gaps (Σ min(gap, L) + L), so
+    one bucketed exchange on user_id with exact int64-µs math and no
+    interval materialization."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    L = 300 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        us = df["us"].to_numpy()
+        same = u[:-1] == u[1:]
+        g = pd.DataFrame(
+            {
+                "user_id": u[1:][same],
+                "c": np.minimum(us[1:][same] - us[:-1][same], L),
+            }
+        )
+        s = g.groupby("user_id", as_index=False)["c"].sum()
+        base = pd.DataFrame({"user_id": np.unique(u)})
+        out = base.merge(s, on="user_id", how="left")
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "covered_us": (out["c"].fillna(0) + L).astype("int64"),
+            }
+        )
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def kanonymity_events(sf_dir: str):
+    """k-anonymity audit (k=5) over the quasi-identifier (event_type,
+    epoch-day-of-week, floor(value/10) band): group sizes via the
+    bucketed count, then a one-row privacy summary — total QI groups,
+    groups below k, rows in those groups, and their share (6 dp).
+    Integer epoch-day DOW formula mirrored verbatim in the twin."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "dow": (us // day_us) % 7,
+                "band": np.floor(t["value"].to_numpy() / 10.0).astype("int64"),
+            }
+        )
+
+    counts = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "dow", "band"],
+        out_col="n",
+    )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        small = df["n"] < 5
+        return pd.DataFrame(
+            {
+                "n_groups": [len(df)],
+                "n_small": [int(small.sum())],
+                "rows_small": [int(df.loc[small, "n"].sum())],
+                "rows_total": [int(df["n"].sum())],
+            }
+        )
+
+    parts = counts.map_batches(summarize, batch_format="pandas").to_pandas()
+    tot = parts.sum()
+    return pd.DataFrame(
+        {
+            "n_groups": [int(tot["n_groups"])],
+            "n_small": [int(tot["n_small"])],
+            "rows_small": [int(tot["rows_small"])],
+            "share_small": round_half_away(
+                np.array([tot["rows_small"] / tot["rows_total"]]), 6
+            ),
+        }
+    )
+
+
+def decayed_counts_events(sf_dir: str):
+    """Per-type exponentially time-decayed event count at the corpus
+    horizon: Σ_d n_d · exp(−(D−d)/7) over per-day EXACT integer counts
+    (τ = 7 days, D = max epoch-day).  The decay fold runs over ≤
+    O(days) terms in day order on the driver — a sequential left fold
+    the twin mirrors with an ordered list_reduce, making the float sum
+    deterministic on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": us // day_us}
+        )
+
+    counts = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "d"],
+        out_col="n",
+    ).to_pandas()
+    horizon = int(counts["d"].max())
+    rows = []
+    for et, g in counts.sort_values(["event_type", "d"]).groupby("event_type"):
+        acc = 0.0
+        for d, n in zip(g["d"].to_numpy(), g["n"].to_numpy()):
+            acc = acc + float(n) * math.exp(-(horizon - int(d)) / 7.0)
+        rows.append((et, acc))
+    out = pd.DataFrame(rows, columns=["event_type", "decayed_count"])
+    out["decayed_count"] = round_half_away(
+        out["decayed_count"].to_numpy(dtype="float64"), 6
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def drawdown_users_events(sf_dir: str):
+    """Per-user maximum drawdown of the cumulative value series
+    (running-max minus running-sum peak gap) under (ts, event_id)
+    order — the risk / regression-detection window primitive.  One
+    bucketed exchange; np.cumsum / maximum.accumulate are sequential
+    left folds, matching SQL cumulative window frames float-for-float
+    (same precedent as cumsum_events), rounded 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+                "value": t["value"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            c = np.cumsum(g["value"].to_numpy())
+            m = np.maximum.accumulate(c)
+            out.append((uid, float(np.max(m - c))))
+        r = pd.DataFrame(out, columns=["user_id", "max_drawdown"])
+        r["max_drawdown"] = round_half_away(
+            r["max_drawdown"].to_numpy(dtype="float64"), 6
+        )
+        return r
+
+    out = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def apportion_events(sf_dir: str):
+    """Largest-remainder (Hamilton) apportionment of 1000 sample slots
+    across event types proportional to exact counts — the quota
+    allocator behind stratified corpus budgeting.  floor(seats·n/total)
+    base + remainder-ranked extras (tie → type asc); identical float
+    quota expression on both engines over exact ints."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    seats = 1000
+    c = (
+        bucketed_agg(_t(sf_dir, "events", ["event_type"]), ["event_type"], out_col="n")
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    tot = int(c["n"].sum())
+    quota = seats * c["n"].to_numpy(dtype="float64") / float(tot)
+    base = np.floor(quota)
+    rem = quota - base
+    extra = seats - int(base.sum())
+    order = np.lexsort((c["event_type"].to_numpy(), -rem))
+    bonus = np.zeros(len(c), dtype="int64")
+    bonus[order[:extra]] = 1
+    return pd.DataFrame(
+        {
+            "event_type": c["event_type"],
+            "seats": (base.astype("int64") + bonus),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6085,6 +6471,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_pairs_lineitem": copurchase_pairs_lineitem,
         "reciprocity_lineitem_graph": reciprocity_lineitem_graph,
         "order_gap_histogram_orders": order_gap_histogram_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "label_prop_lineitem_graph": label_prop_lineitem_graph,
+        "logodds_terms_documents": logodds_terms_documents,
+        "coverage_time_users": coverage_time_users,
+        "kanonymity_events": kanonymity_events,
+        "decayed_counts_events": decayed_counts_events,
+        "drawdown_users_events": drawdown_users_events,
+        "apportion_events": apportion_events,
     }
 
 
@@ -8485,5 +8879,120 @@ def oracle_sql() -> dict[str, str]:
             select gap_days, count(*)::bigint as n
             from g where gap_days is not null
             group by gap_days order by gap_days
+        """,
+        "q7_volume_shipping": """
+            select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                   year(l_shipdate)::bigint as l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+            from lineitem
+            join supplier on s_suppkey = l_suppkey
+            join orders on o_orderkey = l_orderkey
+            join customer on c_custkey = o_custkey
+            join nation n1 on n1.n_nationkey = s_nationkey
+            join nation n2 on n2.n_nationkey = c_nationkey
+            where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+                or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+            group by 1, 2, 3 order by 1, 2, 3
+        """,
+        "label_prop_lineitem_graph": _label_prop_sql(),
+        "logodds_terms_documents": """
+            with toks as (
+              select source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents),
+            c as (select source, tok, count(*)::bigint y
+                  from toks group by 1, 2),
+            w as (select tok, sum(y)::bigint yw from c group by tok),
+            s as (select source, sum(y)::bigint ns from c group by source),
+            t as (select sum(y)::bigint n_total from c),
+            z as (select c.source, c.tok,
+                         (ln((y + 0.5) / (ns - y + 0.5))
+                          - ln((yw - y + 0.5)
+                               / ((select n_total from t) - ns - (yw - y) + 0.5)))
+                         / sqrt(1.0/(y + 0.5) + 1.0/(yw - y + 0.5)) zraw
+                  from c join w using (tok) join s using (source)),
+            r as (select source, tok, round(zraw, 6) zscore,
+                         row_number() over (partition by source
+                                            order by round(zraw, 6) desc, tok) rk
+                  from z)
+            select source, tok, zscore from r where rk <= 5
+            order by source, zscore desc, tok
+        """,
+        "coverage_time_users": """
+            with s as (select user_id, epoch_us(ts) us, event_id from events),
+            g as (select user_id,
+                         us - lag(us) over (partition by user_id
+                                            order by us, event_id) gap
+                  from s)
+            -- NB: DuckDB least() IGNORES NULLs (least(NULL, L) = L), so
+            -- the first row per user must be zeroed explicitly
+            select user_id,
+                   (300000000 + sum(case when gap is null then 0
+                                         else least(gap, 300000000) end))::bigint
+                     as covered_us
+            from g group by user_id order by user_id
+        """,
+        "kanonymity_events": """
+            with q as (
+              select event_type,
+                     (epoch_us(ts) // 86400000000) % 7 as dow,
+                     floor(value / 10.0)::bigint as band,
+                     count(*)::bigint as n
+              from events group by 1, 2, 3)
+            select count(*)::bigint as n_groups,
+                   sum(case when n < 5 then 1 else 0 end)::bigint as n_small,
+                   coalesce(sum(case when n < 5 then n end), 0)::bigint as rows_small,
+                   round(cast(coalesce(sum(case when n < 5 then n end), 0) as double)
+                         / sum(n), 6) as share_small
+            from q
+        """,
+        "decayed_counts_events": """
+            with c as (select event_type, epoch_us(ts) // 86400000000 as d,
+                              count(*)::bigint as n
+                       from events group by 1, 2),
+            h as (select max(d) as horizon from c),
+            term as (select event_type, d,
+                            n * exp(-cast((select horizon from h) - d as double)
+                                    / 7.0) as x
+                     from c)
+            select event_type,
+                   round(list_reduce(
+                           list_prepend(0.0::double, list(x order by d)),
+                           (a, b) -> a + b), 6) as decayed_count
+            from term group by event_type order by event_type
+        """,
+        "drawdown_users_events": """
+            with s as (
+              select user_id, ts, event_id,
+                     sum(value) over (partition by user_id
+                                      order by ts, event_id
+                                      rows unbounded preceding) c
+              from events),
+            r as (
+              select user_id,
+                     max(c) over (partition by user_id
+                                  order by ts, event_id
+                                  rows unbounded preceding) m, c
+              from s)
+            select user_id, round(max(m - c), 6) as max_drawdown
+            from r group by user_id order by user_id
+        """,
+        "apportion_events": """
+            with c as (select event_type, count(*)::bigint n
+                       from events group by 1),
+            t as (select sum(n)::bigint tot from c),
+            q as (select event_type, n,
+                         floor(1000.0 * n / (select tot from t)) b,
+                         1000.0 * n / (select tot from t)
+                           - floor(1000.0 * n / (select tot from t)) r
+                  from c),
+            e as (select (1000 - sum(b))::bigint extra from q),
+            rk as (select event_type, b,
+                          row_number() over (order by r desc, event_type) rn
+                   from q)
+            select event_type,
+                   (b + case when rn <= (select extra from e)
+                             then 1 else 0 end)::bigint as seats
+            from rk order by event_type
         """,
     }

@@ -1,0 +1,149 @@
+"""Label-propagation and log-odds-terms operator tests: exact
+agreement with local reference implementations of the promised
+semantics (synchronous mode-vote LPA; Monroe log-odds z-scores)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from web_graph_ray.stages.graph import label_propagation
+from web_graph_ray.stages.text import logodds_terms
+
+
+def reference_lpa(edges, rounds):
+    """Synchronous LPA on the SIMPLE undirected graph (dedup, no
+    self-loops): most frequent neighbour label, ties to the smallest
+    label, isolated nodes keep their own."""
+    simple = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[int, set[int]] = {}
+    for u, v in simple:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            votes: dict[int, int] = {}
+            for p in adj[n]:
+                votes[lab[p]] = votes.get(lab[p], 0) + 1
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lab = new
+    return dict(sorted(lab.items()))
+
+
+GRAPHS = {
+    # two triangles joined by one bridge edge: each triangle converges
+    # to its own min label, the bridge does not flip either side
+    "two_triangles": [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+    # star: the hub adopts the (unanimous) leaf label space's min via
+    # vote count, leaves all adopt the hub's label — oscillation shape
+    # that makes SYNCHRONOUS semantics observable
+    "star": [(0, 1), (0, 2), (0, 3), (0, 4)],
+    # multi-edges and self-loops must NOT weight votes
+    "multi_self": [(1, 2), (1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (3, 4)],
+    # path: label waves travel one hop per round — exercises the
+    # exactly-r-rounds contract
+    "path": [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+@pytest.mark.parametrize("rounds", [1, 3])
+def test_lpa_matches_reference(name, rounds, ray_session):
+    edges = GRAPHS[name]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    out = label_propagation(ds, rounds=rounds, num_buckets=4).to_pandas()
+    got = dict(sorted(zip(out["node"].astype(int), out["label"].astype(int))))
+    assert got == reference_lpa(edges, rounds)
+
+
+def test_lpa_parallelism_invariance(ray_session):
+    """Bucket count must not change the result (the semantics are
+    defined by the graph, not the partitioning)."""
+    rng = np.random.RandomState(7)
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, 40, size=(300, 2))]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    outs = []
+    for nb in (2, 8):
+        out = label_propagation(ds, rounds=3, num_buckets=nb).to_pandas()
+        outs.append(
+            out.astype({"node": "int64", "label": "int64"})
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert dict(zip(outs[0]["node"], outs[0]["label"])) == reference_lpa(edges, 3)
+
+
+def reference_logodds(docs, k):
+    """Per-group Monroe log-odds z (add-0.5 smoothing), top-k by
+    (rounded z desc, tok asc)."""
+    import re
+
+    counts: dict[tuple, int] = {}
+    for g, text in docs:
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            counts[(g, t)] = counts.get((g, t), 0) + 1
+    yw: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for (g, t), y in counts.items():
+        yw[t] = yw.get(t, 0) + y
+        ns[g] = ns.get(g, 0) + y
+    N = sum(ns.values())
+    rows = []
+    for (g, t), y in counts.items():
+        rest = yw[t] - y
+        delta = math.log((y + 0.5) / (ns[g] - y + 0.5)) - math.log(
+            (rest + 0.5) / (N - ns[g] - rest + 0.5)
+        )
+        z = delta / math.sqrt(1.0 / (y + 0.5) + 1.0 / (rest + 0.5))
+        rows.append((g, t, round(z, 6)))
+    df = pd.DataFrame(rows, columns=["source", "tok", "zscore"])
+    return (
+        df.sort_values(["source", "zscore", "tok"], ascending=[True, False, True])
+        .groupby("source")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def test_logodds_matches_reference(ray_session):
+    docs = [
+        ("a", "alpha alpha beta gamma"),
+        ("a", "alpha delta delta"),
+        ("b", "beta beta beta gamma epsilon"),
+        ("b", "epsilon epsilon zeta"),
+        ("c", "gamma gamma gamma alpha"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs, columns=["source", "text"]))
+    out = (
+        logodds_terms(ds, k=3, num_buckets=4)
+        .to_pandas()
+        .sort_values(["source", "zscore", "tok"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    ref = reference_logodds(docs, 3)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_logodds_overrepresented_not_frequent(ray_session):
+    """The token every group shares heavily must NOT top any group's
+    list — distinctiveness, not frequency (the contrast with TF)."""
+    common = "the " * 20
+    docs = [
+        ("a", common + "quark quark quark"),
+        ("b", common + "gluon gluon gluon"),
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs, columns=["source", "text"]))
+    out = logodds_terms(ds, k=1, num_buckets=2).to_pandas()
+    top = dict(zip(out["source"], out["tok"]))
+    assert top == {"a": "quark", "b": "gluon"}

@@ -1037,3 +1037,136 @@ def kcore(
     return members.map_batches(
         lambda df: df.loc[df["alive"], ["node"]], batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation (synchronous LPA community detection)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _lp_init(ndir: str, b: int) -> "pd.DataFrame":
+    p = _bucket_path(ndir, b)
+    if not os.path.exists(p):
+        return pd.DataFrame({"node": pd.Series([], dtype="object")}).assign(label=None)
+    nodes = pd.read_parquet(p)
+    return pd.DataFrame({"node": nodes["node"], "label": nodes["node"]})
+
+
+@ray.remote
+def _lp_messages(edir: str, b: int, num_buckets: int, labels: pd.DataFrame):
+    """Map phase for sender-bucket b: each sender forwards its current
+    label to every neighbour; PARTIAL VOTE COUNTS by (dst_bucket, dst,
+    label) — the combiner that keeps the exchange O(nodes × distinct
+    neighbour labels), never O(edges)."""
+    p = _bucket_path(edir, b)
+    empty = pd.DataFrame(
+        {
+            "node": pd.Series([], dtype="object"),
+            "m": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+    if not os.path.exists(p):
+        return [empty] * num_buckets
+    e = pd.read_parquet(p)
+    m = e.merge(labels.rename(columns={"node": "src", "label": "m"}), on="src", how="inner")
+    parts = (
+        m.groupby(["dst_bucket", "dst", "m"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    out = []
+    grouped = dict(tuple(parts.groupby("dst_bucket")))
+    for nb in range(num_buckets):
+        g = grouped.get(nb)
+        out.append(
+            g.rename(columns={"dst": "node"})[["node", "m", "n"]]
+            if g is not None
+            else empty
+        )
+    return out
+
+
+@ray.remote
+def _lp_reduce(prev: pd.DataFrame, *parts) -> "pd.DataFrame":
+    """Reduce phase for one node bucket: sum the partial vote counts,
+    take the most frequent neighbour label per node (tie → smallest
+    label — the deterministic synchronous-LPA update), keep the
+    previous label for nodes that received no votes."""
+    if not len(prev):
+        return prev
+    live = [x for x in parts if len(x)]
+    if not live:
+        return prev
+    allp = pd.concat(live, ignore_index=True)
+    votes = allp.groupby(["node", "m"], as_index=False)["n"].sum()
+    win = votes.sort_values(
+        ["node", "n", "m"], ascending=[True, False, True], kind="mergesort"
+    ).drop_duplicates("node")
+    out = prev.merge(win[["node", "m"]], on="node", how="left")
+    upd = out["m"].notna()
+    lab = out["label"].where(~upd, out["m"])
+    if pd.api.types.is_integer_dtype(prev["label"].dtype):
+        lab = lab.astype(prev["label"].dtype)
+    return pd.DataFrame({"node": out["node"], "label": lab})
+
+
+def label_propagation(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 3,
+    num_buckets: int = 32,
+    work_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, deterministic variant) over the SIMPLE undirected graph
+    (loops dropped, multi-edges collapsed so every neighbour votes
+    once); returns (node, label) after ``rounds`` synchronous updates:
+
+    label_0(x)   = x
+    label_k+1(x) = argmax over neighbour-label vote counts of
+                   label_k(peers), ties → smallest label; a node with
+                   no neighbours keeps its label.
+
+    Same partition-once / message-exchange loop as pagerank /
+    connected_components (module docstring): edges and nodes are
+    bucket-affine Parquet sidecars written once, each round exchanges
+    only PARTIAL VOTE COUNTS (combined per sender bucket), and the
+    driver holds O(num_buckets) object refs — no driver-side graph.
+    Unlike connected_components' min-fold, the vote histogram is not
+    idempotent, so the reduce must see the previous labels (passed as
+    the bucket's ref, zero extra IO)."""
+    from .relational import bucketed_group_map
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        s = t[src_col].to_numpy(zero_copy_only=False)
+        d = t[dst_col].to_numpy(zero_copy_only=False)
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    simple = bucketed_group_map(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    edir, ndir = _partition_graph(
+        simple, "u", "v", num_buckets, work_dir, symmetric=True
+    )
+    label_refs = [_lp_init.remote(ndir, b) for b in range(num_buckets)]
+    for _ in range(rounds):
+        msg = [
+            _lp_messages.options(num_returns=num_buckets).remote(
+                edir, b, num_buckets, label_refs[b]
+            )
+            for b in range(num_buckets)
+        ]
+        label_refs = [
+            _lp_reduce.remote(label_refs[b], *[msg[sb][b] for sb in range(num_buckets)])
+            for b in range(num_buckets)
+        ]
+    return ray.data.from_pandas_refs(label_refs)

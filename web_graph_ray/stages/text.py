@@ -688,3 +688,105 @@ def extract_json_int(
         return t.append_column(out_col, v)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def logodds_terms(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    round_to: int = 6,
+    num_buckets: int = 32,
+):
+    """Per-group top-k DISTINCTIVE terms by the log-odds-ratio z-score
+    with add-0.5 smoothing (Monroe, Colaresi & Quinn 2008, "Fightin'
+    Words") — the corpus-comparison step that surfaces what makes one
+    source's vocabulary different from the rest (TF-IDF finds frequent
+    terms; log-odds finds OVER-REPRESENTED ones):
+
+        delta_w  = ln((y_gw+.5)/(n_g−y_gw+.5)) − ln((y_w−y_gw+.5)/(N−n_g−(y_w−y_gw)+.5))
+        z_w      = delta_w / sqrt(1/(y_gw+.5) + 1/(y_w−y_gw+.5))
+
+    All inputs are EXACT integer counts, so both engines evaluate the
+    same float expression on identical ints — deterministic to
+    round_to digits.  Returns (group, tok, zscore), k rows per group,
+    ranked on the ROUNDED z (desc, tok asc) so an identically-rounding
+    oracle agrees exactly.
+
+    Scale shape: one explode pass with the per-batch (group, tok)
+    count combiner, one bucketed (group, tok) count, corpus-wide
+    per-token totals re-aggregated FROM those counts and joined back
+    co-partitioned on tok (no broadcast at any vocab size); per-group
+    totals are O(#groups) driver rows shipped into the closure; final
+    top-k carries ≤ k·groups·blocks rows."""
+    import pandas as pd
+
+    from ..functions.numeric import round_half_away
+    from ..functions.text import WORD_RE
+    from .relational import bucket_hash_join, bucketed_agg, grouped_topk
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gs, toks = [], []
+        for g, t in zip(batch[group_col].to_pylist(), batch[text_col].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            gs.extend([g] * len(ts))
+            toks.extend(ts)
+        df = (
+            pd.DataFrame({group_col: gs, "tok": toks})
+            .groupby([group_col, "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "y"})
+        )
+        return pa.Table.from_pydict(
+            {
+                group_col: pa.array(df[group_col], pa.string()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "y": pa.array(df["y"].to_numpy().astype("int64")),
+            }
+        )
+
+    counts = bucketed_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        [group_col, "tok"],
+        value_col="y",
+        how="sum",
+        out_col="y",
+        num_buckets=num_buckets,
+    )
+
+    totals = counts.map_batches(
+        lambda df: df.groupby(group_col, as_index=False)["y"].sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    totals = totals.groupby(group_col, as_index=False)["y"].sum()
+    n_g = dict(zip(totals[group_col], totals["y"].astype("int64")))
+    n_total = int(totals["y"].sum())
+
+    yw = bucketed_agg(
+        counts, ["tok"], value_col="y", how="sum", out_col="yw",
+        num_buckets=num_buckets,
+    )
+    joined = bucket_hash_join(counts, yw, ["tok"], num_buckets=num_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["y"].to_numpy(dtype="float64")
+        w = df["yw"].to_numpy(dtype="float64")
+        ns = df[group_col].map(n_g).to_numpy(dtype="float64")
+        rest = w - y
+        delta = np.log((y + 0.5) / (ns - y + 0.5)) - np.log(
+            (rest + 0.5) / (n_total - ns - rest + 0.5)
+        )
+        z = delta / np.sqrt(1.0 / (y + 0.5) + 1.0 / (rest + 0.5))
+        out = df[[group_col, "tok"]].copy()
+        out["zscore"] = round_half_away(z, round_to)
+        return out
+
+    return grouped_topk(
+        joined.map_batches(score, batch_format="pandas"),
+        [group_col],
+        "zscore",
+        k,
+        descending=True,
+        tie_cols=["tok"],
+        num_buckets=num_buckets,
+    )
