@@ -6242,6 +6242,317 @@ def apportion_events(sf_dir: str):
     )
 
 
+def mannwhitney_events(sf_dir: str):
+    """Per-type Mann–Whitney U (weekend vs weekday values) from
+    average ranks — the nonparametric two-sample test beside Welch's t.
+    Average ranks of integer row numbers are EXACT multiples of 0.5
+    (mean of consecutive ints), so the rank sum R1 is bit-exact on both
+    engines regardless of summation order — U is deterministic without
+    rounding tricks; z uses the no-tie-correction normal approximation
+    mirrored verbatim.  Ranks are group-local (5 types → 5 bucket
+    tasks); for few HUGE groups the rank-partition path (global_rank's
+    value-range partitioning) is the scale route."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        day = us // _US_PER_S // 86_400
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "value": t["value"].to_numpy(),
+                "w": np.isin((day + 4) % 7, (0, 6)),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("value", kind="mergesort")
+            rn = np.arange(1, len(g) + 1, dtype="float64")
+            ar = pd.Series(rn).groupby(g["value"].to_numpy()).transform("mean")
+            w = g["w"].to_numpy()
+            n1 = int(w.sum())
+            n2 = len(g) - n1
+            r1 = float(ar.to_numpy()[w].sum())
+            u1 = r1 - n1 * (n1 + 1) / 2.0
+            mu = n1 * n2 / 2.0
+            sig = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+            rows.append((et, n1, n2, u1, (u1 - mu) / sig))
+        out = pd.DataFrame(rows, columns=["event_type", "n1", "n2", "u1", "z"])
+        out["u1"] = round_half_away(out["u1"].to_numpy(), 6)
+        out["z"] = round_half_away(out["z"].to_numpy(), 6)
+        return out
+
+    out = bucketed_group_map(ds, ["event_type"], per_bucket).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def ols2_events(sf_dir: str):
+    """Per-type two-feature OLS fit value ~ hour-of-day + day-of-week
+    via the 9-moment normal-equations combiner (n, Σx1, Σx2, Σx1²,
+    Σx2², Σx1x2 exact ints; Σy, Σx1y, Σx2y float partials) and a
+    Cramer's-rule 3×3 solve whose expression tree is mirrored verbatim
+    in the twin — deterministic to 6 dp because the int-sum products
+    are identical doubles and the float-sum error is ~1e-12 relative.
+    One map pass + tiny per-type fold; no shuffle of raw rows."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        x1 = (us // (3_600 * _US_PER_S)) % 24
+        x2 = (us // (86_400 * _US_PER_S) + 4) % 7
+        y = t["value"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "n": 1,
+                "sx1": x1,
+                "sx2": x2,
+                "sx11": x1 * x1,
+                "sx22": x2 * x2,
+                "sx12": x1 * x2,
+                "sy": y,
+                "sx1y": x1 * y,
+                "sx2y": x2 * y,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    n = m["n"].to_numpy(dtype="float64")
+    sx1, sx2 = m["sx1"].to_numpy(dtype="float64"), m["sx2"].to_numpy(dtype="float64")
+    sx11 = m["sx11"].to_numpy(dtype="float64")
+    sx22 = m["sx22"].to_numpy(dtype="float64")
+    sx12 = m["sx12"].to_numpy(dtype="float64")
+    sy = m["sy"].to_numpy(dtype="float64")
+    sx1y = m["sx1y"].to_numpy(dtype="float64")
+    sx2y = m["sx2y"].to_numpy(dtype="float64")
+    # Cramer's rule on [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]] —
+    # the EXACT same expression tree as the SQL twin
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    det0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    det1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    det2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"].to_numpy(),
+            "b0": round_half_away(det0 / det, 6),
+            "b_hour": round_half_away(det1 / det, 6),
+            "b_dow": round_half_away(det2 / det, 6),
+        }
+    ).reset_index(drop=True)
+
+
+def changepoint_events(sf_dir: str):
+    """Per-type single change-point on the daily-count series (binary
+    segmentation, 1 split): the split maximizing the between-segment
+    variance gain S_L²/k + S_R²/(m−k) − S²/m over the observed-day
+    sequence, ties → earliest day.  Exact integer daily counts and
+    prefix sums; the gain doubles are identical expressions on both
+    engines.  One bucketed count exchange; the argmax runs over
+    O(types × days) rows."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": us // day_us}
+        )
+
+    counts = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "d"],
+        out_col="n",
+    ).to_pandas()
+    rows = []
+    for et, g in counts.sort_values(["event_type", "d"]).groupby("event_type"):
+        c = g["n"].to_numpy(dtype="int64")
+        d = g["d"].to_numpy(dtype="int64")
+        m = len(c)
+        if m < 2:
+            continue
+        pre = np.cumsum(c)
+        S = float(pre[-1])
+        k = np.arange(1, m, dtype="float64")
+        sl = pre[:-1].astype("float64")
+        gain = sl * sl / k + (S - sl) * (S - sl) / (m - k) - S * S / m
+        best = int(np.lexsort((d[:-1], -gain))[0])
+        rows.append((et, int(d[best]), float(gain[best])))
+    out = pd.DataFrame(rows, columns=["event_type", "split_day", "gain"])
+    out["gain"] = round_half_away(out["gain"].to_numpy(), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def psi_events(sf_dir: str):
+    """Per-type Population Stability Index between the first 28
+    observed calendar days (reference window) and the rest (target) —
+    the production distribution-drift monitor.  Value bands are
+    floor(value/10); both distributions are Laplace-smoothed by +0.5
+    over the UNION band set so empty bands stay finite; PSI =
+    Σ (p−q)·ln(p/q) folded in band order (a sequential left fold the
+    twin mirrors with an ordered list_reduce).  Exact integer band
+    counts; per-batch combiner partials, O(types × bands) driver rows."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "band": np.floor(t["value"].to_numpy() / 10.0).astype("int64"),
+                "d": us // day_us,
+            }
+        )
+
+    tagged = _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    d0 = int(
+        tagged.map_batches(
+            lambda df: pd.DataFrame({"d": [df["d"].min()]}), batch_format="pandas"
+        )
+        .to_pandas()["d"]
+        .min()
+    )
+    cut = d0 + 28
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "band"]].copy()
+        out["ref"] = (df["d"] < cut).astype("int64")
+        out["tgt"] = (df["d"] >= cut).astype("int64")
+        return out.groupby(["event_type", "band"], as_index=False)[["ref", "tgt"]].sum()
+
+    # per-batch (type, band, ref, tgt) combiner partials → tiny
+    # driver-side final fold (types × bands rows)
+    small = (
+        tagged.map_batches(flag, batch_format="pandas")
+        .to_pandas()
+        .groupby(["event_type", "band"], as_index=False)[["ref", "tgt"]]
+        .sum()
+    )
+    rows = []
+    for et, g in small.sort_values(["event_type", "band"]).groupby("event_type"):
+        B = len(g)
+        nr = float(g["ref"].sum())
+        nt = float(g["tgt"].sum())
+        acc = 0.0
+        for cr, ct in zip(g["ref"].to_numpy(), g["tgt"].to_numpy()):
+            p = (cr + 0.5) / (nr + 0.5 * B)
+            q = (ct + 0.5) / (nt + 0.5 * B)
+            acc = acc + (p - q) * math.log(p / q)
+        rows.append((et, acc))
+    out = pd.DataFrame(rows, columns=["event_type", "psi"])
+    out["psi"] = round_half_away(out["psi"].to_numpy(), 6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def mutual_info_events(sf_dir: str):
+    """Mutual information I(event_type; day-of-week) in nats from the
+    exact contingency counts — the dependence audit beside chi².
+    Terms fold in (type, dow) order (ordered list_reduce twin); counts
+    come off one bucketed exchange, the fold is O(types × 7)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "dow": (us // day_us + 4) % 7,
+            }
+        )
+
+    c = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "dow"],
+        out_col="n",
+    ).to_pandas()
+    N = float(c["n"].sum())
+    nt = c.groupby("event_type")["n"].sum()
+    nd = c.groupby("dow")["n"].sum()
+    acc = 0.0
+    for _, r in c.sort_values(["event_type", "dow"]).iterrows():
+        nij = float(r["n"])
+        acc = acc + (nij / N) * math.log(
+            N * nij / (float(nt[r["event_type"]]) * float(nd[r["dow"]]))
+        )
+    return pd.DataFrame({"mi": round_half_away(np.array([acc]), 6)})
+
+
+def geomean_events(sf_dir: str):
+    """Per-type geometric mean of positive values via the Σln / n
+    combiner (one map pass, O(types × blocks) partials) —
+    exp(mean(ln v)), 6 dp; the 1e-12-relative float-order error of the
+    log sums is far inside the rounding."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        v = t["value"].to_numpy()
+        keep = v > 0
+        g = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas()[keep],
+                "s": np.log(v[keep]),
+                "n": 1,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"].to_numpy(),
+            "geomean": round_half_away(
+                np.exp(m["s"].to_numpy() / m["n"].to_numpy(dtype="float64")), 6
+            ),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6479,6 +6790,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_counts_events": decayed_counts_events,
         "drawdown_users_events": drawdown_users_events,
         "apportion_events": apportion_events,
+        "mannwhitney_events": mannwhitney_events,
+        "ols2_events": ols2_events,
+        "changepoint_events": changepoint_events,
+        "psi_events": psi_events,
+        "mutual_info_events": mutual_info_events,
+        "geomean_events": geomean_events,
     }
 
 
@@ -8994,5 +9311,147 @@ def oracle_sql() -> dict[str, str]:
                    (b + case when rn <= (select extra from e)
                              then 1 else 0 end)::bigint as seats
             from rk order by event_type
+        """,
+        "mannwhitney_events": """
+            with s as (
+              select event_type, value,
+                     ((floor(epoch(ts))::bigint // 86400 + 4) % 7) in (0, 6) w
+              from events),
+            r as (
+              select event_type, w,
+                     avg(rn) over (partition by event_type, value) ar
+              from (select event_type, value, w,
+                           row_number() over (partition by event_type
+                                              order by value) rn
+                    from s) t),
+            g as (
+              select event_type,
+                     sum(case when w then ar else 0 end) r1,
+                     sum(case when w then 1 else 0 end)::bigint n1,
+                     count(*)::bigint n
+              from r group by event_type),
+            u as (
+              select event_type, n1, (n - n1) as n2,
+                     r1 - n1 * (n1 + 1) / 2.0 as u1,
+                     n1 * (n - n1) / 2.0 as mu,
+                     sqrt(n1 * (n - n1) * (n + 1) / 12.0) as sig
+              from g)
+            select event_type, n1, n2, round(u1, 6) as u1,
+                   round((u1 - mu) / sig, 6) as z
+            from u order by event_type
+        """,
+        "ols2_events": """
+            with p as (
+              select event_type,
+                     (epoch_us(ts) // 3600000000) % 24 as x1,
+                     (epoch_us(ts) // 86400000000 + 4) % 7 as x2,
+                     value as y
+              from events),
+            m as (
+              select event_type,
+                     count(*)::double n,
+                     sum(x1)::double sx1, sum(x2)::double sx2,
+                     sum(x1*x1)::double sx11, sum(x2*x2)::double sx22,
+                     sum(x1*x2)::double sx12,
+                     sum(y) sy, sum(x1*y) sx1y, sum(x2*y) sx2y
+              from p group by event_type),
+            d as (
+              select event_type,
+                     n*(sx11*sx22 - sx12*sx12)
+                       - sx1*(sx1*sx22 - sx12*sx2)
+                       + sx2*(sx1*sx12 - sx11*sx2) as det,
+                     sy*(sx11*sx22 - sx12*sx12)
+                       - sx1*(sx1y*sx22 - sx12*sx2y)
+                       + sx2*(sx1y*sx12 - sx11*sx2y) as det0,
+                     n*(sx1y*sx22 - sx12*sx2y)
+                       - sy*(sx1*sx22 - sx12*sx2)
+                       + sx2*(sx1*sx2y - sx1y*sx2) as det1,
+                     n*(sx11*sx2y - sx1y*sx12)
+                       - sx1*(sx1*sx2y - sx1y*sx2)
+                       + sy*(sx1*sx12 - sx11*sx2) as det2
+              from m)
+            select event_type, round(det0/det, 6) as b0,
+                   round(det1/det, 6) as b_hour,
+                   round(det2/det, 6) as b_dow
+            from d order by event_type
+        """,
+        "changepoint_events": """
+            with c as (select event_type, epoch_us(ts) // 86400000000 d,
+                              count(*)::bigint n
+                       from events group by 1, 2),
+            o as (select event_type, d, n,
+                         sum(n) over (partition by event_type order by d
+                                      rows unbounded preceding) pre,
+                         row_number() over (partition by event_type
+                                            order by d) k,
+                         sum(n) over (partition by event_type)::double S,
+                         count(*) over (partition by event_type) m
+                  from c),
+            g as (select event_type, d,
+                         (pre::double * pre / k)
+                           + (S - pre) * (S - pre) / (m - k)
+                           - S * S / m as gain,
+                         row_number() over (partition by event_type
+                                            order by (pre::double * pre / k)
+                                              + (S - pre) * (S - pre) / (m - k)
+                                              - S * S / m desc, d) rn
+                  from o where k < m)
+            select event_type, d as split_day, round(gain, 6) as gain
+            from g where rn = 1 order by event_type
+        """,
+        "psi_events": """
+            with t0 as (select min(epoch_us(ts) // 86400000000) + 28 cut
+                        from events),
+            b as (
+              select event_type, floor(value / 10.0)::bigint band,
+                     sum(case when epoch_us(ts) // 86400000000
+                                   < (select cut from t0)
+                              then 1 else 0 end)::bigint cref,
+                     sum(case when epoch_us(ts) // 86400000000
+                                   >= (select cut from t0)
+                              then 1 else 0 end)::bigint ctgt
+              from events group by 1, 2),
+            s as (select event_type, count(*)::bigint nb,
+                         sum(cref)::bigint nr, sum(ctgt)::bigint nt
+                  from b group by event_type),
+            term as (
+              select b.event_type, b.band,
+                     ((cref + 0.5) / (nr + 0.5 * nb)
+                        - (ctgt + 0.5) / (nt + 0.5 * nb))
+                       * ln(((cref + 0.5) / (nr + 0.5 * nb))
+                            / ((ctgt + 0.5) / (nt + 0.5 * nb))) x
+              from b join s using (event_type))
+            select event_type,
+                   round(list_reduce(
+                           list_prepend(0.0::double, list(x order by band)),
+                           (a, v) -> a + v), 6) as psi
+            from term group by event_type order by event_type
+        """,
+        "mutual_info_events": """
+            with p as (select event_type,
+                              (epoch_us(ts) // 86400000000 + 4) % 7 dow
+                       from events),
+            c as (select event_type, dow, count(*)::bigint n
+                  from p group by 1, 2),
+            tt as (select event_type, sum(n)::bigint nt from c group by 1),
+            dd as (select dow, sum(n)::bigint nd from c group by 1),
+            nn as (select sum(n)::double N from c),
+            term as (
+              select c.event_type, c.dow,
+                     (n / (select N from nn))
+                       * ln((select N from nn) * n
+                            / (nt::double * nd)) x
+              from c join tt using (event_type) join dd using (dow))
+            select round(list_reduce(
+                     list_prepend(0.0::double,
+                                  list(x order by event_type, dow)),
+                     (a, v) -> a + v), 6) as mi
+            from term
+        """,
+        "geomean_events": """
+            select event_type, round(exp(sum(ln(value)) / count(*)), 6)
+                     as geomean
+            from events where value > 0
+            group by event_type order by event_type
         """,
     }
