@@ -6553,6 +6553,255 @@ def geomean_events(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def vocab_coverage_documents(sf_dir: str):
+    """Vocabulary coverage curve knee: the smallest k such that the
+    top-k tokens by frequency cover ≥ 90 % of corpus token mass, plus
+    the coverage attained — the tokenizer-budget sizing query.  Pure
+    composition of the distributed primitives: bucketed token counts →
+    global_rank on (-n, tok) (TeraSort shape, no driver sort) →
+    global_prefix_sum of n in rank order → one filtered min.  Exact
+    integer counts and cumulative sums; the 0.9·total threshold is the
+    identical double on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucketed_agg,
+        global_prefix_sum,
+        global_rank,
+    )
+    from web_graph_ray.functions.text import WORD_RE
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch["text"].to_pylist():
+            toks.extend(WORD_RE.findall(t.lower()))
+        df = pd.Series(toks, dtype="object").value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(df.index, pa.string()),
+                "n": pa.array(df.to_numpy().astype("int64")),
+            }
+        )
+
+    counts = bucketed_agg(
+        _t(sf_dir, "documents", ["text"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        ["tok"],
+        value_col="n",
+        how="sum",
+        out_col="n",
+    ).map_batches(
+        lambda df: df.assign(neg=-df["n"]), batch_format="pandas"
+    )
+    total = int(counts.aggregate(Sum("n"))["sum(n)"])
+    ranked = global_rank(counts, "neg", ["tok"])
+    cum = global_prefix_sum(ranked, "rank", "n", out_col="prefix")
+
+    hit = cum.map_batches(
+        lambda df: df.loc[
+            (df["prefix"] + df["n"]) >= 0.9 * total, ["rank", "prefix", "n"]
+        ],
+        batch_format="pandas",
+    ).to_pandas()
+    best = hit.sort_values("rank").iloc[0]
+    return pd.DataFrame(
+        {
+            "k_tokens": [int(best["rank"])],
+            "coverage": round_half_away(
+                np.array([(best["prefix"] + best["n"]) / total]), 6
+            ),
+        }
+    )
+
+
+def ttr_sources_documents(sf_dir: str):
+    """Per-source type-token ratio (lexical diversity): distinct token
+    types / total tokens, from ONE bucketed (source, tok) count — the
+    distinct count is the group's row count, the token total its count
+    sum; O(#sources) driver rows, 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gs, toks = [], []
+        for g, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            gs.extend([g] * len(ts))
+            toks.extend(ts)
+        df = (
+            pd.DataFrame({"source": gs, "tok": toks})
+            .groupby(["source", "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "y"})
+        )
+        return pa.Table.from_pydict(
+            {
+                "source": pa.array(df["source"], pa.string()),
+                "tok": pa.array(df["tok"], pa.string()),
+                "y": pa.array(df["y"].to_numpy().astype("int64")),
+            }
+        )
+
+    counts = bucketed_agg(
+        _t(sf_dir, "documents", ["source", "text"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        ["source", "tok"],
+        value_col="y",
+        how="sum",
+        out_col="y",
+    )
+    parts = counts.map_batches(
+        lambda df: df.groupby("source", as_index=False).agg(
+            n_types=("tok", "size"), n_tokens=("y", "sum")
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    m = parts.groupby("source", as_index=False).sum().sort_values("source")
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "n_types": m["n_types"].astype("int64"),
+            "n_tokens": m["n_tokens"].astype("int64"),
+            "ttr": round_half_away(
+                m["n_types"].to_numpy(dtype="float64")
+                / m["n_tokens"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def sentence_stats_documents(sf_dir: str):
+    """Per-source sentence statistics (count + mean char length) from
+    a `[.!?]+` splitter — the readability / segment-length profile
+    ahead of chunking.  Per-batch (source, n, Σlen) combiner over the
+    split (empty segments dropped on both engines), exact integer
+    sums, one tiny driver fold."""
+    import re as _re
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    SENT_RE = _re.compile(r"[.!?]+")
+
+    def proj(batch: pa.Table) -> pd.DataFrame:
+        rows = {}
+        for g, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            n, s = rows.get(g, (0, 0))
+            for seg in SENT_RE.split(t):
+                if seg:
+                    n += 1
+                    s += len(seg)
+            rows[g] = (n, s)
+        return pd.DataFrame(
+            {
+                "source": list(rows),
+                "n": [v[0] for v in rows.values()],
+                "s": [v[1] for v in rows.values()],
+            }
+        )
+
+    parts = (
+        _t(sf_dir, "documents", ["source", "text"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("source", as_index=False).sum().sort_values("source")
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "n_sentences": m["n"].astype("int64"),
+            "mean_len": round_half_away(
+                m["s"].to_numpy(dtype="float64") / m["n"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def eval_split_documents(sf_dir: str):
+    """Held-out eval-set construction: 100 eval slots apportioned
+    across sources by largest remainder (proportional, deterministic),
+    each source contributing its quota of docs in FNV-1a(doc_id) order
+    — reproducible at any parallelism, leakage-safe, exactly
+    SQL-mirrorable.  Counts → O(#sources) quota math on the driver;
+    the pick is one bucketed per-source exchange."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    seats = 100
+    c = (
+        bucketed_agg(_t(sf_dir, "documents", ["source"]), ["source"], out_col="n")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    tot = int(c["n"].sum())
+    quota_f = seats * c["n"].to_numpy(dtype="float64") / float(tot)
+    base = np.floor(quota_f)
+    rem = quota_f - base
+    extra = seats - int(base.sum())
+    order = np.lexsort((c["source"].to_numpy(), -rem))
+    bonus = np.zeros(len(c), dtype="int64")
+    bonus[order[:extra]] = 1
+    quota = dict(zip(c["source"], base.astype("int64") + bonus))
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["doc_id"], pa.string()))
+        return t.append_column("hv", pa.array(h, pa.uint64()))
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+        df["rn"] = df.groupby("source").cumcount() + 1
+        df = df[df["rn"] <= df["source"].map(quota).fillna(0).astype("int64")]
+        return df[["doc_id", "source"]]
+
+    out = bucketed_group_map(ds, ["source"], pick).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def interleave_sources_documents(sf_dir: str):
+    """Deterministic training-order interleave: sources round-robin by
+    per-source FNV-1a(doc_id) position (rank 1 of every source first,
+    then rank 2, …), first 50 rows with their global sequence number —
+    the curriculum / mixing order audit.  Per-source positions are one
+    bucketed exchange; only rows with position ≤ 50 can reach the
+    head, so the driver merge touches ≤ 50·sources rows."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    k = 50
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["doc_id"], pa.string()))
+        return t.append_column("hv", pa.array(h, pa.uint64()))
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    def pos(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "hv", "doc_id"], kind="mergesort")
+        df["rn"] = df.groupby("source").cumcount() + 1
+        return df.loc[df["rn"] <= k, ["doc_id", "source", "rn"]]
+
+    head = (
+        bucketed_group_map(ds, ["source"], pos)
+        .to_pandas()
+        .sort_values(["rn", "source"], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    head["seq"] = np.arange(1, len(head) + 1, dtype="int64")
+    head["rn"] = head["rn"].astype("int64")
+    return head[["seq", "doc_id", "source", "rn"]]
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6796,6 +7045,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_events": psi_events,
         "mutual_info_events": mutual_info_events,
         "geomean_events": geomean_events,
+        "vocab_coverage_documents": vocab_coverage_documents,
+        "ttr_sources_documents": ttr_sources_documents,
+        "sentence_stats_documents": sentence_stats_documents,
+        "eval_split_documents": eval_split_documents,
+        "interleave_sources_documents": interleave_sources_documents,
     }
 
 
@@ -9454,4 +9708,80 @@ def oracle_sql() -> dict[str, str]:
             from events where value > 0
             group by event_type order by event_type
         """,
+        "vocab_coverage_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents),
+            c as (select tok, count(*)::bigint n from toks group by tok),
+            t as (select sum(n)::bigint tot from c),
+            r as (select tok, n,
+                         row_number() over (order by n desc, tok) rk,
+                         sum(n) over (order by n desc, tok
+                                      rows unbounded preceding) cum
+                  from c),
+            hit as (select rk, cum from r
+                    where cum >= 0.9 * (select tot from t)
+                    order by rk limit 1)
+            select rk::bigint as k_tokens,
+                   round(cum::double / (select tot from t), 6) as coverage
+            from hit
+        """,
+        "ttr_sources_documents": """
+            with toks as (
+              select source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents),
+            c as (select source, tok, count(*)::bigint y
+                  from toks group by 1, 2)
+            select source, count(*)::bigint as n_types,
+                   sum(y)::bigint as n_tokens,
+                   round(count(*)::double / sum(y), 6) as ttr
+            from c group by source order by source
+        """,
+        "sentence_stats_documents": """
+            with s as (
+              select source,
+                     unnest(regexp_split_to_array(text, '[.!?]+')) seg
+              from documents)
+            select source, count(*)::bigint as n_sentences,
+                   round(sum(length(seg))::double / count(*), 6) as mean_len
+            from s where seg <> ''
+            group by source order by source
+        """,
+        "eval_split_documents": """
+            with c as (select source, count(*)::bigint n
+                       from documents group by 1),
+            t as (select sum(n)::bigint tot from c),
+            q as (select source, n,
+                         floor(100.0 * n / (select tot from t)) b,
+                         100.0 * n / (select tot from t)
+                           - floor(100.0 * n / (select tot from t)) r
+                  from c),
+            e as (select (100 - sum(b))::bigint extra from q),
+            quota as (select source,
+                             (b + case when row_number()
+                                    over (order by r desc, source)
+                                    <= (select extra from e)
+                                  then 1 else 0 end)::bigint qn
+                      from q),
+            h as (select doc_id, source, FNV as hv from documents),
+            r as (select doc_id, source,
+                         row_number() over (partition by source
+                                            order by hv, doc_id) rn
+                  from h)
+            select doc_id, source from r join quota using (source)
+            where rn <= qn order by doc_id
+        """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'doc_id')),
+        "interleave_sources_documents": """
+            with h as (select doc_id, source, FNV as hv from documents),
+            r as (select doc_id, source,
+                         row_number() over (partition by source
+                                            order by hv, doc_id) rn
+                  from h),
+            o as (select doc_id, source, rn,
+                         row_number() over (order by rn, source) seq
+                  from r)
+            select seq::bigint as seq, doc_id, source, rn::bigint as rn
+            from o where seq <= 50 order by seq
+        """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'doc_id')),
     }
