@@ -6802,6 +6802,181 @@ def interleave_sources_documents(sf_dir: str):
     return head[["seq", "doc_id", "source", "rn"]]
 
 
+def last_touch_attribution_events(sf_dir: str):
+    """Last-touch attribution latency histogram: every purchase is
+    attributed to the user's most recent click AT OR BEFORE it
+    ((ts, event_id) order); output = purchase counts per whole-minute
+    gap, −1 = unattributed.  One bucketed exchange on user_id with a
+    vectorized forward-fill of the last click timestamp — the
+    marketing-attribution self-as-of join, exact int64-µs math."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "event_id": t["event_id"].combine_chunks(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        # nullable Int64 keeps the µs ffill EXACT — a float NaN path
+        # would round 2024-epoch µs to 256-µs granularity (> 2^53)
+        click_us = pd.Series(
+            pd.array(df["us"].to_numpy(), dtype="Int64"), index=df.index
+        ).mask(df["event_type"].to_numpy() != "click")
+        last = click_us.groupby(df["user_id"].to_numpy()).ffill()
+        isp = df["event_type"].to_numpy() == "purchase"
+        us = df["us"].to_numpy()[isp]
+        lc = last[isp].fillna(-1).astype("int64").to_numpy()
+        gap = np.where(lc < 0, -1, (us - lc) // (60 * _US_PER_S)).astype("int64")
+        g = pd.DataFrame({"gap_min": gap})
+        return g.groupby("gap_min", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = bucketed_group_map(ds, ["user_id"], per_bucket).to_pandas()
+    out = parts.groupby("gap_min", as_index=False)["n"].sum()
+    out["gap_min"] = out["gap_min"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("gap_min").reset_index(drop=True)
+
+
+def bootstrap_ci_events(sf_dir: str):
+    """Bayesian-bootstrap confidence band for the per-type mean value
+    (Rubin 1981): B = 20 deterministic replicates with exponential
+    weights w = −ln(u), u = (FNV-1a(event_id‖b) mod 10⁶ + 1)/10⁶ —
+    reproducible at any parallelism and exactly SQL-mirrorable (the
+    hash IS the randomness).  Per-batch (type, b, Σw, Σwx) combiner →
+    O(types × B) driver rows; band = min/max replicate mean, 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    B = 20
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        ids = pc.cast(t["event_id"], pa.string())
+        et = t["event_type"].to_pandas()
+        x = t["value"].to_numpy()
+        frames = []
+        for b in range(B):
+            tagged = pc.binary_join_element_wise(ids, pa.scalar(f"_{b}"), "")
+            hv = fnv1a64(tagged)
+            u = ((hv % np.uint64(1_000_000)).astype("float64") + 1.0) / 1_000_000.0
+            w = -np.log(u)
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": et, "b": b, "sw": w, "swx": w * x, "sx": x, "n": 1}
+                )
+            )
+        g = pd.concat(frames, ignore_index=True)
+        return g.groupby(["event_type", "b"], as_index=False).sum()
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby(["event_type", "b"], as_index=False).sum()
+    m["rep_mean"] = m["swx"] / m["sw"]
+    agg = m.groupby("event_type").agg(
+        lo=("rep_mean", "min"), hi=("rep_mean", "max"),
+        sx=("sx", "sum"), n=("n", "sum"),
+    )
+    # n/sx were replicated B times by the explode — scale back
+    mean = agg["sx"].to_numpy() / agg["n"].to_numpy(dtype="float64")
+    return pd.DataFrame(
+        {
+            "event_type": agg.index.to_numpy(),
+            "mean_value": round_half_away(mean, 6),
+            "boot_lo": round_half_away(agg["lo"].to_numpy(), 6),
+            "boot_hi": round_half_away(agg["hi"].to_numpy(), 6),
+        }
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+def zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key over (value band, hour-of-day)
+    — the space-filling-curve layout key that co-locates rows for
+    2-D range pruning in a sorted sink.  8-bit × 8-bit interleave via
+    the standard magic-mask spreading, mirrored literally in the
+    twin's bit arithmetic; returns the first 20 rows of the curve
+    (code, event_id asc) via per-block partial top-k."""
+    day_us = 3_600 * _US_PER_S
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype("int64")
+        x = (x | (x << 4)) & 0x0F0F
+        x = (x | (x << 2)) & 0x3333
+        x = (x | (x << 1)) & 0x5555
+        return x
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        xb = np.minimum(np.floor(t["value"].to_numpy() / 2.0), 255).astype("int64")
+        yb = (us // day_us) % 24
+        code = (spread(xb) << 1) | spread(yb)
+        df = pd.DataFrame(
+            {"event_id": t["event_id"].to_numpy(), "zcode": code}
+        )
+        return df.sort_values(["zcode", "event_id"], kind="mergesort").head(20)
+
+    parts = (
+        _t(sf_dir, "events", ["event_id", "ts", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["zcode", "event_id"], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def learning_curve_documents(sf_dir: str):
+    """Scaling-law ablation subsets: NESTED deterministic corpus
+    fractions (10/25/50/100 % by FNV-1a(doc_id) mod 100 — each subset
+    contains the smaller ones, the data-scaling experiment layout)
+    with per-fraction doc counts and mean char length.  One map pass,
+    per-batch (pct, n, Σchars) combiner, exact integer sums."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    pcts = (10, 25, 50, 100)
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        hv = (fnv1a64(pc.cast(t["doc_id"], pa.string())) % np.uint64(100)).astype(
+            "int64"
+        )
+        nc = t["n_chars"].to_numpy()
+        rows = []
+        for p in pcts:
+            m = hv < p
+            rows.append((p, int(m.sum()), int(nc[m].sum())))
+        return pd.DataFrame(rows, columns=["pct", "n", "s"])
+
+    parts = (
+        _t(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("pct", as_index=False).sum().sort_values("pct")
+    return pd.DataFrame(
+        {
+            "pct": m["pct"].astype("int64"),
+            "n_docs": m["n"].astype("int64"),
+            "mean_chars": round_half_away(
+                m["s"].to_numpy(dtype="float64") / m["n"].to_numpy(dtype="float64"), 6
+            ),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7050,6 +7225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats_documents": sentence_stats_documents,
         "eval_split_documents": eval_split_documents,
         "interleave_sources_documents": interleave_sources_documents,
+        "last_touch_attribution_events": last_touch_attribution_events,
+        "bootstrap_ci_events": bootstrap_ci_events,
+        "zorder_events": zorder_events,
+        "learning_curve_documents": learning_curve_documents,
     }
 
 
@@ -9784,4 +9963,73 @@ def oracle_sql() -> dict[str, str]:
             select seq::bigint as seq, doc_id, source, rn::bigint as rn
             from o where seq <= 50 order by seq
         """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'doc_id')),
+        "last_touch_attribution_events": """
+            with s as (select user_id, event_id, event_type,
+                              epoch_us(ts) us
+                       from events),
+            f as (select user_id, event_id, event_type, us,
+                         max(case when event_type = 'click' then us end)
+                           over (partition by user_id order by us, event_id
+                                 rows unbounded preceding) lc
+                  from s)
+            select case when lc is null then -1
+                        else (us - lc) // 60000000 end as gap_min,
+                   count(*)::bigint as n
+            from f where event_type = 'purchase'
+            group by 1 order by 1
+        """,
+        "bootstrap_ci_events": """
+            with r as (select unnest(range(20)) b),
+            h as (
+              select event_type, value, b,
+                     -ln(((FNV % 1000000)::double + 1.0) / 1000000.0) w
+              from events cross join r),
+            m as (select event_type, b, sum(w * value) / sum(w) rep_mean
+                  from h group by event_type, b),
+            base as (select event_type,
+                            sum(value) / count(*) mean_value
+                     from events group by event_type)
+            select b1.event_type,
+                   round(mean_value, 6) as mean_value,
+                   round(min(rep_mean), 6) as boot_lo,
+                   round(max(rep_mean), 6) as boot_hi
+            from m join base b1 using (event_type)
+            group by b1.event_type, mean_value
+            order by b1.event_type
+        """.replace(
+            'FNV',
+            _FNV_EVENT_ID.replace(
+                'event_id::varchar', "(event_id::varchar || '_' || b::varchar)"
+            ),
+        ),
+        "zorder_events": """
+            with p as (
+              select event_id,
+                     least(floor(value / 2.0), 255)::bigint xb,
+                     (epoch_us(ts) // 3600000000) % 24 yb
+              from events),
+            sx as (select event_id, xb, yb,
+                          ((xb | (xb << 4)) & 3855) x1,
+                          ((yb | (yb << 4)) & 3855) y1
+                   from p),
+            s2 as (select event_id,
+                          ((x1 | (x1 << 2)) & 13107) x2,
+                          ((y1 | (y1 << 2)) & 13107) y2
+                   from sx),
+            s3 as (select event_id,
+                          ((x2 | (x2 << 1)) & 21845) x3,
+                          ((y2 | (y2 << 1)) & 21845) y3
+                   from s2)
+            select event_id, ((x3 << 1) | y3)::bigint as zcode
+            from s3 order by zcode, event_id limit 20
+        """,
+        "learning_curve_documents": """
+            with f as (select unnest([10, 25, 50, 100]) pct),
+            h as (select doc_id, n_chars, FNV %% 100 hs from documents)
+            select pct::bigint as pct, count(*)::bigint as n_docs,
+                   round(sum(n_chars)::double / count(*), 6) as mean_chars
+            from h cross join f
+            where hs < pct
+            group by pct order by pct
+        """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'doc_id')).replace('%%', '%'),
     }
