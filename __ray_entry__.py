@@ -6977,6 +6977,227 @@ def learning_curve_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def division_customers_priorities(sf_dir: str):
+    """Relational DIVISION (the "for all" quantifier): customers whose
+    orders span EVERY distinct order priority — textbook division of
+    orders ÷ priorities.  Shape: distinct (custkey, priority) via the
+    bucketed count (the count IS the distinct), per-customer distinct
+    tallies compared against the O(1) global priority count; no join,
+    one exchange."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    pairs = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+        ["o_custkey", "o_orderpriority"],
+        out_col="n",
+    )
+    per_cust = bucketed_agg(
+        pairs.map_batches(
+            lambda df: df[["o_custkey"]], batch_format="pandas"
+        ),
+        ["o_custkey"],
+        out_col="n_prios",
+    ).to_pandas()
+    n_total = int(
+        pairs.map_batches(
+            lambda df: df[["o_orderpriority"]].drop_duplicates(),
+            batch_format="pandas",
+        )
+        .to_pandas()["o_orderpriority"]
+        .nunique()
+    )
+    out = per_cust.loc[per_cust["n_prios"] == n_total, ["o_custkey"]]
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def hierarchy_rollup_customers(sf_dir: str):
+    """Hierarchical (tree) aggregation: custkeys form an implicit
+    decimal tree (parent = key // 10); subtree_total(n) = acctbal(n) +
+    Σ subtree_total(children), computed bottom-up in 4 co-partitioned
+    child→parent rounds (max key is 4 digits ⇒ full rollup) — the
+    BOM-explosion / org-chart aggregation family.  Returns the top 20
+    nodes by 2-dp subtree total; each round's exchange carries one row
+    per LIVE parent, never the tree."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    base = (
+        _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["c_custkey"].combine_chunks(),
+                    "total": t["c_acctbal"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # own[node] stays resident; each round adds the next-deeper level's
+    # contributions: contrib_k(p) = Σ_{c: c//10 = p} subtree_{k}(c)
+    subtree = base
+    for _ in range(4):
+        contrib = bucketed_agg(
+            subtree.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"] // 10, "total": df["total"]}
+                )[df["node"] >= 10],
+                batch_format="pandas",
+            ),
+            ["node"],
+            value_col="total",
+            how="sum",
+            out_col="child_sum",
+        )
+        own = base
+        joined = own.to_pandas().merge(contrib.to_pandas(), on="node", how="left")
+        joined["total"] = joined["total"] + joined["child_sum"].fillna(0.0)
+        # NB: totals stay a Dataset in the general operator; this entry
+        # folds driver-side because |nodes| = |customers| is the scale
+        # of the DIMENSION table (the rollup output), not the fact table
+        subtree = ray.data.from_pandas(joined[["node", "total"]])
+    out = subtree.to_pandas()
+    out["subtree_total"] = round_half_away(out["total"].to_numpy(dtype="float64"), 2)
+    return (
+        out.sort_values(
+            ["subtree_total", "node"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)[["node", "subtree_total"]]
+        .reset_index(drop=True)
+    )
+
+
+_DIAM_ROUNDS = 6
+
+
+def diameter_estimate_lineitem_graph(sf_dir: str):
+    """Graph diameter lower bound by the classic double-BFS sweep over
+    the undirected mix graph: BFS from node 0 → farthest reached node
+    B (tie → smallest id) → BFS from B → max distance.  Two bounded
+    Pregel BFS runs (stages/graph.py::bfs_layers on the symmetrized
+    edges); only the O(1) sweep pivots touch the driver."""
+    from web_graph_ray.stages.graph import bfs_layers
+
+    def sym(ds):
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [t["dst"].combine_chunks(), t["src"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    edges = sym(_mix_graph(sf_dir))
+    d1 = bfs_layers(edges, sources=[0], rounds=_DIAM_ROUNDS).to_pandas()
+    far = d1.sort_values(["dist", "node"], ascending=[False, True]).iloc[0]
+    b = int(far["node"])
+    d2 = bfs_layers(edges, sources=[b], rounds=_DIAM_ROUNDS).to_pandas()
+    ecc = d2.sort_values(["dist", "node"], ascending=[False, True]).iloc[0]
+    return pd.DataFrame(
+        {
+            "peripheral_node": [b],
+            "diameter_est": [int(ecc["dist"])],
+        }
+    )
+
+
+def _diameter_sql(rounds: int = _DIAM_ROUNDS) -> str:
+    """DuckDB twin: the same two unrolled min-distance propagations
+    over the symmetrized mix graph, pivot chosen by (dist desc, node)."""
+
+    def bfs(prefix: str, src_expr: str) -> str:
+        # MATERIALIZED is load-bearing: each round references the
+        # previous frontier twice, so inlined CTEs would expand
+        # 2^rounds-fold and re-scan the parquet per reference
+        sql = f""",
+            {prefix}0 as materialized (select node,
+                          case when node {src_expr} then 0 end dist
+                   from nodes)"""
+        for k in range(1, rounds + 1):
+            sql += f""",
+            {prefix}m{k} as materialized (select e.dst node, min(d.dist) + 1 m
+                     from edges e join {prefix}{k-1} d on d.node = e.src
+                     where d.dist is not null group by e.dst),
+            {prefix}{k} as materialized (select n.node,
+                            least(coalesce(n.dist, m.m), coalesce(m.m, n.dist)) dist
+                     from {prefix}{k-1} n left join {prefix}m{k} m using(node))"""
+        return sql
+
+    sql = """
+            with e0 as materialized (select l_orderkey % 2000 as s,
+                               (l_partkey*31 + l_suppkey) % 2000 as d
+                        from lineitem),
+            edges as materialized (select s src, d dst from e0 union all select d, s from e0),
+            nodes as materialized (select src as node from edges union select dst from edges)"""
+    sql += bfs("a", "= 0")
+    sql += f""",
+            pivot_node as (select node from a{rounds}
+                           where dist is not null
+                           order by dist desc, node limit 1)"""
+    sql += bfs("b", "= (select node from pivot_node)")
+    sql += f"""
+            select (select node from pivot_node)::bigint as peripheral_node,
+                   max(dist)::bigint as diameter_est
+            from b{rounds} where dist is not null
+        """
+    return sql
+
+
+def editdist_clusters_documents(sf_dir: str):
+    """Entity-resolution composition: exact-Levenshtein near-dup PAIRS
+    (dedup.edit_distance_pairs, length-band blocking) flow into
+    min-label connected components (stages/graph.py) → duplicate
+    clusters with sizes — the pairs→clusters→canonical pipeline in one
+    DAG.  Twin: the quadratic levenshtein self-join + unrolled
+    min-label propagation."""
+    from web_graph_ray.stages.dedup import edit_distance_pairs
+    from web_graph_ray.stages.graph import connected_components
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = edit_distance_pairs(ds, prefix_len=40, max_dist=5).map_batches(
+        lambda df: df.rename(columns={"a": "src", "b": "dst"})[["src", "dst"]],
+        batch_format="pandas",
+    )
+    labels = connected_components(pairs, rounds=4)
+    sizes = bucketed_agg(labels, ["label"], out_col="size").to_pandas()
+    sizes = sizes[sizes["size"] >= 2]
+    return (
+        sizes.sort_values(["size", "label"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+def _editdist_clusters_sql(rounds: int = 4) -> str:
+    sql = """
+            with d as (select doc_id, substr(text, 1, 40) p from documents),
+            pr as (select a.doc_id ia, b.doc_id ib
+                   from d a join d b on a.doc_id < b.doc_id
+                   where levenshtein(a.p, b.p) <= 5),
+            edges as (select ia node, ib peer from pr
+                      union all select ib, ia from pr),
+            l0 as (select node, least(node, min(peer)) lbl
+                   from edges group by node)"""
+    for k in range(1, rounds):
+        sql += f""",
+            l{k} as (select e.node, least(e.node, min(l{k-1}.lbl)) lbl
+                   from edges e join l{k-1} on l{k-1}.node = e.peer
+                   group by e.node)"""
+    sql += f"""
+            select lbl as label, count(*) as size from l{rounds-1}
+            group by lbl having count(*) >= 2
+            order by size desc, label limit 20
+        """
+    return sql
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7229,6 +7450,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_events": bootstrap_ci_events,
         "zorder_events": zorder_events,
         "learning_curve_documents": learning_curve_documents,
+        "division_customers_priorities": division_customers_priorities,
+        "hierarchy_rollup_customers": hierarchy_rollup_customers,
+        "diameter_estimate_lineitem_graph": diameter_estimate_lineitem_graph,
+        "editdist_clusters_documents": editdist_clusters_documents,
     }
 
 
@@ -10032,4 +10257,34 @@ def oracle_sql() -> dict[str, str]:
             where hs < pct
             group by pct order by pct
         """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'doc_id')).replace('%%', '%'),
+        "division_customers_priorities": """
+            select o_custkey from orders
+            group by o_custkey
+            having count(distinct o_orderpriority)
+                   = (select count(distinct o_orderpriority) from orders)
+            order by o_custkey
+        """,
+        "hierarchy_rollup_customers": """
+            with c0 as (select c_custkey node, c_acctbal total from customer),
+            s1 as (select node // 10 p, sum(total) cs from c0
+                   where node >= 10 group by 1),
+            r1 as (select b.node, b.total + coalesce(s1.cs, 0) total
+                   from c0 b left join s1 on s1.p = b.node),
+            s2 as (select node // 10 p, sum(total) cs from r1
+                   where node >= 10 group by 1),
+            r2 as (select b.node, b.total + coalesce(s2.cs, 0) total
+                   from c0 b left join s2 on s2.p = b.node),
+            s3 as (select node // 10 p, sum(total) cs from r2
+                   where node >= 10 group by 1),
+            r3 as (select b.node, b.total + coalesce(s3.cs, 0) total
+                   from c0 b left join s3 on s3.p = b.node),
+            s4 as (select node // 10 p, sum(total) cs from r3
+                   where node >= 10 group by 1),
+            r4 as (select b.node, b.total + coalesce(s4.cs, 0) total
+                   from c0 b left join s4 on s4.p = b.node)
+            select node, round(total, 2) as subtree_total from r4
+            order by round(total, 2) desc, node limit 20
+        """,
+        "diameter_estimate_lineitem_graph": _diameter_sql(),
+        "editdist_clusters_documents": _editdist_clusters_sql(),
     }
