@@ -7198,6 +7198,188 @@ def _editdist_clusters_sql(rounds: int = 4) -> str:
     return sql
 
 
+def merge_upsert_orders(sf_dir: str):
+    """CDC MERGE INTO semantics: a derived change feed (orderkey %7==0
+    → upsert with status 'U' and price+100; %13==0 → delete, delete
+    wins on overlap) applied onto the base orders table — latest-wins
+    by change rank via one bucketed per-key exchange (union base rank 0
+    + changes rank 1, keep max rank, drop deletes).  Output: post-merge
+    per-status counts and 2-dp price sums."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    base = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def base_rows(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": t["o_orderkey"].to_numpy(),
+                "status": t["o_orderstatus"].to_pandas(),
+                "price": t["o_totalprice"].to_numpy(),
+                "rank": 0,
+                "is_delete": False,
+            }
+        )
+
+    def change_rows(t: pa.Table) -> pd.DataFrame:
+        k = t["o_orderkey"].to_numpy()
+        sel = (k % 7 == 0) | (k % 13 == 0)
+        k = k[sel]
+        price = t["o_totalprice"].to_numpy()[sel] + 100.0
+        is_del = k % 13 == 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": k,
+                "status": np.where(is_del, "D", "U"),
+                "price": price,
+                "rank": 1,
+                "is_delete": is_del,
+            }
+        )
+
+    both = base.map_batches(base_rows, batch_format="pyarrow").union(
+        base.map_batches(change_rows, batch_format="pyarrow")
+    )
+
+    def apply_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "rank"], ascending=[True, False],
+                            kind="mergesort").drop_duplicates("o_orderkey")
+        df = df[~df["is_delete"]]
+        g = df.groupby("status", as_index=False).agg(
+            n=("o_orderkey", "size"), total=("price", "sum")
+        )
+        return g
+
+    parts = bucketed_group_map(both, ["o_orderkey"], apply_merge).to_pandas()
+    out = parts.groupby("status", as_index=False).agg(
+        n=("n", "sum"), total=("total", "sum")
+    )
+    out["n"] = out["n"].astype("int64")
+    out["total"] = round_half_away(out["total"].to_numpy(dtype="float64"), 2)
+    return out.sort_values("status").reset_index(drop=True)
+
+
+def late_events_watermark(sf_dir: str):
+    """Streaming late-data audit: an event is LATE when its timestamp
+    is below the watermark (the exclusive running max of all earlier
+    arrivals' timestamps) minus the 5-minute allowed lateness —
+    exactly the event a streaming window would drop.  Arrival order is
+    the event time perturbed by a deterministic ±5 min FNV jitter
+    (arrival = us + FNV(event_id) mod 600 s − 300 s): the bounded
+    out-of-orderness of a real ingest — plain event_id order is fully
+    time-sorted at test scale and trivially never late.  Built on the
+    relational.global_prefix_max scan primitive (TeraSort shape,
+    O(buckets) driver state); per-type late counts + share, exact
+    int64-µs math."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import global_prefix_max
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    L = 300 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        jit = (
+            fnv1a64(pc.cast(t["event_id"], pa.string()))
+            % np.uint64(600 * _US_PER_S)
+        ).astype("int64") - 300 * _US_PER_S
+        return pa.table(
+            {
+                "event_id": t["event_id"].combine_chunks(),
+                "event_type": t["event_type"].combine_chunks(),
+                "us": pa.array(us),
+                "arrival": pa.array(us + jit),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_id", "event_type", "ts"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    # ties in arrival would make a row-frame scan ambiguous; fold to
+    # DISTINCT arrivals first (max us per arrival), prefix-max over the
+    # now-unique order, and join back — RANGE-frame semantics, which
+    # the twin states literally
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    am = bucketed_agg(
+        ds.map_batches(
+            lambda df: df[["arrival", "us"]], batch_format="pandas"
+        ),
+        ["arrival"],
+        value_col="us",
+        how="max",
+        out_col="mx",
+    )
+    wm = global_prefix_max(am, "arrival", "mx", out_col="wm")
+    marked = bucket_hash_join(
+        ds, wm.map_batches(lambda df: df[["arrival", "wm"]], batch_format="pandas"),
+        on=["arrival"],
+    )
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["us"].to_numpy() < df["wm"].to_numpy() - L
+        g = pd.DataFrame({"event_type": df["event_type"], "late": late.astype("int64"),
+                          "n": 1})
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = marked.map_batches(tally, batch_format="pandas").to_pandas()
+    m = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"].to_numpy(),
+            "n_late": m["late"].astype("int64"),
+            "n": m["n"].astype("int64"),
+            "late_share": round_half_away(
+                m["late"].to_numpy(dtype="float64")
+                / m["n"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def venn_events_types(sf_dir: str):
+    """Three-way audience Venn: per-user membership flags → user
+    counts for all 8 regions — the audience-overlap planning query.
+    Each flag is a deterministic event-id-sparsified cohort (click ∧
+    id%97=0, purchase ∧ id%193=0, error ∧ id%389=0): with hundreds of
+    events per user the raw did-type flags saturate to all-true at
+    test scale, so the sparsified cohorts are what make the 8 regions
+    observable.  Per-batch per-user bool-OR partials ride one bucketed
+    exchange; the region fold is O(8)."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        et = t["event_type"].to_pandas()
+        eid = t["event_id"].to_numpy()
+        g = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "c": (et == "click").to_numpy() & (eid % 97 == 0),
+                "p": (et == "purchase").to_numpy() & (eid % 193 == 0),
+                "e": (et == "error").to_numpy() & (eid % 389 == 0),
+            }
+        )
+        return g.groupby("user_id", as_index=False)[["c", "p", "e"]].max()
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "event_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        u = df.groupby("user_id", as_index=False)[["c", "p", "e"]].max()
+        return (
+            u.groupby(["c", "p", "e"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    parts = bucketed_group_map(ds, ["user_id"], fold).to_pandas()
+    out = parts.groupby(["c", "p", "e"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["c", "p", "e"], kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7454,6 +7636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hierarchy_rollup_customers": hierarchy_rollup_customers,
         "diameter_estimate_lineitem_graph": diameter_estimate_lineitem_graph,
         "editdist_clusters_documents": editdist_clusters_documents,
+        "merge_upsert_orders": merge_upsert_orders,
+        "late_events_watermark": late_events_watermark,
+        "venn_events_types": venn_events_types,
     }
 
 
@@ -10287,4 +10472,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "diameter_estimate_lineitem_graph": _diameter_sql(),
         "editdist_clusters_documents": _editdist_clusters_sql(),
+        "merge_upsert_orders": """
+            with ch as (
+              select o_orderkey,
+                     case when o_orderkey % 13 = 0 then 'D' else 'U' end status,
+                     o_totalprice + 100 price,
+                     o_orderkey % 13 = 0 is_delete
+              from orders
+              where o_orderkey % 7 = 0 or o_orderkey % 13 = 0),
+            merged as (
+              select o.o_orderkey, o.o_orderstatus status, o.o_totalprice price
+              from orders o
+              where not exists (select 1 from ch where ch.o_orderkey = o.o_orderkey)
+              union all
+              select o_orderkey, status, price from ch where not is_delete)
+            select status, count(*)::bigint n, round(sum(price), 2) total
+            from merged group by status order by status
+        """,
+        "late_events_watermark": """
+            with j as (
+              select event_type, epoch_us(ts) us,
+                     epoch_us(ts)
+                       + (FNV %% 600000000)::bigint - 300000000 arrival
+              from events),
+            w as (
+              select event_type, us,
+                     max(us) over (order by arrival
+                                   range between unbounded preceding
+                                   and 1 preceding) wm
+              from j)
+            select event_type,
+                   sum(case when us < wm - 300000000 then 1 else 0 end)::bigint
+                     as n_late,
+                   count(*)::bigint as n,
+                   round(sum(case when us < wm - 300000000
+                                  then 1 else 0 end)::double / count(*), 6)
+                     as late_share
+            from w group by event_type order by event_type
+        """.replace('FNV', _FNV_EVENT_ID).replace('%%', '%'),
+        "venn_events_types": """
+            with u as (
+              select user_id,
+                     bool_or(event_type = 'click' and event_id % 97 = 0) c,
+                     bool_or(event_type = 'purchase' and event_id % 193 = 0) p,
+                     bool_or(event_type = 'error' and event_id % 389 = 0) e
+              from events group by user_id)
+            select c, p, e, count(*)::bigint n_users
+            from u group by c, p, e order by c, p, e
+        """,
     }

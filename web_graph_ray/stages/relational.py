@@ -850,6 +850,80 @@ def global_prefix_sum(
     )
 
 
+def global_prefix_max(
+    ds: "ray.data.Dataset",
+    order_col: str,
+    val_col: str,
+    out_col: str = "prefix_max",
+    neutral: int = -(2**62),
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXCLUSIVE running maximum of ``val_col`` under the global total
+    order by ``order_col`` — the watermark / high-water-mark scan of
+    streaming semantics (each row sees the max of everything strictly
+    BEFORE it in arrival order).  Same TeraSort shape as
+    :func:`global_prefix_sum`: (1) min/max of the order column; (2)
+    range-bucketing with per-bucket value MAXes → driver exclusive
+    running max, O(num_buckets) state; (3) per-bucket local sort +
+    exclusive cummax combined with the bucket offset.  The first row
+    globally gets ``neutral`` (default −2⁶², safely below any int64-µs
+    timestamp).  ``order_col`` must be unique per row."""
+    stats = ds.aggregate(
+        ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
+    )
+    lo = float(stats[f"min({order_col})"])
+    hi = float(stats[f"max({order_col})"])
+    width = (hi - lo) / num_buckets if hi > lo else 1.0
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_b"] = np.clip(
+            np.floor(
+                (out[order_col].to_numpy(dtype="float64") - lo) / width
+            ).astype(np.int64),
+            0,
+            num_buckets - 1,
+        )
+        return out
+
+    with_b = ds.map_batches(add_bucket, batch_format="pandas")
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_b", as_index=False)[val_col].max()
+        return g.rename(columns={val_col: "m"})
+
+    maxes = (
+        with_b.map_batches(max_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("_b")["m"]
+        .max()
+    )
+    full = np.full(num_buckets, neutral, dtype=np.int64)
+    full[maxes.index.to_numpy()] = maxes.to_numpy()
+    offsets = np.concatenate(
+        ([neutral], np.maximum.accumulate(full)[:-1])
+    )
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        df = df.sort_values(order_col, kind="mergesort")
+        b = int(df["_b"].iloc[0])
+        df = df.drop(columns=["_b"])
+        v = df[val_col].to_numpy(dtype="int64")
+        excl = np.concatenate(
+            ([neutral], np.maximum.accumulate(v)[:-1])
+        )
+        df[out_col] = np.maximum(off[b], excl)
+        return df
+
+    return (
+        with_b.repartition(num_buckets)
+        .groupby("_b")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
 def mix_corpus(
     ds: "ray.data.Dataset",
     source_col: str,
