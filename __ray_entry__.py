@@ -5339,10 +5339,10 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     sql = """
             with e0 as materialized (
               select distinct
-                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
-                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+                     least(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) u,
+                     greatest(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) v
               from lineitem
-              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+              where l_orderkey % 20000 <> (l_partkey*31 + l_suppkey) % 20000),
             edges as materialized (
               select u node, v peer from e0 union all select v, u from e0),
             a0 as materialized (select distinct node from edges)"""
@@ -7380,6 +7380,278 @@ def venn_events_types(sf_dir: str):
     return out.sort_values(["c", "p", "e"], kind="mergesort").reset_index(drop=True)
 
 
+_ROBUST_CC_ROUNDS = 8
+
+
+def robustness_lineitem_graph(sf_dir: str):
+    """Network-robustness audit: remove the 20 highest-degree hubs of
+    the simple undirected mix graph (ties → smaller node) and measure
+    what remains of the giant component — (giant_size, n_remaining,
+    share).  Degrees and the removal set are one bucketed count +
+    O(20) driver rows; components re-run on the filtered edges
+    (min-label Pregel); nodes isolated by the removal stay counted in
+    n_remaining (they leave the edge-derived component node set)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.graph import connected_components
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        # sparse 20k-node variant of the mix graph (avg degree ~6):
+        # the dense 2k-node graph survives any 20-hub removal intact,
+        # which would make this audit degenerate
+        ok = t["l_orderkey"].to_numpy()
+        pk = t["l_partkey"].to_numpy()
+        sk = t["l_suppkey"].to_numpy()
+        s, d = ok % 20000, (pk * 31 + sk) % 20000
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    simple = bucketed_group_map(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]).map_batches(
+            canon, batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+
+    deg = bucketed_agg(
+        simple.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()])}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        out_col="deg",
+    ).to_pandas()
+    hubs = set(
+        deg.sort_values(["deg", "node"], ascending=[False, True], kind="mergesort")
+        .head(20)["node"]
+        .astype(int)
+    )
+    n_remaining = int(deg["node"].nunique() - len(hubs))
+
+    kept = simple.map_batches(
+        lambda df: df[~df["u"].isin(hubs) & ~df["v"].isin(hubs)].rename(
+            columns={"u": "src", "v": "dst"}
+        ),
+        batch_format="pandas",
+    )
+    labels = connected_components(kept, rounds=_ROBUST_CC_ROUNDS)
+    sizes = bucketed_agg(labels, ["label"], out_col="size").to_pandas()
+    giant = int(sizes["size"].max()) if len(sizes) else 0
+    return pd.DataFrame(
+        {
+            "giant_size": [giant],
+            "n_remaining": [n_remaining],
+            "share": round_half_away(np.array([giant / n_remaining]), 6),
+        }
+    )
+
+
+def _robustness_sql(rounds: int = _ROBUST_CC_ROUNDS) -> str:
+    sql = """
+            with e0 as materialized (
+              select distinct
+                     least(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) u,
+                     greatest(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) v
+              from lineitem
+              where l_orderkey % 20000 <> (l_partkey*31 + l_suppkey) % 20000),
+            deg as materialized (
+              select node, count(*)::bigint deg
+              from (select u node from e0 union all select v from e0)
+              group by node),
+            hubs as materialized (
+              select node from deg
+              order by deg desc, node limit 20),
+            ek as materialized (
+              select u, v from e0
+              where u not in (select node from hubs)
+                and v not in (select node from hubs)),
+            nrem as (select count(*)::bigint n from deg
+                     where node not in (select node from hubs)),
+            edges as materialized (
+              select u node, v peer from ek union all select v, u from ek),
+            l0 as materialized (
+              select node, least(node, min(peer)) lbl from edges group by node)"""
+    for k in range(1, rounds):
+        sql += f""",
+            l{k} as materialized (
+                   select e.node, least(e.node, min(l{k-1}.lbl)) lbl
+                   from edges e join l{k-1} on l{k-1}.node = e.peer
+                   group by e.node)"""
+    sql += f""",
+            giant as (select count(*)::bigint g from l{rounds-1}
+                      group by lbl order by g desc limit 1)
+            select (select g from giant) as giant_size,
+                   (select n from nrem) as n_remaining,
+                   round((select g from giant)::double
+                         / (select n from nrem), 6) as share
+        """
+    return sql
+
+
+def copresence_events(sf_dir: str):
+    """Temporal co-presence join: user pairs with purchases inside the
+    same 10-minute window, top-20 by shared-window count — the
+    who-acts-together signal.  Per-window DISTINCT users pair-explode
+    inside one bucketed exchange on the window id (pairs bounded by
+    users-per-window, never a global self-join), bucketed pair counts,
+    partial top-20."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    wb_us = 600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        keep = t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")[keep]
+        return pd.DataFrame(
+            {"wb": us // wb_us, "user_id": t["user_id"].to_numpy()[keep]}
+        ).drop_duplicates()
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "user_id"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        m = df.merge(df, on="wb")
+        m = m[m["user_id_x"] < m["user_id_y"]]
+        return pd.DataFrame(
+            {"u1": m["user_id_x"].to_numpy(), "u2": m["user_id_y"].to_numpy()}
+        )
+
+    pr = bucketed_group_map(
+        ds, ["wb"], pairs, batch_partial=lambda df: df.drop_duplicates()
+    )
+    counts = bucketed_agg(pr, ["u1", "u2"], out_col="n")
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "u1", "u2"], ascending=[False, True, True], kind="mergesort"
+        ).head(20)
+
+    out = counts.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(out).reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def window_enrich_events(sf_dir: str):
+    """Aggregate-enrich join: every event rejoined with ITS hourly
+    per-type window mean, reporting the per-type mean absolute
+    deviation from the window mean — the feature-enrichment pattern
+    (row + its group aggregate) as one bucketed (type, hour) fold plus
+    a co-partitioned join back; no broadcast at any window count."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    hr_us = 3_600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "h": us // hr_us,
+                "value": t["value"].to_numpy(),
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def wpartial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "h"], as_index=False).agg(
+            s=("value", "sum"), n=("value", "size")
+        )
+        return g
+
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    wagg = bucketed_group_map(
+        ds.map_batches(wpartial, batch_format="pandas"),
+        ["event_type", "h"],
+        lambda df: df.groupby(["event_type", "h"], as_index=False)[["s", "n"]].sum(),
+    ).map_batches(
+        lambda df: df.assign(wmean=df["s"] / df["n"])[["event_type", "h", "wmean"]],
+        batch_format="pandas",
+    )
+    joined = bucket_hash_join(ds, wagg, on=["event_type", "h"])
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "d": np.abs(df["value"].to_numpy() - df["wmean"].to_numpy()),
+                "n": 1,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = joined.map_batches(dev, batch_format="pandas").to_pandas()
+    m = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"].to_numpy(),
+            "mad_window": round_half_away(
+                m["d"].to_numpy(dtype="float64") / m["n"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).reset_index(drop=True)
+
+
+def term_and_query_documents(sf_dir: str):
+    """Conjunctive search: docs containing BOTH of the corpus's two
+    most frequent tokens (by count desc, token asc — derived in-query,
+    so the test is data-driven at any sf) — the AND-of-posting-lists
+    serving primitive.  Token counts are one bucketed fold; the two
+    query terms are an O(1) driver constant compiled into a vectorized
+    per-batch membership check (no second corpus pass per term)."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch["text"].to_pylist():
+            toks.extend(set(WORD_RE.findall(t.lower())))
+        s = pd.Series(toks, dtype="object").value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(s.index, pa.string()),
+                "n": pa.array(s.to_numpy().astype("int64")),
+            }
+        )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        bucketed_agg(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            ["tok"],
+            value_col="n",
+            how="sum",
+            out_col="df",
+        )
+        .to_pandas()
+        .sort_values(["df", "tok"], ascending=[False, True], kind="mergesort")
+    )
+    t1, t2 = counts["tok"].iloc[0], counts["tok"].iloc[1]
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        ids, keep = batch["doc_id"].to_numpy(), []
+        for t in batch["text"].to_pylist():
+            s = set(WORD_RE.findall(t.lower()))
+            keep.append(t1 in s and t2 in s)
+        return pd.DataFrame({"doc_id": ids[np.array(keep, dtype=bool)]})
+
+    out = docs.map_batches(probe, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7639,6 +7911,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_upsert_orders": merge_upsert_orders,
         "late_events_watermark": late_events_watermark,
         "venn_events_types": venn_events_types,
+        "robustness_lineitem_graph": robustness_lineitem_graph,
+        "copresence_events": copresence_events,
+        "window_enrich_events": window_enrich_events,
+        "term_and_query_documents": term_and_query_documents,
     }
 
 
@@ -9900,10 +10176,10 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_lineitem_graph": """
             with e0 as materialized (
               select distinct
-                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
-                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+                     least(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) u,
+                     greatest(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) v
               from lineitem
-              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+              where l_orderkey % 20000 <> (l_partkey*31 + l_suppkey) % 20000),
             ends as (select u node from e0 union all select v from e0),
             deg as (select node, count(*)::bigint d from ends group by node),
             j as (select a.d du, b.d dv
@@ -10519,5 +10795,39 @@ def oracle_sql() -> dict[str, str]:
               from events group by user_id)
             select c, p, e, count(*)::bigint n_users
             from u group by c, p, e order by c, p, e
+        """,
+        "robustness_lineitem_graph": _robustness_sql(),
+        "copresence_events": """
+            with d as (
+              select distinct epoch_us(ts) // 600000000 wb, user_id
+              from events where event_type = 'purchase'),
+            p as (select a.user_id u1, b.user_id u2, count(*)::bigint n
+                  from d a join d b
+                    on a.wb = b.wb and a.user_id < b.user_id
+                  group by 1, 2)
+            select u1, u2, n from p order by n desc, u1, u2 limit 20
+        """,
+        "window_enrich_events": """
+            with p as (select event_type, epoch_us(ts) // 3600000000 h, value
+                       from events),
+            w as (select event_type, h, sum(value) / count(*) wmean
+                  from p group by 1, 2)
+            select p.event_type,
+                   round(sum(abs(value - wmean)) / count(*), 6) as mad_window
+            from p join w using (event_type, h)
+            group by p.event_type order by p.event_type
+        """,
+        "term_and_query_documents": """
+            with toks as (
+              select doc_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'))) tok
+              from documents),
+            c as (select tok, count(*)::bigint df from toks group by tok),
+            top2 as (select tok from c order by df desc, tok limit 2)
+            select doc_id from toks
+            where tok in (select tok from top2)
+            group by doc_id having count(distinct tok) = 2
+            order by doc_id
         """,
     }
