@@ -7652,6 +7652,167 @@ def term_and_query_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dim_stats_embeddings(sf_dir: str):
+    """Per-dimension mean/std of the embedding matrix — the
+    normalization-statistics pass ahead of whitening / scaling.
+    Zero-copy Arrow flatten → (d,)-vector partial sums per batch
+    (Σx, Σx², n per dim), O(d × blocks) driver rows; population σ from
+    the identical sqrt(ss/n − mean²) expression on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        n = len(col)
+        d = len(flat) // n
+        m = flat.reshape(n, d)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype="int64"),
+                "s": m.sum(axis=0),
+                "ss": (m * m).sum(axis=0),
+                "n": n,
+            }
+        )
+
+    parts = (
+        _t(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("dim", as_index=False).sum().sort_values("dim")
+    n = g["n"].to_numpy(dtype="float64")
+    mean = g["s"].to_numpy() / n
+    std = np.sqrt(g["ss"].to_numpy() / n - mean * mean)
+    return pd.DataFrame(
+        {
+            "dim": g["dim"].astype("int64"),
+            "mean": round_half_away(mean, 6),
+            "std": round_half_away(std, 6),
+        }
+    ).reset_index(drop=True)
+
+
+def dq_audit_orders(sf_dir: str):
+    """dbt-style data-quality audit as ONE streaming pass-set: five
+    named checks with violation counts — key uniqueness (rows −
+    distinct keys), null foreign key, referential integrity against
+    customer (distributed bucket anti-join, no broadcast), positive
+    amounts, and date range.  Every count is an exact-integer fold."""
+    from web_graph_ray.stages.relational import bucket_anti_join, bucketed_agg
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    hi = _date_us("2002-01-01")
+
+    def flags(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "rows": [len(t)],
+                "null_cust": [int(t["o_custkey"].null_count)],
+                "nonpos_price": [
+                    int((t["o_totalprice"].to_numpy(zero_copy_only=False) <= 0).sum())
+                ],
+                "future_date": [int((us >= hi).sum())],
+            }
+        )
+
+    base = orders.map_batches(flags, batch_format="pyarrow").to_pandas().sum()
+
+    n_distinct = len(
+        bucketed_agg(
+            orders.map_batches(lambda df: df[["o_orderkey"]], batch_format="pandas"),
+            ["o_orderkey"],
+            out_col="n",
+        ).to_pandas()
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    orphans = bucket_anti_join(
+        orders.map_batches(lambda df: df[["o_custkey"]], batch_format="pandas"),
+        cust,
+        on=["o_custkey"],
+    ).count()
+
+    return pd.DataFrame(
+        {
+            "check": [
+                "duplicate_orderkey",
+                "future_orderdate",
+                "nonpositive_price",
+                "null_custkey",
+                "orphan_custkey",
+            ],
+            "n_violations": [
+                int(base["rows"]) - n_distinct,
+                int(base["future_date"]),
+                int(base["nonpos_price"]),
+                int(base["null_cust"]),
+                int(orphans),
+            ],
+        }
+    )
+
+
+def forecast_baseline_events(sf_dir: str):
+    """Seasonal-naive forecast evaluation: predict each day's per-type
+    event count with the count 7 days earlier, report per-type MAE and
+    MAPE over the evaluable days — the baseline every forecasting
+    pipeline must beat.  Exact integer daily counts (one bucketed
+    exchange), O(types × days) driver rows; MAE/MAPE from identical
+    integer-ratio expressions."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": us // day_us}
+        )
+
+    c = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "d"],
+        out_col="n",
+    ).to_pandas()
+    lagged = c.assign(d=c["d"] + 7).rename(columns={"n": "pred"})
+    j = c.merge(lagged, on=["event_type", "d"])
+    j["ae"] = (j["n"] - j["pred"]).abs()
+    g = j.groupby("event_type").agg(n_eval=("ae", "size"), sae=("ae", "sum"))
+    # MAPE from exact integers: Σ |err|/actual, folded in day order
+    rows = []
+    for et, grp in j.sort_values(["event_type", "d"]).groupby("event_type"):
+        acc = 0.0
+        for ae, n in zip(grp["ae"].to_numpy(), grp["n"].to_numpy()):
+            acc = acc + float(ae) / float(n)
+        rows.append((et, acc))
+    mape = dict(rows)
+    out = pd.DataFrame(
+        {
+            "event_type": g.index.to_numpy(),
+            "n_eval": g["n_eval"].astype("int64").to_numpy(),
+            "mae": round_half_away(
+                g["sae"].to_numpy(dtype="float64")
+                / g["n_eval"].to_numpy(dtype="float64"),
+                6,
+            ),
+            "mape": round_half_away(
+                np.array([mape[t] for t in g.index])
+                / g["n_eval"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7915,6 +8076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copresence_events": copresence_events,
         "window_enrich_events": window_enrich_events,
         "term_and_query_documents": term_and_query_documents,
+        "dim_stats_embeddings": dim_stats_embeddings,
+        "dq_audit_orders": dq_audit_orders,
+        "forecast_baseline_events": forecast_baseline_events,
     }
 
 
@@ -10829,5 +10993,58 @@ def oracle_sql() -> dict[str, str]:
             where tok in (select tok from top2)
             group by doc_id having count(distinct tok) = 2
             order by doc_id
+        """,
+        "dim_stats_embeddings": """
+            with x as (
+              select generate_subscripts(embedding, 1) dim,
+                     unnest(embedding)::double v
+              from embeddings),
+            m as (select dim, sum(v) s, sum(v*v) ss, count(*)::double n
+                  from x group by dim)
+            select dim::bigint as dim,
+                   round(s / n, 6) as mean,
+                   round(sqrt(ss / n - (s / n) * (s / n)), 6) as std
+            from m order by dim
+        """,
+        "dq_audit_orders": """
+            select 'duplicate_orderkey' as check,
+                   (count(*) - count(distinct o_orderkey))::bigint n_violations
+            from orders
+            union all
+            select 'future_orderdate',
+                   sum(case when o_orderdate >= timestamp '2002-01-01'
+                            then 1 else 0 end)::bigint
+            from orders
+            union all
+            select 'nonpositive_price',
+                   sum(case when o_totalprice <= 0 then 1 else 0 end)::bigint
+            from orders
+            union all
+            select 'null_custkey',
+                   sum(case when o_custkey is null then 1 else 0 end)::bigint
+            from orders
+            union all
+            select 'orphan_custkey', count(*)::bigint
+            from orders o
+            where not exists (select 1 from customer c
+                              where c.c_custkey = o.o_custkey)
+            order by "check"
+        """,
+        "forecast_baseline_events": """
+            with c as (select event_type, epoch_us(ts) // 86400000000 d,
+                              count(*)::bigint n
+                       from events group by 1, 2),
+            j as (select a.event_type, a.d, a.n, b.n pred
+                  from c a join c b
+                    on a.event_type = b.event_type and a.d = b.d + 7),
+            t as (select event_type, d, abs(n - pred)::bigint ae,
+                         abs(n - pred)::double / n ape
+                  from j)
+            select event_type, count(*)::bigint n_eval,
+                   round(sum(ae)::double / count(*), 6) as mae,
+                   round(list_reduce(
+                           list_prepend(0.0::double, list(ape order by d)),
+                           (a, v) -> a + v) / count(*), 6) as mape
+            from t group by event_type order by event_type
         """,
     }
