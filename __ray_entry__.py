@@ -7813,6 +7813,214 @@ def forecast_baseline_events(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def decile_mobility_customers(sf_dir: str):
+    """Decile mobility (transition) matrix: customers ranked into
+    revenue deciles in 1996 and again in 1997, counts per (from, to)
+    cell — the rank-migration audit.  Two TeraSort global ranks (one
+    per year, ntile_from_rank for exact SQL NTILE parity) joined
+    co-partitioned on custkey; 2-dp revenue keys so ties are
+    well-defined on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        global_rank,
+        ntile_from_rank,
+    )
+
+    def year_rev(year: int, out: str):
+        lo, hi = _date_us(f"{year}-01-01"), _date_us(f"{year + 1}-01-01")
+
+        def proj(t: pa.Table) -> pd.DataFrame:
+            us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+            keep = (us >= lo) & (us < hi)
+            return pd.DataFrame(
+                {
+                    "o_custkey": t["o_custkey"].to_numpy()[keep],
+                    "rev": t["o_totalprice"].to_numpy()[keep],
+                }
+            )
+
+        rev = bucketed_agg(
+            _t(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(proj, batch_format="pyarrow"),
+            ["o_custkey"],
+            value_col="rev",
+            how="sum",
+            out_col="rev",
+        ).map_batches(
+            lambda df: df.assign(rev=round_half_away(df["rev"].to_numpy(), 2)),
+            batch_format="pandas",
+        )
+        n = rev.count()
+        ranked = global_rank(rev, "rev", ["o_custkey"])
+        return ranked.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"],
+                    out: ntile_from_rank(df["rank"].to_numpy(), n, 10),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    j = bucket_hash_join(year_rev(1996, "d96"), year_rev(1997, "d97"),
+                         on=["o_custkey"])
+    out = bucketed_agg(
+        j.map_batches(lambda df: df[["d96", "d97"]], batch_format="pandas"),
+        ["d96", "d97"],
+        out_col="n",
+    ).to_pandas()
+    out["d96"] = out["d96"].astype("int64")
+    out["d97"] = out["d97"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["d96", "d97"], kind="mergesort").reset_index(drop=True)
+
+
+def negative_samples_events(sf_dir: str):
+    """Deterministic negative sampling for recsys training: per user,
+    the 2 event types OUTSIDE their engaged set (engaged = any event
+    with event_id % 101 = 0 — a deterministic sparsified interaction
+    signal; the raw did-type set saturates at test scale), chosen in
+    FNV-1a(user‖type) order — reproducible, SQL-mirrorable negatives.
+    One bucketed per-user exchange; the 5-type universe is an O(1)
+    driver constant on both engines."""
+    from web_graph_ray.functions.hashing import hash64
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    pos = bucketed_agg(
+        _t(sf_dir, "events", ["user_id", "event_type", "event_id"]).map_batches(
+            lambda df: df.loc[df["event_id"] % 101 == 0,
+                              ["user_id", "event_type"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["user_id", "event_type"],
+        out_col="n",
+    )
+    types = sorted(
+        _t(sf_dir, "events", ["event_type"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["event_type"]
+        .unique()
+    )
+
+    users = bucketed_agg(
+        _t(sf_dir, "events", ["user_id"]), ["user_id"], out_col="n"
+    ).map_batches(lambda df: df[["user_id"]], batch_format="pandas")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        used = df.dropna(subset=["event_type"]) if "event_type" in df else df
+        used_set = set(zip(used["user_id"], used["event_type"]))
+        uids = df["user_id"].unique()
+        rows = []
+        for u in uids:
+            cands = [t for t in types if (u, t) not in used_set]
+            cands.sort(key=lambda t: (hash64(f"{u}_{t}"), t))
+            for t in cands[:2]:
+                rows.append((u, t))
+        return pd.DataFrame(rows, columns=["user_id", "neg_type"])
+
+    # one bucketed exchange carrying the per-user engaged pairs
+    tagged = pos.map_batches(
+        lambda df: df[["user_id", "event_type"]], batch_format="pandas"
+    ).union(
+        users.map_batches(
+            lambda df: df.assign(event_type=None), batch_format="pandas"
+        )
+    )
+    out = bucketed_group_map(tagged, ["user_id"], pick).to_pandas()
+    return out.sort_values(["user_id", "neg_type"]).reset_index(drop=True)
+
+
+def top1pct_share_orders(sf_dir: str):
+    """Revenue concentration: share of total customer revenue held by
+    the top n//100 customers (2-dp revenue, ties → custkey) — the
+    whale-dependence metric beside Gini.  Per-customer fold → partial
+    top-k per block (k = n//100 driver constant) → O(k) driver merge;
+    share from the bucketed total."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    rev = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        value_col="o_totalprice",
+        how="sum",
+        out_col="rev",
+    ).map_batches(
+        lambda df: df.assign(rev=round_half_away(df["rev"].to_numpy(), 2)),
+        batch_format="pandas",
+    )
+    n = rev.count()
+    k = n // 100
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rev", "o_custkey"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    tot_parts = rev.map_batches(
+        lambda df: pd.DataFrame({"s": [df["rev"].sum()], "top": [0.0]}).astype(
+            {"s": "float64"}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    top = (
+        rev.map_batches(head_k, batch_format="pandas")
+        .to_pandas()
+        .pipe(head_k)["rev"]
+        .sum()
+    )
+    total = float(tot_parts["s"].sum())
+    return pd.DataFrame(
+        {
+            "k_customers": [int(k)],
+            "top_share": round_half_away(np.array([top / total]), 6),
+        }
+    )
+
+
+def type_profile_similarity_events(sf_dir: str):
+    """Behavioral-profile similarity: cosine between the 24-bin
+    hour-of-day count histograms of every event-type pair — which
+    activities share a daily rhythm.  Exact integer histograms off one
+    bucketed fold; the O(types² × 24) pairwise step runs on
+    O(types × 24) driver rows with the identical dot/√·√ expression
+    both sides."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    hr_us = 3_600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "h": (us // hr_us) % 24}
+        )
+
+    c = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "h"],
+        out_col="n",
+    ).to_pandas()
+    mats = {
+        et: dict(zip(g["h"], g["n"])) for et, g in c.groupby("event_type")
+    }
+    ss = {et: sum(v * v for v in d.values()) for et, d in mats.items()}
+    rows = []
+    for i, t1 in enumerate(sorted(mats)):
+        for t2 in sorted(mats)[i + 1:]:
+            dot = sum(
+                mats[t1][h] * mats[t2][h] for h in sorted(mats[t1]) if h in mats[t2]
+            )
+            cos = float(dot) / (math.sqrt(float(ss[t1])) * math.sqrt(float(ss[t2])))
+            rows.append((t1, t2, cos))
+    out = pd.DataFrame(rows, columns=["t1", "t2", "cosine"])
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 6)
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8079,6 +8287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_stats_embeddings": dim_stats_embeddings,
         "dq_audit_orders": dq_audit_orders,
         "forecast_baseline_events": forecast_baseline_events,
+        "decile_mobility_customers": decile_mobility_customers,
+        "negative_samples_events": negative_samples_events,
+        "top1pct_share_orders": top1pct_share_orders,
+        "type_profile_similarity_events": type_profile_similarity_events,
     }
 
 
@@ -11046,5 +11258,78 @@ def oracle_sql() -> dict[str, str]:
                            list_prepend(0.0::double, list(ape order by d)),
                            (a, v) -> a + v) / count(*), 6) as mape
             from t group by event_type order by event_type
+        """,
+        "decile_mobility_customers": """
+            with a96 as (
+              select o_custkey, round(sum(o_totalprice), 2) rev from orders
+              where o_orderdate >= timestamp '1996-01-01'
+                and o_orderdate < timestamp '1997-01-01'
+              group by 1),
+            b96 as (select o_custkey,
+                           ntile(10) over (order by rev, o_custkey) d96
+                    from a96),
+            a97 as (
+              select o_custkey, round(sum(o_totalprice), 2) rev from orders
+              where o_orderdate >= timestamp '1997-01-01'
+                and o_orderdate < timestamp '1998-01-01'
+              group by 1),
+            b97 as (select o_custkey,
+                           ntile(10) over (order by rev, o_custkey) d97
+                    from a97)
+            select d96::bigint d96, d97::bigint d97, count(*)::bigint n
+            from b96 join b97 using (o_custkey)
+            group by 1, 2 order by 1, 2
+        """,
+        "negative_samples_events": """
+            with pos as (select distinct user_id, event_type from events
+                         where event_id % 101 = 0),
+            u as (select distinct user_id from events),
+            ty as (select distinct event_type from events),
+            cand as (
+              select u.user_id, ty.event_type from u cross join ty
+              where not exists (select 1 from pos p
+                                where p.user_id = u.user_id
+                                  and p.event_type = ty.event_type)),
+            r as (select user_id, event_type neg_type,
+                         row_number() over (partition by user_id
+                                            order by FNV, event_type) rn
+                  from cand)
+            select user_id, neg_type from r where rn <= 2
+            order by user_id, neg_type
+        """.replace(
+            'FNV',
+            _FNV_EVENT_ID.replace(
+                'event_id::varchar', "(user_id::varchar || '_' || event_type)"
+            ),
+        ),
+        "top1pct_share_orders": """
+            with rev as (select o_custkey, round(sum(o_totalprice), 2) rev
+                         from orders group by 1),
+            kk as (select (count(*) // 100)::bigint k from rev),
+            r as (select rev,
+                         row_number() over (order by rev desc, o_custkey) rn
+                  from rev)
+            select (select k from kk) as k_customers,
+                   round(sum(case when rn <= (select k from kk)
+                                  then rev end) / sum(rev), 6) as top_share
+            from r
+        """,
+        "type_profile_similarity_events": """
+            with c as (select event_type,
+                              (epoch_us(ts) // 3600000000) % 24 h,
+                              count(*)::bigint n
+                       from events group by 1, 2),
+            p as (select a.event_type t1, b.event_type t2,
+                         sum(a.n * b.n)::bigint dot
+                  from c a join c b on a.h = b.h and a.event_type < b.event_type
+                  group by 1, 2),
+            s as (select event_type, sum(n * n)::bigint ss from c group by 1)
+            select t1, t2,
+                   round(cast(dot as double)
+                         / (sqrt(cast(s1.ss as double))
+                            * sqrt(cast(s2.ss as double))), 6) as cosine
+            from p join s s1 on s1.event_type = p.t1
+                   join s s2 on s2.event_type = p.t2
+            order by t1, t2
         """,
     }
