@@ -8021,6 +8021,181 @@ def type_profile_similarity_events(sf_dir: str):
     return out.sort_values(["t1", "t2"]).reset_index(drop=True)
 
 
+def quantile_normalize_events(sf_dir: str):
+    """Quantile (rank) normalization heatmap: every value mapped to its
+    within-type average rank, then the mean normalized position per
+    (type, hour-of-day) — WHEN the high values happen, free of each
+    type's value scale.  Average ranks are exact multiples of 0.5 (the
+    Mann–Whitney trick), so the per-cell Σrank is bit-exact on both
+    engines; mean_norm = Σar / n_type / cell_count mirrored verbatim."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    hr_us = 3_600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "value": t["value"].to_numpy(),
+                "h": (us // hr_us) % 24,
+            }
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            g = g.sort_values("value", kind="mergesort")
+            rn = np.arange(1, len(g) + 1, dtype="float64")
+            ar = pd.Series(rn).groupby(g["value"].to_numpy()).transform("mean")
+            cell = pd.DataFrame({"h": g["h"].to_numpy(), "ar": ar.to_numpy()})
+            s = cell.groupby("h", as_index=False).agg(sar=("ar", "sum"),
+                                                      cnt=("ar", "size"))
+            s["event_type"] = et
+            s["n"] = len(g)
+            rows.append(s)
+        return pd.concat(rows, ignore_index=True)
+
+    parts = bucketed_group_map(ds, ["event_type"], per_bucket).to_pandas()
+    parts["mean_norm"] = parts["sar"] / parts["n"] / parts["cnt"]
+    out = parts[["event_type", "h", "mean_norm"]].copy()
+    out["h"] = out["h"].astype("int64")
+    out["mean_norm"] = round_half_away(out["mean_norm"].to_numpy(), 6)
+    return out.sort_values(["event_type", "h"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def anova_events(sf_dir: str):
+    """One-way ANOVA F across event types (does mean value differ by
+    type): between/within mean squares from the per-type (n, Σy, Σy²)
+    moment combiner — one map pass, O(types) driver rows, identical
+    float expression both sides, 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        y = t["value"].to_numpy()
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "n": 1, "s": y, "ss": y * y}
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    n = m["n"].to_numpy(dtype="float64")
+    s = m["s"].to_numpy(dtype="float64")
+    ss = m["ss"].to_numpy(dtype="float64")
+    N = n.sum()
+    k = len(m)
+    gm = s.sum() / N
+    ssb = float((n * (s / n - gm) * (s / n - gm)).sum())
+    ssw = float((ss - s * s / n).sum())
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    return pd.DataFrame(
+        {
+            "k_groups": [int(k)],
+            "f_stat": round_half_away(np.array([f]), 6),
+        }
+    )
+
+
+def crossing_time_orders(sf_dir: str):
+    """Crossing-time (payback) distribution: for each customer, the
+    ordinal of the first order at which cumulative spend reaches
+    1 000 000, histogram over that ordinal — the time-to-value curve.
+    One bucketed exchange on custkey; sequential per-customer cumsum
+    under (date, orderkey) order matches the SQL cumulative frame."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"].combine_chunks(),
+                "us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "price": t["o_totalprice"].combine_chunks(),
+            }
+        )
+
+    ds = _t(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    ).map_batches(proj, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "us", "o_orderkey"], kind="mergesort")
+        ordn = df.groupby("o_custkey").cumcount() + 1
+        cum = df.groupby("o_custkey")["price"].cumsum()
+        hit = cum.to_numpy() >= 1_000_000.0
+        g = pd.DataFrame(
+            {"o_custkey": df["o_custkey"].to_numpy()[hit], "n": ordn.to_numpy()[hit]}
+        )
+        first = g.groupby("o_custkey", as_index=False)["n"].min()
+        return first.groupby("n", as_index=False).size().rename(
+            columns={"size": "n_customers"}
+        )
+
+    parts = bucketed_group_map(ds, ["o_custkey"], per_bucket).to_pandas()
+    out = parts.groupby("n", as_index=False)["n_customers"].sum()
+    out = out.rename(columns={"n": "first_order_ordinal"})
+    out["first_order_ordinal"] = out["first_order_ordinal"].astype("int64")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out.sort_values("first_order_ordinal").reset_index(drop=True)
+
+
+def lorenz_curve_orders(sf_dir: str):
+    """Lorenz curve at decile boundaries: customers ranked ascending by
+    2-dp revenue, cumulative revenue share at ranks n·d/10 — the
+    concentration curve behind Gini, computed EXACTLY in integer cents
+    through the distributed scan primitives (global_rank →
+    global_prefix_sum; no driver sort, no float accumulation)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucketed_agg,
+        global_prefix_sum,
+        global_rank,
+    )
+
+    rev = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        value_col="o_totalprice",
+        how="sum",
+        out_col="rev",
+    ).map_batches(
+        lambda df: df.assign(
+            cents=np.rint(
+                np.round(df["rev"].to_numpy(dtype="float64") + 1e-9, 2) * 100
+            ).astype("int64")
+        )[["o_custkey", "cents"]],
+        batch_format="pandas",
+    )
+    n = rev.count()
+    total = int(rev.aggregate(Sum("cents"))["sum(cents)"])
+    ranked = global_rank(rev, "cents", ["o_custkey"])
+    cum = global_prefix_sum(ranked, "rank", "cents", out_col="prefix")
+    marks = {(n * d) // 10 for d in range(1, 11)}
+    pts = cum.map_batches(
+        lambda df: df.loc[df["rank"].isin(marks), ["rank", "prefix", "cents"]],
+        batch_format="pandas",
+    ).to_pandas()
+    pts["decile"] = (pts["rank"] * 10) // n
+    pts["cum_share"] = round_half_away(
+        (pts["prefix"].to_numpy() + pts["cents"].to_numpy()) / total, 6
+    )
+    out = pts[["decile", "cum_share"]].copy()
+    out["decile"] = out["decile"].astype("int64")
+    return out.sort_values("decile").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8291,6 +8466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_events": negative_samples_events,
         "top1pct_share_orders": top1pct_share_orders,
         "type_profile_similarity_events": type_profile_similarity_events,
+        "quantile_normalize_events": quantile_normalize_events,
+        "anova_events": anova_events,
+        "crossing_time_orders": crossing_time_orders,
+        "lorenz_curve_orders": lorenz_curve_orders,
     }
 
 
@@ -11331,5 +11510,70 @@ def oracle_sql() -> dict[str, str]:
             from p join s s1 on s1.event_type = p.t1
                    join s s2 on s2.event_type = p.t2
             order by t1, t2
+        """,
+        "quantile_normalize_events": """
+            with s as (select event_type, value,
+                              (epoch_us(ts) // 3600000000) % 24 h
+                       from events),
+            r as (select event_type, h,
+                         avg(rn) over (partition by event_type, value) ar
+                  from (select event_type, value, h,
+                               row_number() over (partition by event_type
+                                                  order by value) rn
+                        from s) t),
+            g as (select event_type, h, sum(ar) sar, count(*)::double cnt
+                  from r group by 1, 2),
+            nt as (select event_type, count(*)::double n from s group by 1)
+            select event_type, h::bigint as h,
+                   round(sar / n / cnt, 6) as mean_norm
+            from g join nt using (event_type)
+            order by event_type, h
+        """,
+        "anova_events": """
+            with m as (select event_type, count(*)::double n,
+                              sum(value) s, sum(value * value) ss
+                       from events group by 1),
+            t as (select sum(n) as nn, count(*)::double as k,
+                         sum(s) as stot from m),
+            b as (select sum(n * (s / n - stot / nn) * (s / n - stot / nn)) ssb,
+                         sum(ss - s * s / n) ssw,
+                         any_value(nn) nn, any_value(k) k
+                  from m cross join t)
+            select k::bigint as k_groups,
+                   round((ssb / (k - 1)) / (ssw / (nn - k)), 6) as f_stat
+            from b
+        """,
+        "crossing_time_orders": """
+            with s as (
+              select o_custkey,
+                     row_number() over (partition by o_custkey
+                                        order by o_orderdate, o_orderkey) rn,
+                     sum(o_totalprice) over (partition by o_custkey
+                                             order by o_orderdate, o_orderkey
+                                             rows unbounded preceding) cum
+              from orders),
+            f as (select o_custkey, min(rn) n from s
+                  where cum >= 1000000 group by 1)
+            select n::bigint as first_order_ordinal,
+                   count(*)::bigint as n_customers
+            from f group by 1 order by 1
+        """,
+        "lorenz_curve_orders": """
+            with rev as (
+              select o_custkey,
+                     round(round(sum(o_totalprice), 2) * 100)::bigint cents
+              from orders group by 1),
+            t as (select sum(cents)::bigint tot, count(*)::bigint n from rev),
+            r as (select cents,
+                         row_number() over (order by cents, o_custkey) rk,
+                         sum(cents) over (order by cents, o_custkey
+                                          rows unbounded preceding) cum
+                  from rev),
+            marks as (select ((select n from t) * d) // 10 mk
+                      from (select unnest(range(1, 11)) d))
+            select ((rk * 10) // (select n from t))::bigint as decile,
+                   round(cum::double / (select tot from t), 6) as cum_share
+            from r where rk in (select mk from marks)
+            order by decile
         """,
     }
