@@ -8196,6 +8196,190 @@ def lorenz_curve_orders(sf_dir: str):
     return out.sort_values("decile").reset_index(drop=True)
 
 
+def knn_classify_embeddings(sf_dir: str):
+    """k-NN classification evaluation: FNV-split the embedding table
+    80/20, classify each held-out vector by the majority label of its
+    3 nearest training neighbours (cosine desc, vec_id tie), report
+    accuracy — the representation-quality probe.  The training side is
+    a gated broadcast matrix (the IVF route is the big-reference-set
+    path); test batches classify via one vectorized matmul each.
+    Cosine magnitudes only RANK (never hashed), so the two engines'
+    different dot-product association orders cannot flip the result
+    except on ~1e-15 near-ties absent from real embeddings."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    def tag(t: pa.Table) -> pa.Table:
+        hs = (fnv1a64(pc.cast(t["vec_id"], pa.string())) % np.uint64(100)).astype(
+            "int64"
+        )
+        return t.append_column("hs", pa.array(hs))
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    train = ds.map_batches(
+        lambda df: df[df["hs"] < 80], batch_format="pandas"
+    ).to_pandas()
+    tm = np.stack(train["embedding"].to_numpy()).astype("float64")
+    tm = tm / np.linalg.norm(tm, axis=1, keepdims=True)
+    t_lab = train["label"].to_numpy()
+    t_ids = train["vec_id"].to_numpy()
+    import ray as _ray
+
+    ref = _ray.put((tm, t_lab, t_ids))
+
+    def classify(t: pa.Table) -> pd.DataFrame:
+        m, labs, ids = _ray.get(ref)
+        keep = t["hs"].to_numpy() >= 80
+        if not keep.any():
+            return pd.DataFrame({"ok": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        q = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[keep]).astype(
+            "float64"
+        )
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = q @ m.T
+        correct = 0
+        true_lab = t["label"].to_numpy()[keep]
+        for i in range(len(q)):
+            order = np.lexsort((ids, -sims[i]))[:3]
+            votes = {}
+            for j in order:
+                votes[int(labs[j])] = votes.get(int(labs[j]), 0) + 1
+            pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            correct += int(pred == int(true_lab[i]))
+        return pd.DataFrame({"ok": [correct], "n": [int(keep.sum())]})
+
+    parts = ds.map_batches(classify, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_test": [n],
+            "accuracy": round_half_away(np.array([parts["ok"].sum() / n]), 6),
+        }
+    )
+
+
+def balanced_sample_embeddings(sf_dir: str):
+    """Class-balanced training-set construction: m = the rarest
+    label's count, every label contributes exactly m vectors in
+    FNV-1a(vec_id) order — deterministic undersampling for unbiased
+    class priors.  Label counts are O(labels) driver rows; the pick is
+    one bucketed per-label exchange."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+    from web_graph_ray.stages.sketch import fnv1a64
+
+    counts = bucketed_agg(
+        _t(sf_dir, "embeddings", ["label"]), ["label"], out_col="n"
+    ).to_pandas()
+    m = int(counts["n"].min())
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["vec_id"], pa.string()))
+        return t.append_column("hv", pa.array(h, pa.uint64()))
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        add_hash, batch_format="pyarrow"
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["label", "hv", "vec_id"], kind="mergesort")
+        df["rn"] = df.groupby("label").cumcount() + 1
+        return df.loc[df["rn"] <= m, ["label", "vec_id"]]
+
+    out = bucketed_group_map(ds, ["label"], pick).to_pandas()
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values(["label", "vec_id"]).reset_index(drop=True)
+
+
+def token_length_hist_documents(sf_dir: str):
+    """Token-length (chars) histogram across the corpus — the subword
+    statistics a tokenizer budget is designed against.  Per-batch
+    length-count combiner, one tiny bucketed fold."""
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            for tok in WORD_RE.findall(t.lower()):
+                c[len(tok)] += 1
+        return pd.DataFrame(
+            {"tok_len": list(c.keys()), "n": list(c.values())}
+        )
+
+    out = (
+        bucketed_agg(
+            _t(sf_dir, "documents", ["text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            ["tok_len"],
+            value_col="n",
+            how="sum",
+            out_col="n",
+        )
+        .to_pandas()
+        .sort_values("tok_len")
+        .reset_index(drop=True)
+    )
+    out["tok_len"] = out["tok_len"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def ipc_roundtrip_events(sf_dir: str):
+    """Arrow IPC (Feather V2) sink → source fidelity
+    (sources/text_formats.py::write_ipc/read_ipc): the zero-copy
+    interchange format round-trips timestamps, floats and JSON strings
+    exactly; content-hashed shard names + tmp/rename make re-runs
+    idempotent.  Result = per-type aggregates over the RE-READ shards;
+    the oracle aggregates the original parquet."""
+    import os as _os
+
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.sources.text_formats import read_ipc, write_ipc
+
+    out_dir = f"/tmp/wgr_ipc_events_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    write_ipc(_t(sf_dir, "events"), out_dir)
+    back = read_ipc(out_dir)
+
+    def agg(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "n": 1,
+                "sv": t["value"].to_numpy(),
+                "min_us": us,
+                "max_us": us,
+                "chars": [len(p) for p in t["props"].to_pylist()],
+            }
+        )
+        return g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sv=("sv", "sum"), min_us=("min_us", "min"),
+            max_us=("max_us", "max"), chars=("chars", "sum"),
+        )
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    m = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sv=("sv", "sum"), min_us=("min_us", "min"),
+        max_us=("max_us", "max"), chars=("chars", "sum"),
+    ).sort_values("event_type")
+    return pd.DataFrame(
+        {
+            "event_type": m["event_type"].to_numpy(),
+            "n": m["n"].astype("int64"),
+            "sum_value": round_half_away(m["sv"].to_numpy(dtype="float64"), 2),
+            "min_us": m["min_us"].astype("int64"),
+            "max_us": m["max_us"].astype("int64"),
+            "props_chars": m["chars"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8470,6 +8654,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_events": anova_events,
         "crossing_time_orders": crossing_time_orders,
         "lorenz_curve_orders": lorenz_curve_orders,
+        "knn_classify_embeddings": knn_classify_embeddings,
+        "balanced_sample_embeddings": balanced_sample_embeddings,
+        "token_length_hist_documents": token_length_hist_documents,
+        "ipc_roundtrip_events": ipc_roundtrip_events,
     }
 
 
@@ -11575,5 +11763,58 @@ def oracle_sql() -> dict[str, str]:
                    round(cum::double / (select tot from t), 6) as cum_share
             from r where rk in (select mk from marks)
             order by decile
+        """,
+        "knn_classify_embeddings": """
+            with h as (select vec_id, label, embedding, FNV %% 100 hs
+                       from embeddings),
+            tr as (select * from h where hs < 80),
+            te as (select * from h where hs >= 80),
+            sim as (select te.vec_id tid, te.label tl, tr.label rl,
+                           tr.vec_id rid,
+                           list_cosine_similarity(te.embedding, tr.embedding) c
+                    from te cross join tr),
+            r as (select tid, tl, rl,
+                         row_number() over (partition by tid
+                                            order by c desc, rid) rn
+                  from sim),
+            v as (select tid, tl, rl, count(*) cnt
+                  from r where rn <= 3 group by 1, 2, 3),
+            w as (select tid, tl, rl,
+                         row_number() over (partition by tid
+                                            order by cnt desc, rl) rn
+                  from v),
+            p as (select tid, tl, rl pred from w where rn = 1)
+            select count(*)::bigint n_test,
+                   round(sum(case when pred = tl then 1 else 0 end)::double
+                         / count(*), 6) accuracy
+            from p
+        """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'vec_id')).replace('%%', '%'),
+        "balanced_sample_embeddings": """
+            with c as (select label, count(*)::bigint n
+                       from embeddings group by 1),
+            m as (select min(n) m from c),
+            h as (select vec_id, label, FNV hv from embeddings),
+            r as (select vec_id, label,
+                         row_number() over (partition by label
+                                            order by hv, vec_id) rn
+                  from h)
+            select label::bigint as label, vec_id from r
+            where rn <= (select m from m)
+            order by label, vec_id
+        """.replace('FNV', _FNV_EVENT_ID.replace('event_id', 'vec_id')),
+        "token_length_hist_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents)
+            select length(tok)::bigint as tok_len, count(*)::bigint as n
+            from toks group by 1 order by 1
+        """,
+        "ipc_roundtrip_events": """
+            select event_type, count(*)::bigint as n,
+                   round(sum(value), 2) as sum_value,
+                   min(epoch_us(ts))::bigint as min_us,
+                   max(epoch_us(ts))::bigint as max_us,
+                   sum(length(props))::bigint as props_chars
+            from events group by event_type order by event_type
         """,
     }
