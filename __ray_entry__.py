@@ -8380,6 +8380,221 @@ def ipc_roundtrip_events(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def link_prediction_lineitem_graph(sf_dir: str):
+    """Common-neighbours link prediction: the top-20 NON-edges of the
+    simple undirected mix graph ranked by shared-neighbour count — the
+    classic recommender-on-a-graph scorer.  Wedge pairs explode inside
+    one bucketed exchange on the CENTER node (bounded by that node's
+    degree²), bucketed pair counts, existing edges removed by a
+    co-partitioned anti join, partial top-20."""
+    from web_graph_ray.stages.relational import (
+        bucket_anti_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    simple = bucketed_group_map(
+        _mix_graph(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    sym = simple.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "c": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "nb": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="c")
+        m = m[m["nb_x"] < m["nb_y"]]
+        return pd.DataFrame({"u": m["nb_x"].to_numpy(), "v": m["nb_y"].to_numpy()})
+
+    pair_counts = bucketed_agg(
+        bucketed_group_map(sym, ["c"], wedges), ["u", "v"], out_col="cn"
+    )
+    non_edges = bucket_anti_join(pair_counts, simple, on=["u", "v"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cn", "u", "v"], ascending=[False, True, True], kind="mergesort"
+        ).head(20)
+
+    out = non_edges.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(out).reset_index(drop=True)
+    out["cn"] = out["cn"].astype("int64")
+    return out[["u", "v", "cn"]]
+
+
+def spearman_customers(sf_dir: str):
+    """Spearman rank correlation between customer revenue (2 dp) and
+    order count — monotone-association strength, robust to scale.
+    Average ranks per variable (global_rank row numbers → per-VALUE
+    bucketed mean joined back — exact multiples of 0.5, so every
+    moment sum is bit-exact on both engines) feed the closed-form
+    Pearson-on-ranks expression, mirrored verbatim."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        global_rank,
+    )
+
+    per_cust = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        value_col="o_totalprice",
+        how="sum",
+        out_col="rev",
+    ).map_batches(
+        lambda df: df.assign(rev=round_half_away(df["rev"].to_numpy(), 2)),
+        batch_format="pandas",
+    )
+    freq = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey"]), ["o_custkey"], out_col="freq"
+    )
+    both = bucket_hash_join(per_cust, freq, on=["o_custkey"])
+
+    def avg_rank(ds, col, out):
+        ranked = global_rank(ds, col, ["o_custkey"])
+        per_val = bucketed_agg(
+            ranked.map_batches(
+                lambda df: df[[col, "rank"]], batch_format="pandas"
+            ),
+            [col],
+            value_col="rank",
+            how="sum",
+            out_col="rs",
+        )
+        cnt = bucketed_agg(
+            ranked.map_batches(lambda df: df[[col]], batch_format="pandas"),
+            [col],
+            out_col="cnt",
+        )
+        ar = bucket_hash_join(per_val, cnt, on=[col]).map_batches(
+            lambda df: df.assign(**{out: df["rs"] / df["cnt"]})[[col, out]],
+            batch_format="pandas",
+        )
+        return bucket_hash_join(ranked, ar, on=[col]).map_batches(
+            lambda df: df[["o_custkey", out]], batch_format="pandas"
+        )
+
+    rx = avg_rank(both, "rev", "ar_x")
+    ry = avg_rank(both, "freq", "ar_y")
+    j = bucket_hash_join(rx, ry, on=["o_custkey"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ar_x"].to_numpy(dtype="float64")
+        y = df["ar_y"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "n": [len(df)],
+                "sx": [x.sum()], "sy": [y.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    m = j.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    num = n * m["sxy"] - m["sx"] * m["sy"]
+    den = math.sqrt(
+        (n * m["sxx"] - m["sx"] * m["sx"]) * (n * m["syy"] - m["sy"] * m["sy"])
+    )
+    return pd.DataFrame(
+        {
+            "n_customers": [int(n)],
+            "spearman_rho": round_half_away(np.array([num / den]), 6),
+        }
+    )
+
+
+def bag_except_lineitem(sf_dir: str):
+    """Bag-algebra EXCEPT ALL: the multiset of (returnflag, linestatus)
+    rows from odd orderkeys minus the multiset from even orderkeys —
+    each tuple survives max(count_odd − count_even, 0) times.  The
+    side-tagged count combiner rides one bucketed exchange; output is
+    the surviving multiplicities (the compact form of the bag)."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        odd = (t["l_orderkey"].to_numpy() % 2) == 1
+        g = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "ca": odd.astype("int64"),
+                "cb": (~odd).astype("int64"),
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_linestatus"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["ca", "cb"]
+        ].sum()
+        g["n"] = np.maximum(g["ca"] - g["cb"], 0)
+        return g.loc[g["n"] > 0, ["l_returnflag", "l_linestatus", "n"]]
+
+    out = bucketed_group_map(ds, ["l_returnflag", "l_linestatus"], fold).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def peaks_events_daily(sf_dir: str):
+    """Daily peak detection: strict local maxima of each type's daily
+    count series (c[d−1] < c[d] > c[d+1] over observed days) — count
+    of peaks plus the tallest peak's day (tie → earliest).  Exact
+    integer daily counts off one bucketed fold; the lead/lag
+    comparison mirrors the twin's window frame."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "d": us // day_us}
+        )
+
+    c = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "d"],
+        out_col="n",
+    ).to_pandas()
+    rows = []
+    for et, g in c.sort_values(["event_type", "d"]).groupby("event_type"):
+        n = g["n"].to_numpy()
+        d = g["d"].to_numpy()
+        if len(n) < 3:
+            continue
+        mid = (n[1:-1] > n[:-2]) & (n[1:-1] > n[2:])
+        pk_d, pk_n = d[1:-1][mid], n[1:-1][mid]
+        if not len(pk_d):
+            continue
+        best = np.lexsort((pk_d, -pk_n))[0]
+        rows.append((et, int(mid.sum()), int(pk_d[best])))
+    out = pd.DataFrame(rows, columns=["event_type", "n_peaks", "top_peak_day"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8658,6 +8873,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_sample_embeddings": balanced_sample_embeddings,
         "token_length_hist_documents": token_length_hist_documents,
         "ipc_roundtrip_events": ipc_roundtrip_events,
+        "link_prediction_lineitem_graph": link_prediction_lineitem_graph,
+        "spearman_customers": spearman_customers,
+        "bag_except_lineitem": bag_except_lineitem,
+        "peaks_events_daily": peaks_events_daily,
     }
 
 
@@ -11816,5 +12035,73 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(ts))::bigint as max_us,
                    sum(length(props))::bigint as props_chars
             from events group by event_type order by event_type
+        """,
+        "link_prediction_lineitem_graph": """
+            with e0 as materialized (
+              select distinct
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            sym as materialized (
+              select u c, v nb from e0 union all select v, u from e0),
+            w as (select a.nb u, b.nb v, count(*)::bigint cn
+                  from sym a join sym b on a.c = b.c and a.nb < b.nb
+                  group by 1, 2),
+            ne as (select w.u, w.v, w.cn from w
+                   where not exists (select 1 from e0
+                                     where e0.u = w.u and e0.v = w.v))
+            select u, v, cn from ne order by cn desc, u, v limit 20
+        """,
+        "spearman_customers": """
+            with c as (select o_custkey, round(sum(o_totalprice), 2) rev,
+                              count(*)::bigint freq
+                       from orders group by 1),
+            rx as (select o_custkey,
+                          avg(rnx) over (partition by rev) ar_x
+                   from (select o_custkey, rev,
+                                row_number() over (order by rev, o_custkey) rnx
+                         from c) t),
+            ry as (select o_custkey,
+                          avg(rny) over (partition by freq) ar_y
+                   from (select o_custkey, freq,
+                                row_number() over (order by freq, o_custkey) rny
+                         from c) t),
+            m as (select count(*)::double n, sum(ar_x) sx, sum(ar_y) sy,
+                         sum(ar_x*ar_x) sxx, sum(ar_y*ar_y) syy,
+                         sum(ar_x*ar_y) sxy
+                  from rx join ry using (o_custkey))
+            select n::bigint as n_customers,
+                   round((n*sxy - sx*sy)
+                         / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+                     as spearman_rho
+            from m
+        """,
+        "bag_except_lineitem": """
+            with s as (
+              select l_returnflag, l_linestatus,
+                     sum(case when l_orderkey % 2 = 1 then 1 else 0 end)::bigint ca,
+                     sum(case when l_orderkey % 2 = 0 then 1 else 0 end)::bigint cb
+              from lineitem group by 1, 2)
+            select l_returnflag, l_linestatus,
+                   greatest(ca - cb, 0)::bigint as n
+            from s where ca - cb > 0
+            order by l_returnflag, l_linestatus
+        """,
+        "peaks_events_daily": """
+            with c as (select event_type, epoch_us(ts) // 86400000000 d,
+                              count(*)::bigint n
+                       from events group by 1, 2),
+            w as (select event_type, d, n,
+                         lag(n) over (partition by event_type order by d) pn,
+                         lead(n) over (partition by event_type order by d) nn
+                  from c),
+            p as (select event_type, d, n from w
+                  where pn is not null and nn is not null
+                    and n > pn and n > nn)
+            select event_type, count(*)::bigint n_peaks,
+                   (select d from p p2 where p2.event_type = p.event_type
+                    order by n desc, d limit 1) as top_peak_day
+            from p group by event_type order by event_type
         """,
     }
