@@ -8595,6 +8595,208 @@ def peaks_events_daily(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+_WALK_LEN = 4
+
+
+def random_walks_lineitem_graph(sf_dir: str):
+    """Deterministic random walks (the node2vec / DeepWalk corpus
+    generator): 2 walks of length 4 from each seed node 0..49 over the
+    simple undirected mix graph; the next hop is the neighbour
+    minimizing FNV-1a(cur‖step‖walk‖nb) — hash-driven "randomness",
+    reproducible at any parallelism and unrollable in SQL.  Each step
+    is one co-partitioned frontier⋈adjacency join + per-walk argmin;
+    the frontier never exceeds the walk count."""
+    from web_graph_ray.functions.hashing import hash64
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_group_map
+
+    def canon(t: pa.Table) -> pd.DataFrame:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    simple = bucketed_group_map(
+        _mix_graph(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        lambda df: df.drop_duplicates(),
+        batch_partial=lambda df: df.drop_duplicates(),
+    )
+    adj = simple.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "cur": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "nb": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    frontier = pd.DataFrame(
+        {
+            "walk_id": np.arange(100, dtype="int64"),
+            "cur": np.repeat(np.arange(50, dtype="int64"), 2),
+        }
+    )
+    trail = [frontier.assign(step=0).rename(columns={"cur": "node"})]
+    for step in range(1, _WALK_LEN + 1):
+        fds = ray.data.from_pandas(frontier)
+        cand = bucket_hash_join(fds, adj, on=["cur"]).to_pandas()
+        cand["hv"] = [
+            hash64(f"{c}_{step}_{w}_{n}")
+            for c, w, n in zip(cand["cur"], cand["walk_id"], cand["nb"])
+        ]
+        nxt = (
+            cand.sort_values(["walk_id", "hv", "nb"], kind="mergesort")
+            .drop_duplicates("walk_id")[["walk_id", "nb"]]
+            .rename(columns={"nb": "cur"})
+        )
+        frontier = nxt
+        trail.append(frontier.assign(step=step).rename(columns={"cur": "node"}))
+    out = pd.concat(trail, ignore_index=True)[["walk_id", "step", "node"]]
+    out = out.astype({"walk_id": "int64", "step": "int64", "node": "int64"})
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def _random_walks_sql(length: int = _WALK_LEN) -> str:
+    fnv = _FNV_EVENT_ID.replace(
+        "event_id::varchar",
+        "(e.cur::varchar || '_' || STEP || '_' || w.walk_id::varchar"
+        " || '_' || e.nb::varchar)",
+    )
+    sql = """
+            with e0 as materialized (
+              select distinct
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
+              from lineitem
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
+            adj as materialized (
+              select u cur, v nb from e0 union all select v, u from e0),
+            f0 as (select d walk_id, d // 2 cur
+                   from (select unnest(range(0, 100)) d))"""
+    for k in range(1, length + 1):
+        sql += f""",
+            c{k} as (select w.walk_id, e.nb,
+                          row_number() over (
+                            partition by w.walk_id
+                            order by {fnv.replace("STEP", f"'{k}'")}, e.nb) rn
+                   from f{k-1} w join adj e on e.cur = w.cur),
+            f{k} as (select walk_id, nb cur from c{k} where rn = 1)"""
+    steps = " union all ".join(
+        f"select walk_id, {k} as step, cur as node from f{k}"
+        for k in range(0, length + 1)
+    )
+    sql += f"""
+            select walk_id, step::bigint step, node from ({steps})
+            order by walk_id, step
+        """
+    return sql
+
+
+def cuped_events(sf_dir: str):
+    """CUPED variance reduction (Deng et al. 2013): per-user PRE-period
+    (first 14 observed days) mean value as the covariate for the
+    POST-period mean; θ = cov(pre, post)/var(pre); report the raw and
+    CUPED-adjusted post variances and the reduction share — the A/B
+    sensitivity win.  Per-user sums ride one bucketed exchange; the
+    moment fold is O(users) with the identical closed-form expression
+    on both engines, 6 dp."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(),
+                "d": us // day_us,
+                "value": t["value"].to_numpy(),
+            }
+        )
+
+    tagged = _t(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    d0 = int(
+        tagged.map_batches(
+            lambda df: pd.DataFrame({"d": [df["d"].min()]}), batch_format="pandas"
+        )
+        .to_pandas()["d"]
+        .min()
+    )
+    cut = d0 + 14
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        pre = df["d"] < cut
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "ps": np.where(pre, df["value"], 0.0),
+                "pn": pre.astype("int64"),
+                "qs": np.where(pre, 0.0, df["value"]),
+                "qn": (~pre).astype("int64"),
+            }
+        )
+        u = g.groupby("user_id", as_index=False).sum()
+        u = u[(u["pn"] > 0) & (u["qn"] > 0)]
+        return pd.DataFrame(
+            {
+                "user_id": u["user_id"],
+                "x": u["ps"] / u["pn"],
+                "y": u["qs"] / u["qn"],
+            }
+        )
+
+    users = bucketed_group_map(tagged, ["user_id"], per_user)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(dtype="float64")
+        y = df["y"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "n": [len(df)], "sx": [x.sum()], "sy": [y.sum()],
+                "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    m = users.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = float(m["n"])
+    var_x = m["sxx"] / n - (m["sx"] / n) * (m["sx"] / n)
+    var_y = m["syy"] / n - (m["sy"] / n) * (m["sy"] / n)
+    cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+    theta = cov / var_x
+    var_adj = var_y - theta * theta * var_x
+    return pd.DataFrame(
+        {
+            "n_users": [int(n)],
+            "theta": round_half_away(np.array([theta]), 6),
+            "var_post": round_half_away(np.array([var_y]), 6),
+            "var_adj": round_half_away(np.array([var_adj]), 6),
+            "reduction": round_half_away(np.array([1.0 - var_adj / var_y]), 6),
+        }
+    )
+
+
+def jaccard_curve_documents(sf_dir: str):
+    """Dedup-threshold calibration curve: ONE exact char-5-gram
+    Jaccard pass (same blocking contract as ngram_dedup_documents)
+    histogrammed into pair counts at thresholds 0.2/0.4/0.6/0.8 — the
+    sweep that picks a near-dup cutoff without re-running the join per
+    candidate threshold."""
+    from web_graph_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), k=5, threshold=0.2, min_shared=5
+    ).to_pandas()
+    j = np.round(pairs["jaccard"].to_numpy(dtype="float64"), 6)
+    rows = [(t, int((j >= t).sum())) for t in (0.2, 0.4, 0.6, 0.8)]
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8877,6 +9079,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_customers": spearman_customers,
         "bag_except_lineitem": bag_except_lineitem,
         "peaks_events_daily": peaks_events_daily,
+        "random_walks_lineitem_graph": random_walks_lineitem_graph,
+        "cuped_events": cuped_events,
+        "jaccard_curve_documents": jaccard_curve_documents,
     }
 
 
@@ -12103,5 +12308,66 @@ def oracle_sql() -> dict[str, str]:
                    (select d from p p2 where p2.event_type = p.event_type
                     order by n desc, d limit 1) as top_peak_day
             from p group by event_type order by event_type
+        """,
+        "random_walks_lineitem_graph": _random_walks_sql(),
+        "cuped_events": """
+            with tagged as (
+              select user_id, value,
+                     epoch_us(ts) // 86400000000 d
+              from events),
+            cut as (select min(d) + 14 c from tagged),
+            u as (
+              select user_id,
+                     sum(case when d < (select c from cut) then value end)
+                       / sum(case when d < (select c from cut) then 1 end) x,
+                     sum(case when d >= (select c from cut) then value end)
+                       / sum(case when d >= (select c from cut) then 1 end) y
+              from tagged group by user_id
+              having sum(case when d < (select c from cut) then 1 else 0 end) > 0
+                 and sum(case when d >= (select c from cut) then 1 else 0 end) > 0),
+            m as (select count(*)::double n, sum(x) sx, sum(y) sy,
+                         sum(x*x) sxx, sum(y*y) syy, sum(x*y) sxy
+                  from u),
+            v as (select n,
+                         sxy / n - (sx / n) * (sy / n) as cov,
+                         sxx / n - (sx / n) * (sx / n) as var_x,
+                         syy / n - (sy / n) * (sy / n) as var_y
+                  from m),
+            f as (select n, cov / var_x theta, var_y,
+                         var_y - (cov / var_x) * (cov / var_x) * var_x var_adj
+                  from v)
+            select n::bigint n_users, round(theta, 6) theta,
+                   round(var_y, 6) var_post, round(var_adj, 6) var_adj,
+                   round(1.0 - var_adj / var_y, 6) reduction
+            from f
+        """,
+        "jaccard_curve_documents": """
+            with d as (select doc_id, lower(text) t from documents),
+            sh as (
+              select distinct doc_id, substr(t, i, 5) sh
+              from d cross join generate_series(1, 4000) g(i)
+              where i <= length(t) - 4),
+            sizes as (select doc_id, count(*) n from sh group by 1),
+            rare as (select sh from sh group by sh
+                     having count(*) <= greatest(20, (select count(*) from sizes) // 100)),
+            cand as (select s1.doc_id a, s2.doc_id b
+                     from sh s1 join sh s2 using (sh)
+                     where s1.doc_id < s2.doc_id and sh in (select sh from rare)
+                     group by 1, 2 having count(*) >= 5),
+            inter as (select s1.doc_id a, s2.doc_id b, count(*) i
+                      from sh s1 join sh s2 using (sh)
+                      join cand on cand.a = s1.doc_id and cand.b = s2.doc_id
+                      group by 1, 2),
+            jac as (select a, b,
+                           round(cast(i as double) / (na.n + nb.n - i), 6) jaccard
+                    from inter
+                    join sizes na on na.doc_id = a
+                    join sizes nb on nb.doc_id = b),
+            th as (select unnest([0.2, 0.4, 0.6, 0.8]) t)
+            select t as threshold,
+                   sum(case when jaccard >= t then 1 else 0 end)::bigint n_pairs
+            from jac cross join th
+            where jaccard >= 0.2
+            group by t order by t
         """,
     }
