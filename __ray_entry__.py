@@ -8797,6 +8797,198 @@ def jaccard_curve_documents(sf_dir: str):
     return pd.DataFrame(rows, columns=["threshold", "n_pairs"])
 
 
+_SET_COVER_K = 5
+
+
+def set_cover_documents(sf_dir: str):
+    """Greedy maximum-coverage selection (the diversity-first corpus
+    subset): 5 rounds, each picking the doc covering the most
+    NOT-YET-COVERED distinct tokens (ties → smaller doc_id) — the
+    classic (1−1/e) greedy set cover over vocabulary.  Each round is
+    one distributed count of uncovered tokens per doc with the covered
+    set shipped as a broadcast (it is bounded by the selected docs'
+    vocabularies); the argmax is an O(1) driver fold."""
+    from web_graph_ray.functions.text import WORD_RE
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    covered: set = set()
+    picks = []
+    for _ in range(_SET_COVER_K):
+        cov = covered
+
+        def gain(batch: pa.Table) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy()
+            best_id, best_gain = -1, -1
+            for i, t in zip(ids, batch["text"].to_pylist()):
+                g = len(set(WORD_RE.findall(t.lower())) - cov)
+                if g > best_gain or (g == best_gain and i < best_id):
+                    best_id, best_gain = int(i), g
+            return pd.DataFrame({"doc_id": [best_id], "gain": [best_gain]})
+
+        chosen = {p for p, _ in picks}
+
+        def gain_unpicked(batch: pa.Table, _g=gain, _c=chosen) -> pd.DataFrame:
+            t = batch.filter(
+                pc.invert(
+                    pc.is_in(batch["doc_id"],
+                             value_set=pa.array(sorted(_c), pa.int64()))
+                )
+            ) if _c else batch
+            if len(t) == 0:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                     "gain": pd.Series([], dtype="int64")})
+            return _g(t)
+
+        cand = docs.map_batches(gain_unpicked, batch_format="pyarrow").to_pandas()
+        top = cand.sort_values(["gain", "doc_id"], ascending=[False, True]).iloc[0]
+        pick = int(top["doc_id"])
+        picks.append((pick, int(top["gain"])))
+        text = (
+            docs.map_batches(
+                lambda df, p=pick: df[df["doc_id"] == p], batch_format="pandas"
+            )
+            .to_pandas()["text"]
+            .iloc[0]
+        )
+        covered = covered | set(WORD_RE.findall(text.lower()))
+    return pd.DataFrame(picks, columns=["doc_id", "new_tokens"])
+
+
+def _set_cover_sql(k: int = _SET_COVER_K) -> str:
+    sql = """
+            with toks as materialized (
+              select distinct doc_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'))) tok
+              from documents),
+            c0 as materialized (select null::varchar tok where false)"""
+    for i in range(1, k + 1):
+        prev_picks = " union all ".join(
+            f"select doc_id from p{j}" for j in range(1, i)
+        ) or "select null::bigint doc_id where false"
+        sql += f""",
+            pk{i} as materialized ({prev_picks}),
+            g{i} as materialized (
+              select t.doc_id, count(*) gain
+              from toks t
+              where t.tok not in (select tok from c{i-1})
+              group by t.doc_id),
+            p{i} as materialized (
+              select d.doc_id, coalesce(g.gain, 0) gain
+              from (select distinct doc_id from toks) d
+              left join g{i} g using (doc_id)
+              where d.doc_id not in (select doc_id from pk{i})
+              order by gain desc, doc_id limit 1),
+            c{i} as materialized (
+              select tok from c{i-1}
+              union
+              select tok from toks
+              where doc_id = (select doc_id from p{i}))"""
+    steps = " union all ".join(
+        f"select {i} ord, doc_id, gain from p{i}" for i in range(1, k + 1)
+    )
+    sql += f"""
+            select doc_id, gain::bigint as new_tokens
+            from ({steps}) order by ord
+        """
+    return sql
+
+
+def reconcile_orders_lineitem(sf_dir: str):
+    """Cross-table reconciliation audit: per order, the ratio of the
+    lineitem rollup Σ price·(1−disc)·(1+tax) to the header
+    o_totalprice, histogrammed into 0.1-wide bands — the
+    books-balancing check between a fact table and its header.  One
+    bucketed lineitem fold + one co-partitioned join on orderkey;
+    exact band floors from the identical double expression."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        amt = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pc.add(pa.scalar(1.0), t["l_tax"]),
+        )
+        return pa.table(
+            {"o_orderkey": t["l_orderkey"].combine_chunks(), "amt": amt}
+        )
+
+    roll = bucketed_agg(
+        _t(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        ).map_batches(li_proj, batch_format="pyarrow"),
+        ["o_orderkey"],
+        value_col="amt",
+        how="sum",
+        out_col="roll",
+    )
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    j = bucket_hash_join(orders, roll, on=["o_orderkey"])
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        band = np.floor(
+            df["roll"].to_numpy() / df["o_totalprice"].to_numpy() * 10.0
+        ).astype("int64")
+        g = pd.DataFrame({"ratio_band": band, "n": 1})
+        return g.groupby("ratio_band", as_index=False).sum()
+
+    parts = j.map_batches(bands, batch_format="pandas").to_pandas()
+    out = parts.groupby("ratio_band", as_index=False)["n"].sum()
+    out["ratio_band"] = out["ratio_band"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("ratio_band").reset_index(drop=True)
+
+
+def word_profile_documents(sf_dir: str):
+    """Word-shape profile per source: token count, alphanumeric char
+    count, and mean word length — the style signal that separates
+    sources on this corpus (char-CLASS audits like punctuation or
+    non-ASCII density are degenerate here: the synthetic text is pure
+    lowercase words + spaces, verified in-round).  One vectorized map
+    pass — a single C-speed bytes.translate counts the alnum class —
+    with exact integer sums on both sides."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import WORD_RE
+
+    non_alnum = bytes(
+        b for b in range(256)
+        if not (48 <= b <= 57 or 97 <= b <= 122)
+    )
+
+    def proj(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch["source"].to_pandas()
+        toks, alpha = [], []
+        for t in batch["text"].to_pylist():
+            lo = t.lower()
+            toks.append(len(WORD_RE.findall(lo)))
+            alpha.append(
+                len(lo.encode("utf-8", "surrogateescape").translate(None, non_alnum))
+            )
+        g = pd.DataFrame({"source": srcs, "tokens": toks, "alpha": alpha})
+        return g.groupby("source", as_index=False).sum()
+
+    parts = (
+        _t(sf_dir, "documents", ["source", "text"])
+        .map_batches(proj, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = parts.groupby("source", as_index=False).sum().sort_values("source")
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "tokens": m["tokens"].astype("int64"),
+            "alpha": m["alpha"].astype("int64"),
+            "mean_word_len": round_half_away(
+                m["alpha"].to_numpy(dtype="float64")
+                / m["tokens"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9082,6 +9274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_lineitem_graph": random_walks_lineitem_graph,
         "cuped_events": cuped_events,
         "jaccard_curve_documents": jaccard_curve_documents,
+        "set_cover_documents": set_cover_documents,
+        "reconcile_orders_lineitem": reconcile_orders_lineitem,
+        "word_profile_documents": word_profile_documents,
     }
 
 
@@ -12369,5 +12564,26 @@ def oracle_sql() -> dict[str, str]:
             from jac cross join th
             where jaccard >= 0.2
             group by t order by t
+        """,
+        "set_cover_documents": _set_cover_sql(),
+        "reconcile_orders_lineitem": """
+            with roll as (
+              select l_orderkey o_orderkey,
+                     sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) r
+              from lineitem group by 1)
+            select floor(r / o_totalprice * 10.0)::bigint as ratio_band,
+                   count(*)::bigint as n
+            from orders join roll using (o_orderkey)
+            group by 1 order by 1
+        """,
+        "word_profile_documents": """
+            with p as (
+              select source,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) tk,
+                     length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) al
+              from documents)
+            select source, sum(tk)::bigint as tokens, sum(al)::bigint as alpha,
+                   round(sum(al)::double / sum(tk), 6) as mean_word_len
+            from p group by source order by source
         """,
     }
