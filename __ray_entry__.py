@@ -8989,6 +8989,153 @@ def word_profile_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def matched_pairs_users(sf_dir: str):
+    """Matching estimator (propensity-style 1:1 nearest-neighbour):
+    treatment users (odd user_id) each matched to the control user
+    with the nearest mean event value (ties → lower |Δ| then lower
+    control id, WITH replacement); reports the mean treatment−control gap.
+    Per-user means ride one bucketed exchange; the match itself runs
+    on the O(users) dimension-scale table (the candidate set a
+    matching estimator always materializes)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(), "s": t["value"].to_numpy(), "n": 1}
+        ).groupby("user_id", as_index=False).sum()
+
+    means = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["user_id", "value"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["user_id"],
+            lambda df: df.groupby("user_id", as_index=False)[["s", "n"]].sum(),
+        )
+        .to_pandas()
+    )
+    means["m"] = means["s"] / means["n"]
+    treat = means[means["user_id"] % 2 == 1].sort_values("user_id")
+    ctrl = means[means["user_id"] % 2 == 0].sort_values("user_id")
+    cm = ctrl["m"].to_numpy()
+    cid = ctrl["user_id"].to_numpy()
+    gaps = []
+    for tv in treat["m"].to_numpy():
+        d = np.abs(cm - tv)
+        j = np.lexsort((cid, d))[0]
+        gaps.append(tv - cm[j])
+    g = np.array(gaps, dtype="float64")
+    return pd.DataFrame(
+        {
+            "n_pairs": [len(g)],
+            "att": round_half_away(np.array([g.sum() / len(g)]), 6),
+        }
+    )
+
+
+def interpolate_hourly_events(sf_dir: str):
+    """Gap imputation by linear interpolation: hours with no events for
+    a type get v = v0 + (v1−v0)·(h−h0)/(h1−h0) between the nearest
+    observed hourly means — the imputation step beside LOCF (densify /
+    locf entries).  Returns ONLY the imputed rows.  Observed means come
+    off one bucketed fold; interpolation runs per type over O(hours)
+    driver rows with the twin's exact expression."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    hr_us = 3_600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "h": us // hr_us,
+                "s": t["value"].to_numpy(),
+                "n": 1,
+            }
+        ).groupby(["event_type", "h"], as_index=False).sum()
+
+    obs = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["event_type", "h"],
+            lambda df: df.groupby(["event_type", "h"], as_index=False)[
+                ["s", "n"]
+            ].sum(),
+        )
+        .to_pandas()
+    )
+    obs["v"] = obs["s"] / obs["n"]
+    rows = []
+    for et, g in obs.sort_values(["event_type", "h"]).groupby("event_type"):
+        h = g["h"].to_numpy(dtype="int64")
+        v = g["v"].to_numpy(dtype="float64")
+        for i in range(len(h) - 1):
+            for miss in range(int(h[i]) + 1, int(h[i + 1])):
+                val = v[i] + (v[i + 1] - v[i]) * (miss - h[i]) / (h[i + 1] - h[i])
+                rows.append((et, miss, val))
+    out = pd.DataFrame(rows, columns=["event_type", "h", "value"])
+    out["value"] = round_half_away(out["value"].to_numpy(dtype="float64"), 6)
+    out["h"] = out["h"].astype("int64")
+    return out.sort_values(["event_type", "h"]).reset_index(drop=True)
+
+
+def zipf_fit_documents(sf_dir: str):
+    """Zipf power-law fit of the token rank–frequency curve: OLS of
+    ln(freq) on ln(rank) over the top-50 tokens (count desc, token
+    tie) — slope ≈ −s, the corpus-shape diagnostic behind vocabulary
+    budgeting.  Exact counts → exact (rank, freq) ints → identical log
+    and closed-form OLS expressions on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch["text"].to_pylist():
+            toks.extend(WORD_RE.findall(t.lower()))
+        s = pd.Series(toks, dtype="object").value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(s.index, pa.string()),
+                "n": pa.array(s.to_numpy().astype("int64")),
+            }
+        )
+
+    counts = (
+        bucketed_agg(
+            _t(sf_dir, "documents", ["text"]).map_batches(
+                explode, batch_format="pyarrow"
+            ),
+            ["tok"],
+            value_col="n",
+            how="sum",
+            out_col="n",
+        )
+        .to_pandas()
+        .sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        .head(50)
+        .reset_index(drop=True)
+    )
+    x = np.log(np.arange(1, len(counts) + 1, dtype="float64"))
+    y = np.log(counts["n"].to_numpy(dtype="float64"))
+    n = float(len(x))
+    sx, sy, sxx, sxy = x.sum(), y.sum(), (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "n_tokens": [int(n)],
+            "zipf_slope": round_half_away(np.array([slope]), 6),
+            "intercept": round_half_away(np.array([intercept]), 6),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9277,6 +9424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_cover_documents": set_cover_documents,
         "reconcile_orders_lineitem": reconcile_orders_lineitem,
         "word_profile_documents": word_profile_documents,
+        "matched_pairs_users": matched_pairs_users,
+        "interpolate_hourly_events": interpolate_hourly_events,
+        "zipf_fit_documents": zipf_fit_documents,
     }
 
 
@@ -12585,5 +12735,56 @@ def oracle_sql() -> dict[str, str]:
             select source, sum(tk)::bigint as tokens, sum(al)::bigint as alpha,
                    round(sum(al)::double / sum(tk), 6) as mean_word_len
             from p group by source order by source
+        """,
+        "matched_pairs_users": """
+            with m as (select user_id, sum(value) / count(*) m
+                       from events group by 1),
+            t as (select user_id tid, m tm from m where user_id % 2 = 1),
+            c as (select user_id cid, m cm from m where user_id % 2 = 0),
+            r as (select tid, tm, cm,
+                         row_number() over (partition by tid
+                                            order by abs(cm - tm), cid) rn
+                  from t cross join c)
+            select count(*)::bigint n_pairs,
+                   round(sum(tm - cm) / count(*), 6) att
+            from r where rn = 1
+        """,
+        "interpolate_hourly_events": """
+            with o as (select event_type, epoch_us(ts) // 3600000000 h,
+                              sum(value) / count(*) v
+                       from events group by 1, 2),
+            nx as (select event_type, h, v,
+                          lead(h) over (partition by event_type order by h) h1,
+                          lead(v) over (partition by event_type order by h) v1
+                   from o),
+            g as (select event_type, h h0, v v0, h1, v1
+                  from nx where h1 is not null and h1 > h + 1),
+            miss as (select event_type, h0, v0, h1, v1,
+                            unnest(range(h0 + 1, h1)) mh
+                     from g)
+            select event_type, mh::bigint as h,
+                   round(v0 + (v1 - v0) * (mh - h0) / (h1 - h0), 6) as value
+            from miss order by event_type, h
+        """,
+        "zipf_fit_documents": """
+            with toks as (
+              select unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents),
+            c as (select tok, count(*)::bigint f from toks group by tok),
+            r as (select f, row_number() over (order by f desc, tok) rk from c),
+            top as (select rk, f from r where rk <= 50),
+            m as (select count(*)::double cnt,
+                         sum(ln(rk::double)) sx, sum(ln(f::double)) sy,
+                         sum(ln(rk::double) * ln(rk::double)) sxx,
+                         sum(ln(rk::double) * ln(f::double)) sxy
+                  from top),
+            s as (select cnt,
+                         (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) slope,
+                         sx, sy
+                  from m)
+            select cnt::bigint as n_tokens,
+                   round(slope, 6) as zipf_slope,
+                   round((sy - slope * sx) / cnt, 6) as intercept
+            from s
         """,
     }
