@@ -5339,10 +5339,10 @@ def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     sql = """
             with e0 as materialized (
               select distinct
-                     least(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) u,
-                     greatest(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) v
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
               from lineitem
-              where l_orderkey % 20000 <> (l_partkey*31 + l_suppkey) % 20000),
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
             edges as materialized (
               select u node, v peer from e0 union all select v, u from e0),
             a0 as materialized (select distinct node from edges)"""
@@ -11688,10 +11688,10 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_lineitem_graph": """
             with e0 as materialized (
               select distinct
-                     least(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) u,
-                     greatest(l_orderkey % 20000, (l_partkey*31 + l_suppkey) % 20000) v
+                     least(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) u,
+                     greatest(l_orderkey % 2000, (l_partkey*31 + l_suppkey) % 2000) v
               from lineitem
-              where l_orderkey % 20000 <> (l_partkey*31 + l_suppkey) % 20000),
+              where l_orderkey % 2000 <> (l_partkey*31 + l_suppkey) % 2000),
             ends as (select u node from e0 union all select v from e0),
             deg as (select node, count(*)::bigint d from ends group by node),
             j as (select a.d du, b.d dv
