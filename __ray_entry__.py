@@ -9136,6 +9136,227 @@ def zipf_fit_documents(sf_dir: str):
     )
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — the pure scan-and-fold query: one projected,
+    predicate-pushed pass over lineitem, revenue folded per batch in
+    EXACT integer e-4 dollars (cents × discount-cents), one tiny
+    driver sum.  Zero shuffles at any scale; the canonical "filter is
+    the whole query" baseline every engine should saturate IO on."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    lo, hi = _date_us("1997-01-01"), _date_us("1998-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        m = pc.and_(
+            pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], 0.04),
+                    pc.less_equal(t["l_discount"], 0.06),
+                ),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(m)
+        e4 = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64") * np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "rev_e4": pa.array([int(e4.sum())], pa.int64()),
+                "n": pa.array([len(e4)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _t(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue": round_half_away(
+                np.array([parts["rev_e4"].sum() / 10000.0]), 2
+            ),
+            "n_items": [int(parts["n"].sum())],
+        }
+    )
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution INCLUDING
+    the zero bucket: per-customer counts of priority-filtered orders
+    ride one bucketed fold, the histogram over those counts is a
+    second combiner fold (value_counts per block, small final), and
+    customers with no orders are the closed-form difference
+    |customer| − |custkeys seen| — the left join's zero bucket without
+    ever shuffling the customer table."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t["o_orderpriority"], "4-NOT SPECIFIED")
+        )
+        return pa.table({"o_custkey": t["o_custkey"].combine_chunks()})
+
+    per_cust = bucketed_agg(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        how="count",
+        out_col="c_count",
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", as_index=False).size()
+        return g.rename(columns={"size": "custdist"})
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_count", as_index=False)["custdist"]
+        .sum()
+    )
+    n_customers = _t(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_customers - hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — avg yearly revenue lost to small-quantity
+    orders of one brand: a broadcast key-set prunes lineitem map-side
+    (brand keys are |part|/25 — a few MB even at 100 TB), then ONE
+    bucketed exchange on l_partkey computes each part's (count, sum
+    qty) and filters its own rows with the integer-exact test
+    5·qty·cnt < sum_qty (≡ qty < 0.2·avg, no float-boundary risk),
+    emitting per-bucket partial cent sums.  The twin joins per-part
+    stats back; semantics agree because a part lives in one bucket."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    pk = (
+        _t(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], "Brand#13")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    key_ref = ray.put(pa.array(np.sort(pk)))
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"], value_set=ray.get(key_ref)))
+        price_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"].combine_chunks(),
+                "l_quantity": t["l_quantity"].combine_chunks(),
+                "price_c": pa.array(price_c),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey")["l_quantity"]
+        sq = g.transform("sum").to_numpy(dtype="float64")
+        cnt = g.transform("count").to_numpy(dtype="float64")
+        keep = df["l_quantity"].to_numpy(dtype="float64") * 5.0 * cnt < sq
+        return pd.DataFrame(
+            {
+                "price_c": [int(df.loc[keep, "price_c"].sum())],
+                "n": [int(keep.sum())],
+            }
+        )
+
+    parts = (
+        bucketed_group_map(
+            _t(
+                sf_dir,
+                "lineitem",
+                ["l_partkey", "l_quantity", "l_extendedprice"],
+            ).map_batches(proj, batch_format="pyarrow"),
+            ["l_partkey"],
+            per_bucket,
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "avg_yearly": round_half_away(
+                np.array([parts["price_c"].sum() / 100.0 / 7.0]), 2
+            ),
+            "n_lines": [int(parts["n"].sum())],
+        }
+    )
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape — orders whose total line quantity exceeds a
+    threshold, with customer context: per-order quantity folds through
+    the combiner (exchange carries ≤ |orders|·ε rows), the >280
+    survivors (a tiny fraction) hash-join orders then customer on
+    co-partitioned keys, and the top-100 is a partial-then-final sort.
+    Quantities are integer-valued doubles, so sums are bit-exact."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    qty = bucketed_agg(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        ["l_orderkey"],
+        value_col="l_quantity",
+        how="sum",
+        out_col="total_qty",
+    ).map_batches(
+        lambda df: df[df["total_qty"] > 280.0].rename(
+            columns={"l_orderkey": "o_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    joined = bucket_hash_join(qty, orders, on=["o_orderkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = bucket_hash_join(joined, cust, on=["c_custkey"])
+
+    def part_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(100)
+
+    final = part_topk(
+        out.map_batches(part_topk, batch_format="pandas").to_pandas()
+    )
+    return final[
+        ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"]
+    ].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9427,6 +9648,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matched_pairs_users": matched_pairs_users,
         "interpolate_hourly_events": interpolate_hourly_events,
         "zipf_fit_documents": zipf_fit_documents,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
     }
 
 
@@ -12786,5 +13011,51 @@ def oracle_sql() -> dict[str, str]:
                    round(slope, 6) as zipf_slope,
                    round((sy - slope * sx) / cnt, 6) as intercept
             from s
+        """,
+        "q6_forecast_revenue": """
+            select round(sum(round(l_extendedprice * 100)::bigint
+                             * round(l_discount * 100)::bigint)::double
+                         / 10000.0, 2) as revenue,
+                   count(*)::bigint as n_items
+            from lineitem
+            where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'
+              and l_discount between 0.04 and 0.06
+              and l_quantity < 24
+        """,
+        "q13_customer_distribution": """
+            with per as (
+              select c_custkey, count(o_orderkey) c_count
+              from customer left join orders
+                on o_custkey = c_custkey
+               and o_orderpriority <> '4-NOT SPECIFIED'
+              group by 1)
+            select c_count::bigint as c_count, count(*)::bigint as custdist
+            from per group by 1
+            order by custdist desc, c_count desc
+        """,
+        "q17_small_quantity_revenue": """
+            with li as (
+              select l_partkey, l_quantity,
+                     round(l_extendedprice * 100)::bigint price_c
+              from lineitem
+              join part on p_partkey = l_partkey and p_brand = 'Brand#13'),
+            s as (select l_partkey, sum(l_quantity) sq, count(*) cnt
+                  from li group by 1)
+            select round(sum(price_c)::double / 100.0 / 7.0, 2) as avg_yearly,
+                   count(*)::bigint as n_lines
+            from li join s using (l_partkey)
+            where l_quantity * 5 * cnt < sq
+        """,
+        "q18_large_volume_customers": """
+            with q as (select l_orderkey, sum(l_quantity) total_qty
+                       from lineitem group by 1
+                       having sum(l_quantity) > 280)
+            select c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, total_qty
+            from orders
+            join q on o_orderkey = l_orderkey
+            join customer on c_custkey = o_custkey
+            order by o_totalprice desc, o_orderdate, o_orderkey
+            limit 100
         """,
     }
