@@ -9357,6 +9357,173 @@ def q18_large_volume_customers(sf_dir: str):
     ].reset_index(drop=True)
 
 
+def theil_sen_daily_events(sf_dir: str):
+    """Theil–Sen robust trend estimator: median of all pairwise slopes
+    between daily mean values — the outlier-resistant alternative to
+    the OLS trend (ols2/trend entries).  Daily means ride one bucketed
+    fold in EXACT integer cents (sum order can't perturb them), the
+    O(days²) slope matrix is driver-side over the tiny day dimension,
+    and both engines evaluate the identical (cents/n)/100 expression,
+    so the median is bit-reproducible."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"d": us // day_us, "sc": cents, "n": 1}).groupby(
+            "d", as_index=False
+        ).sum()
+
+    daily = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["ts", "value"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["d"],
+            lambda df: df.groupby("d", as_index=False)[["sc", "n"]].sum(),
+        )
+        .to_pandas()
+        .sort_values("d")
+    )
+    d = daily["d"].to_numpy(dtype="float64")
+    v = (daily["sc"].to_numpy(dtype="float64") / daily["n"].to_numpy(dtype="float64")) / 100.0
+    dd = d[None, :] - d[:, None]
+    iu = np.triu_indices(len(d), k=1)
+    slopes = ((v[None, :] - v[:, None])[iu]) / dd[iu]
+    return pd.DataFrame(
+        {
+            "n_pairs": [int(len(slopes))],
+            "theil_sen": round_half_away(np.array([np.median(slopes)]), 6),
+        }
+    )
+
+
+def skyline_orders(sf_dir: str):
+    """2-D skyline (Pareto front): orders not dominated on (earlier
+    o_orderdate, higher o_totalprice).  Distributed the classic way —
+    each block keeps only its LOCAL skyline (domination is transitive,
+    so a locally dominated row is globally dominated), the driver runs
+    the exact rule once over the tiny candidate set.  Comparisons use
+    the stored doubles with no arithmetic, so Ray and SQL agree
+    bit-for-bit."""
+
+    def sky(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        dm = (
+            df.groupby("o_orderdate", as_index=False)["o_totalprice"]
+            .max()
+            .sort_values("o_orderdate")
+            .rename(columns={"o_totalprice": "msame"})
+        )
+        dm["mprev"] = dm["msame"].cummax().shift(1)
+        j = df.merge(dm, on="o_orderdate")
+        keep = (j["mprev"].isna() | (j["o_totalprice"] > j["mprev"])) & (
+            j["o_totalprice"] == j["msame"]
+        )
+        return j.loc[keep, ["o_orderkey", "o_orderdate", "o_totalprice"]]
+
+    cand = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(sky, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        sky(cand)
+        .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def scd2_event_type_users(sf_dir: str):
+    """SCD-type-2 interval build (gaps-and-islands): each user's event
+    stream collapses into validity intervals [valid_from, valid_to)
+    over runs of the same event_type — the dimension-history shape CDC
+    pipelines emit downstream of merge_upsert.  One bucketed exchange
+    on user_id; run-length encoding is vectorized shift/cumsum inside
+    each bucket, and a key lives in exactly one bucket so interval
+    stitching is key-local."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        chg = new_user | df["event_type"].ne(df["event_type"].shift())
+        isl = chg.cumsum()
+        g = df.groupby(isl).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            valid_from=("ts", "first"),
+            n_events=("ts", "size"),
+        )
+        g["valid_to"] = g["valid_from"].shift(-1)
+        g.loc[g["user_id"] != g["user_id"].shift(-1), "valid_to"] = pd.NaT
+        g["n_events"] = g["n_events"].astype("int64")
+        return g[["user_id", "event_type", "valid_from", "valid_to", "n_events"]]
+
+    out = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+            ["user_id"],
+            per_bucket,
+        )
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["user_id", "valid_from"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def sma_cross_daily_events(sf_dir: str):
+    """Moving-average crossover detector (the "golden cross"): days
+    where the trailing 3-day SMA of daily value crosses above the
+    7-day SMA.  Daily totals fold to EXACT integer cents through the
+    combiner, rolling sums are integer prefix-sum differences on the
+    O(days) driver table, and the cross test 7·s3 > 3·s7 stays in
+    exact integers — no float-boundary flips on either engine."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    day_us = 86_400 * _US_PER_S
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"d": us // day_us, "c": cents}).groupby(
+            "d", as_index=False
+        ).sum()
+
+    daily = (
+        _t(sf_dir, "events", ["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("d", as_index=False)["c"]
+        .sum()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    c = daily["c"].to_numpy(dtype="int64")
+    cs = np.concatenate([[0], np.cumsum(c)])
+    n = len(c)
+    rows = []
+    for i in range(7, n):
+        s3, p3 = cs[i + 1] - cs[i - 2], cs[i] - cs[i - 3]
+        s7, p7 = cs[i + 1] - cs[i - 6], cs[i] - cs[i - 7]
+        if 7 * p3 <= 3 * p7 and 7 * s3 > 3 * s7:
+            rows.append((int(daily["d"].iloc[i]), s3 / 300.0, s7 / 700.0))
+    out = pd.DataFrame(rows, columns=["day_idx", "sma3", "sma7"])
+    out["day_idx"] = out["day_idx"].astype("int64")
+    out["sma3"] = round_half_away(out["sma3"].to_numpy(dtype="float64"), 6)
+    out["sma7"] = round_half_away(out["sma7"].to_numpy(dtype="float64"), 6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9652,6 +9819,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "theil_sen_daily_events": theil_sen_daily_events,
+        "skyline_orders": skyline_orders,
+        "scd2_event_type_users": scd2_event_type_users,
+        "sma_cross_daily_events": sma_cross_daily_events,
     }
 
 
@@ -13057,5 +13228,75 @@ def oracle_sql() -> dict[str, str]:
             join customer on c_custkey = o_custkey
             order by o_totalprice desc, o_orderdate, o_orderkey
             limit 100
+        """,
+        "theil_sen_daily_events": """
+            with dm as (select epoch_us(ts) // 86400000000 d,
+                               sum(round(value * 100)::bigint) sc,
+                               count(*) n
+                        from events group by 1),
+            v as (select d, (sc::double / n) / 100.0 v from dm),
+            p as (select (b.v - a.v) / (b.d - a.d) sl
+                  from v a join v b on b.d > a.d)
+            select count(*)::bigint as n_pairs,
+                   round(median(sl), 6) as theil_sen
+            from p
+        """,
+        "skyline_orders": """
+            with m as (select o_orderkey, o_orderdate, o_totalprice,
+                              max(o_totalprice) over (
+                                order by o_orderdate
+                                range between unbounded preceding
+                                      and interval 1 day preceding) mprev,
+                              max(o_totalprice) over (
+                                partition by o_orderdate) msame
+                       from orders)
+            select o_orderkey, o_orderdate, o_totalprice
+            from m
+            where (mprev is null or o_totalprice > mprev)
+              and o_totalprice = msame
+            order by o_orderdate, o_orderkey
+        """,
+        "scd2_event_type_users": """
+            with x as (select user_id, ts, event_type,
+                              case when lag(event_type) over (
+                                     partition by user_id
+                                     order by ts, event_id)
+                                   is distinct from event_type
+                                   then 1 else 0 end chg
+                       from events),
+            y as (select user_id, ts, event_type,
+                         sum(chg) over (partition by user_id order by ts
+                                        rows unbounded preceding) isl
+                  from x),
+            g as (select user_id, isl, min(event_type) event_type,
+                         min(ts) valid_from, count(*)::bigint n_events
+                  from y group by 1, 2)
+            select user_id, event_type, valid_from,
+                   lead(valid_from) over (partition by user_id
+                                          order by valid_from) valid_to,
+                   n_events
+            from g order by user_id, valid_from
+        """,
+        "sma_cross_daily_events": """
+            with d as (select epoch_us(ts) // 86400000000 dd,
+                              sum(round(value * 100)::bigint) c
+                       from events group by 1),
+            w as (select dd,
+                         sum(c) over (order by dd rows between 2 preceding
+                                      and current row) s3,
+                         sum(c) over (order by dd rows between 6 preceding
+                                      and current row) s7,
+                         row_number() over (order by dd) rn
+                  from d),
+            x as (select dd, s3, s7, rn,
+                         lag(s3) over (order by dd) p3,
+                         lag(s7) over (order by dd) p7
+                  from w)
+            select dd::bigint as day_idx,
+                   round(s3 / 300.0, 6) as sma3,
+                   round(s7 / 700.0, 6) as sma7
+            from x
+            where rn >= 8 and 7 * p3 <= 3 * p7 and 7 * s3 > 3 * s7
+            order by day_idx
         """,
     }
