@@ -9524,6 +9524,250 @@ def sma_cross_daily_events(sf_dir: str):
     return out
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — the EXISTS semi join: orders in one quarter
+    that have at least one qualifying lineitem, counted by priority.
+    Qualifying orderkeys ride a projected scan (no distinct needed —
+    bucket_semi_join dedups its key side per bucket), the semi join is
+    one co-partitioned exchange on orderkey, and the 5-row priority
+    histogram folds per batch before a driver-side final sum."""
+    from web_graph_ray.stages.relational import bucket_semi_join
+
+    lo, hi = _date_us("1997-07-01"), _date_us("1997-10-01")
+
+    def orders_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        return pa.table({"o_orderkey": t["l_orderkey"].combine_chunks()})
+
+    orders = _t(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_proj, batch_format="pyarrow")
+    keys = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        li_keys, batch_format="pyarrow"
+    )
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).size()
+        return g.rename(columns={"size": "order_count"})
+
+    out = (
+        bucket_semi_join(orders, keys, on=["o_orderkey"])
+        .map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)["order_count"]
+        .sum()
+    )
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q12_returnflag_priority(sf_dir: str):
+    """TPC-H Q12 shape — conditional aggregation after a fact-to-fact
+    join: one-year lineitem joins orders on the co-partitioned
+    orderkey, and each returnflag counts its high- vs low-priority
+    lines.  Orders ship only (orderkey, is_high int8) into the
+    exchange; the histogram folds per batch so the driver sees
+    O(flags × blocks) rows."""
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    lo, hi = _date_us("1997-01-01"), _date_us("1998-01-01")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"].combine_chunks(),
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+            }
+        )
+
+    def ord_proj(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].combine_chunks(),
+                "is_high": pc.cast(hi_m, pa.int8()),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        ord_proj, batch_format="pyarrow"
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag")["is_high"]
+        out = g.agg(high_line_count="sum", low_line_count="count")
+        out["low_line_count"] -= out["high_line_count"]
+        return out.reset_index()
+
+    out = (
+        bucket_hash_join(li, orders, on=["o_orderkey"])
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)[
+            ["high_line_count", "low_line_count"]
+        ]
+        .sum()
+    )
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out.sort_values("l_returnflag", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promotion-revenue share: the PROMO partkey
+    set broadcasts once (|part|/6 int64 keys — same gate rationale as
+    q17's brand set; at a part table too large to ship, swap the is_in
+    probe for bucket_semi_join with identical semantics), then ONE
+    projected pass over the month's lineitem folds promo and total
+    revenue in EXACT e-4 dollars (cents × (100 − discount-cents)).
+    Zero shuffles; both engines divide the same two integers."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    lo, hi = _date_us("1997-09-01"), _date_us("1997-10-01")
+    pk = (
+        _t(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_type"], "PROMO")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    promo_ref = ray.put(pa.array(np.sort(pk)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        rev = cents * (100 - disc_c)
+        promo = pc.is_in(
+            t["l_partkey"], value_set=ray.get(promo_ref)
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_e4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_e4": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([len(rev)], pa.int64()),
+            }
+        )
+
+    parts = (
+        _t(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    promo_e4 = int(parts["promo_e4"].sum())
+    total_e4 = int(parts["total_e4"].sum())
+    return pd.DataFrame(
+        {
+            "promo_revenue": round_half_away(
+                np.array([100.0 * promo_e4 / total_e4]), 6
+            ),
+            "n_lines": [int(parts["n"].sum())],
+        }
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-predicate join revenue:
+    lineitem joins part on the co-partitioned partkey, then an OR of
+    three (brand, size-range, quantity-range) clauses filters the
+    joined rows with one vectorized numpy mask, folding revenue in
+    EXACT e-4 dollars.  The join ships only 3 small columns per side;
+    the disjunction never materializes per-clause intermediates."""
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "p_partkey": t["l_partkey"].combine_chunks(),
+                "l_quantity": t["l_quantity"].combine_chunks(),
+                "rev_e4": pa.array(cents * (100 - disc_c)),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    CLAUSES = (
+        ("Brand#11", 1, 15, 5.0, 25.0),
+        ("Brand#22", 1, 25, 15.0, 35.0),
+        ("Brand#33", 1, 35, 25.0, 45.0),
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df["l_quantity"].to_numpy(dtype="float64")
+        size = df["p_size"].to_numpy(dtype="int64")
+        brand = df["p_brand"].to_numpy()
+        m = np.zeros(len(df), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in CLAUSES:
+            m |= (
+                (brand == b)
+                & (size >= s_lo)
+                & (size <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+        return pd.DataFrame(
+            {
+                "rev_e4": [int(df["rev_e4"].to_numpy()[m].sum())],
+                "n": [int(m.sum())],
+            }
+        )
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    parts = (
+        bucket_hash_join(li, part, on=["p_partkey"])
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "revenue": round_half_away(
+                np.array([parts["rev_e4"].sum() / 10000.0]), 2
+            ),
+            "n_lines": [int(parts["n"].sum())],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9823,6 +10067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": skyline_orders,
         "scd2_event_type_users": scd2_event_type_users,
         "sma_cross_daily_events": sma_cross_daily_events,
+        "q4_order_priority": q4_order_priority,
+        "q12_returnflag_priority": q12_returnflag_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
     }
 
 
@@ -13298,5 +13546,49 @@ def oracle_sql() -> dict[str, str]:
             from x
             where rn >= 8 and 7 * p3 <= 3 * p7 and 7 * s3 > 3 * s7
             order by day_idx
+        """,
+        "q4_order_priority": """
+            select o_orderpriority, count(*)::bigint as order_count
+            from orders
+            where o_orderdate >= '1997-07-01' and o_orderdate < '1997-10-01'
+              and exists (select 1 from lineitem
+                          where l_orderkey = o_orderkey and l_quantity > 45)
+            group by 1 order by 1
+        """,
+        "q12_returnflag_priority": """
+            select l_returnflag,
+                   sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                            then 1 else 0 end)::bigint as high_line_count,
+                   sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                            then 0 else 1 end)::bigint as low_line_count
+            from lineitem join orders on o_orderkey = l_orderkey
+            where l_shipdate >= '1997-01-01' and l_shipdate < '1998-01-01'
+            group by 1 order by 1
+        """,
+        "q14_promo_revenue": """
+            with li as (
+              select l_partkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) rev_e4
+              from lineitem
+              where l_shipdate >= '1997-09-01' and l_shipdate < '1997-10-01')
+            select round(100.0 * sum(case when p_type = 'PROMO'
+                                          then rev_e4 else 0 end)::double
+                         / sum(rev_e4)::double, 6) as promo_revenue,
+                   count(*)::bigint as n_lines
+            from li join part on p_partkey = l_partkey
+        """,
+        "q19_disjunctive_revenue": """
+            select round(sum(round(l_extendedprice * 100)::bigint
+                             * (100 - round(l_discount * 100)::bigint))::double
+                         / 10000.0, 2) as revenue,
+                   count(*)::bigint as n_lines
+            from lineitem join part on p_partkey = l_partkey
+            where (p_brand = 'Brand#11' and p_size between 1 and 15
+                   and l_quantity between 5 and 25)
+               or (p_brand = 'Brand#22' and p_size between 1 and 25
+                   and l_quantity between 15 and 35)
+               or (p_brand = 'Brand#33' and p_size between 1 and 35
+                   and l_quantity between 25 and 45)
         """,
     }
