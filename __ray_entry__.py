@@ -9768,6 +9768,276 @@ def q19_disjunctive_revenue(sf_dir: str):
     )
 
 
+def q11_part_value_share(sf_dir: str):
+    """TPC-H Q11 shape — HAVING over a GLOBAL scalar: per-part revenue
+    folds through one bucketed exchange, the global total and part
+    count fold from the per-part aggregate (O(blocks) driver rows),
+    and the share filter 5·v·np > 7·tot runs in exact integers against
+    the two broadcast scalars — parts keeping >1.4× the average share.
+    No second shuffle; the scalar never re-ships per batch."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"].combine_chunks(),
+                "rev_e4": pa.array(cents * (100 - disc_c)),
+            }
+        )
+
+    per_part = bucketed_agg(
+        _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_proj, batch_format="pyarrow"),
+        ["l_partkey"],
+        value_col="rev_e4",
+        how="sum",
+        out_col="v",
+    )
+    stats = (
+        per_part.map_batches(
+            lambda df: pd.DataFrame(
+                {"tot": [int(df["v"].sum())], "np": [len(df)]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    tot, n_parts = int(stats["tot"].sum()), int(stats["np"].sum())
+
+    out = (
+        per_part.map_batches(
+            lambda df: df[5 * df["v"] * n_parts > 7 * tot],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    res = pd.DataFrame(
+        {
+            "l_partkey": out["l_partkey"].astype("int64"),
+            "value": round_half_away(
+                out["v"].to_numpy(dtype="float64") / 10000.0, 2
+            ),
+        }
+    )
+    return res.sort_values(
+        ["value", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — argmax over a distributed aggregate: quarterly
+    per-supplier revenue folds through one bucketed exchange in exact
+    e-4 dollars, the global max folds per block (the driver sees one
+    int per block, never the supplier table), and only the max-revenue
+    row(s) join supplier for names on the co-partitioned key."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    lo, hi = _date_us("1997-07-01"), _date_us("1997-10-01")
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)))
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"].combine_chunks(),
+                "rev_e4": pa.array(cents * (100 - disc_c)),
+            }
+        )
+
+    per_supp = bucketed_agg(
+        _t(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        ).map_batches(li_proj, batch_format="pyarrow"),
+        ["s_suppkey"],
+        value_col="rev_e4",
+        how="sum",
+        out_col="v",
+    )
+    vmax = int(
+        per_supp.map_batches(
+            lambda df: pd.DataFrame({"m": [int(df["v"].max())]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["m"]
+        .max()
+    )
+    winners = per_supp.map_batches(
+        lambda df: df[df["v"] == vmax], batch_format="pandas"
+    )
+    out = bucket_hash_join(
+        winners, _t(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        on=["s_suppkey"],
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "s_suppkey": out["s_suppkey"].astype("int64"),
+            "s_name": out["s_name"],
+            "total_revenue": round_half_away(
+                out["v"].to_numpy(dtype="float64") / 10000.0, 2
+            ),
+        }
+    ).sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+
+
+def q16_supplier_count(sf_dir: str):
+    """TPC-H Q16 shape — COUNT DISTINCT with an exclusion list: the
+    "complaint" suppliers (negative balance) broadcast as a tiny key
+    set (|suppliers|·8 B; swap for bucket_anti_join past the gate),
+    surviving (partkey, suppkey) pairs dedup per batch (combiner),
+    join part on the co-partitioned partkey, and each (brand, size)
+    group — whole within one bucket — counts its distinct suppliers."""
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_group_map,
+    )
+
+    bad = (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["s_suppkey"]
+        .to_numpy()
+    )
+    bad_ref = ray.put(pa.array(np.sort(bad)))
+
+    def li_pairs(t: pa.Table) -> pd.DataFrame:
+        keep = pc.invert(
+            pc.is_in(t["l_suppkey"], value_set=ray.get(bad_ref))
+        )
+        t = t.filter(keep)
+        return pd.DataFrame(
+            {
+                "p_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+
+    pairs = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        li_pairs, batch_format="pyarrow"
+    )
+    joined = bucket_hash_join(
+        pairs, _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+        on=["p_partkey"],
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["p_brand", "p_size"], as_index=False)["l_suppkey"]
+            .nunique()
+            .rename(columns={"l_suppkey": "supplier_cnt"})
+        )
+        return g
+
+    out = bucketed_group_map(
+        joined, ["p_brand", "p_size"], per_bucket
+    ).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int32")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).reset_index(drop=True)
+
+
+def q22_balance_anti(sf_dir: str):
+    """TPC-H Q22 shape — global-average gate + NOT EXISTS: the
+    positive-balance (sum, count) folds once (O(blocks) driver rows),
+    rich customers pass the exact integer test bal_c·n > sum_c against
+    the two broadcast scalars, the anti join against URGENT-order
+    custkeys is one co-partitioned exchange, and the per-nation
+    (count, balance-total) histogram folds per batch."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucket_anti_join
+
+    def cust_proj(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"].combine_chunks(),
+                "c_nationkey": t["c_nationkey"].combine_chunks(),
+                "bal_c": pa.array(bal_c),
+            }
+        )
+
+    cust = _t(
+        sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(cust_proj, batch_format="pyarrow")
+
+    stats = (
+        cust.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s": [int(df.loc[df["bal_c"] > 0, "bal_c"].sum())],
+                    "n": [int((df["bal_c"] > 0).sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    sum_c, n_pos = int(stats["s"].sum()), int(stats["n"].sum())
+
+    rich = cust.map_batches(
+        lambda df: df[df["bal_c"] * n_pos > sum_c], batch_format="pandas"
+    )
+    urgent = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.filter(
+                    pc.equal(t["o_orderpriority"], "1-URGENT")
+                )["o_custkey"].combine_chunks()
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    survivors = bucket_anti_join(rich, urgent, on=["c_custkey"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), bal=("bal_c", "sum")
+        )
+        return g
+
+    out = (
+        survivors.map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_nationkey", as_index=False)[["numcust", "bal"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "c_nationkey": out["c_nationkey"].astype("int64"),
+            "numcust": out["numcust"].astype("int64"),
+            "totacctbal": round_half_away(
+                out["bal"].to_numpy(dtype="float64") / 100.0, 2
+            ),
+        }
+    ).sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10071,6 +10341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_returnflag_priority": q12_returnflag_priority,
         "q14_promo_revenue": q14_promo_revenue,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q11_part_value_share": q11_part_value_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_count": q16_supplier_count,
+        "q22_balance_anti": q22_balance_anti,
     }
 
 
@@ -13590,5 +13864,56 @@ def oracle_sql() -> dict[str, str]:
                    and l_quantity between 15 and 35)
                or (p_brand = 'Brand#33' and p_size between 1 and 35
                    and l_quantity between 25 and 45)
+        """,
+        "q11_part_value_share": """
+            with r as (
+              select l_partkey,
+                     sum(round(l_extendedprice * 100)::bigint
+                         * (100 - round(l_discount * 100)::bigint)) v
+              from lineitem group by 1),
+            t as (select sum(v) tot, count(*) np from r)
+            select l_partkey, round(v::double / 10000.0, 2) as value
+            from r, t
+            where 5 * v * np > 7 * tot
+            order by value desc, l_partkey
+        """,
+        "q15_top_supplier": """
+            with r as (
+              select l_suppkey,
+                     sum(round(l_extendedprice * 100)::bigint
+                         * (100 - round(l_discount * 100)::bigint)) v
+              from lineitem
+              where l_shipdate >= '1997-07-01' and l_shipdate < '1997-10-01'
+              group by 1)
+            select s_suppkey, s_name,
+                   round(v::double / 10000.0, 2) as total_revenue
+            from supplier join r on l_suppkey = s_suppkey
+            where v = (select max(v) from r)
+            order by s_suppkey
+        """,
+        "q16_supplier_count": """
+            select p_brand, p_size,
+                   count(distinct l_suppkey)::bigint as supplier_cnt
+            from lineitem join part on p_partkey = l_partkey
+            where l_suppkey not in
+                  (select s_suppkey from supplier where s_acctbal < 0)
+            group by 1, 2
+            order by supplier_cnt desc, p_brand, p_size
+        """,
+        "q22_balance_anti": """
+            with s as (select sum(round(c_acctbal * 100)::bigint) sc,
+                              count(*) n
+                       from customer where c_acctbal > 0),
+            c as (select c_nationkey, c_custkey,
+                         round(c_acctbal * 100)::bigint bal_c
+                  from customer, s
+                  where round(c_acctbal * 100)::bigint * n > sc)
+            select c_nationkey, count(*)::bigint as numcust,
+                   round(sum(bal_c)::double / 100.0, 2) as totacctbal
+            from c
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey
+                                and o_orderpriority = '1-URGENT')
+            group by 1 order by 1
         """,
     }
