@@ -10038,6 +10038,284 @@ def q22_balance_anti(sf_dir: str):
     ).sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
 
 
+def q2_min_retail_part(sf_dir: str):
+    """TPC-H Q2 shape — correlated-min join-back (the grouped argmin):
+    per-size minimum retail price folds through one bucketed exchange,
+    then part joins the 1-row-per-size minima on the co-partitioned
+    size key and keeps exact float-equality matches.  The equality is
+    bit-safe because the min IS one of the group's values — no
+    arithmetic touches it on either engine."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name", "p_size", "p_retailprice"])
+    mins = bucketed_agg(
+        part.select_columns(["p_size", "p_retailprice"]),
+        ["p_size"],
+        value_col="p_retailprice",
+        how="min",
+        out_col="m",
+    )
+    out = (
+        bucket_hash_join(part, mins, on=["p_size"])
+        .map_batches(
+            lambda df: df[df["p_retailprice"] == df["m"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    res = out[["p_size", "p_partkey", "p_name", "p_retailprice"]].copy()
+    res["p_size"] = res["p_size"].astype("int32")
+    res["p_partkey"] = res["p_partkey"].astype("int64")
+    return res.sort_values(
+        ["p_size", "p_partkey"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def _supplier_nation_ref(sf_dir: str):
+    """Broadcast suppkey→nationkey as two sorted arrays (8+8 B per
+    supplier — the dimension-table broadcast; np.searchsorted probes
+    it map-side so supplier never enters the fact exchange)."""
+    sup = (
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        .to_pandas()
+        .sort_values("s_suppkey")
+    )
+    return ray.put(
+        (
+            sup["s_suppkey"].to_numpy(dtype="int64"),
+            sup["s_nationkey"].to_numpy(dtype="int64"),
+        )
+    )
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share by year: lineitem
+    resolves its supplier's nation MAP-SIDE from the broadcast
+    dimension arrays, joins orders on the co-partitioned orderkey for
+    the order year, and each year folds (nation-7 revenue, total
+    revenue) in exact e-4 dollars — the ratio divides two integers,
+    so both engines agree to the last bit before the 6-dp round."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    sup_ref = _supplier_nation_ref(sf_dir)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        sk, nk = ray.get(sup_ref)
+        nat = nk[np.searchsorted(sk, t["l_suppkey"].to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"].combine_chunks(),
+                "rev_e4": pa.array(cents * (100 - disc_c)),
+                "s_nationkey": pa.array(nat),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        y = df["o_orderdate"].dt.year
+        nat = np.where(df["s_nationkey"].to_numpy() == 7, df["rev_e4"].to_numpy(), 0)
+        g = pd.DataFrame(
+            {"o_year": y, "nat": nat, "tot": df["rev_e4"].to_numpy()}
+        ).groupby("o_year", as_index=False).sum()
+        return g
+
+    parts = (
+        bucket_hash_join(li, orders, on=["o_orderkey"])
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_year", as_index=False)[["nat", "tot"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "o_year": parts["o_year"].astype("int64"),
+            "mkt_share": round_half_away(
+                parts["nat"].to_numpy(dtype="float64")
+                / parts["tot"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).sort_values("o_year", kind="mergesort").reset_index(drop=True)
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape — two-dimension profit rollup across the full
+    join chain: supplier nation resolves map-side from the broadcast
+    dimension arrays, the order year arrives through one co-partitioned
+    orderkey join, revenue folds per (nation, year) in exact e-4
+    dollars, and the 25-row nation-name join happens driver-side on
+    the already-tiny aggregate."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucket_hash_join
+
+    sup_ref = _supplier_nation_ref(sf_dir)
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        disc_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        sk, nk = ray.get(sup_ref)
+        nat = nk[np.searchsorted(sk, t["l_suppkey"].to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"].combine_chunks(),
+                "rev_e4": pa.array(cents * (100 - disc_c)),
+                "s_nationkey": pa.array(nat),
+            }
+        )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_proj, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "s_nationkey": df["s_nationkey"],
+                    "o_year": df["o_orderdate"].dt.year,
+                    "rev": df["rev_e4"],
+                }
+            )
+            .groupby(["s_nationkey", "o_year"], as_index=False)["rev"]
+            .sum()
+        )
+
+    agg = (
+        bucket_hash_join(li, orders, on=["o_orderkey"])
+        .map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby(["s_nationkey", "o_year"], as_index=False)["rev"]
+        .sum()
+    )
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(
+        nation, left_on="s_nationkey", right_on="n_nationkey", how="inner"
+    )
+    return pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "o_year": out["o_year"].astype("int64"),
+            "profit": round_half_away(
+                out["rev"].to_numpy(dtype="float64") / 10000.0, 2
+            ),
+        }
+    ).sort_values(
+        ["n_name", "o_year"], ascending=[True, False], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def q20_bulk_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — semi join on a grouped HAVING set: the PROMO
+    partkey set broadcasts once (q14's gate rationale), the year's
+    qualifying lineitem folds per-supplier quantity through one
+    bucketed exchange, the >450 HAVING filter runs on the aggregate,
+    and the survivors join supplier names co-partitioned.  Quantities
+    are integer-valued doubles, so the sums are bit-exact."""
+    from web_graph_ray.stages.relational import bucket_hash_join, bucketed_agg
+
+    lo, hi = _date_us("1997-01-01"), _date_us("1998-01-01")
+    pk = (
+        _t(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["p_type"], "PROMO")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["p_partkey"]
+        .to_numpy()
+    )
+    promo_ref = ray.put(pa.array(np.sort(pk)))
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["l_shipdate"], pa.int64())
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.greater_equal(us, lo), pc.less(us, hi)),
+                pc.is_in(t["l_partkey"], value_set=ray.get(promo_ref)),
+            )
+        )
+        return pa.table(
+            {
+                "s_suppkey": t["l_suppkey"].combine_chunks(),
+                "l_quantity": t["l_quantity"].combine_chunks(),
+            }
+        )
+
+    qty = bucketed_agg(
+        _t(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"]
+        ).map_batches(li_proj, batch_format="pyarrow"),
+        ["s_suppkey"],
+        value_col="l_quantity",
+        how="sum",
+        out_col="total_qty",
+    ).map_batches(
+        lambda df: df[df["total_qty"] > 450.0], batch_format="pandas"
+    )
+    out = bucket_hash_join(
+        qty, _t(sf_dir, "supplier", ["s_suppkey", "s_name"]), on=["s_suppkey"]
+    ).to_pandas()
+    res = out[["s_suppkey", "s_name", "total_qty"]].copy()
+    res["s_suppkey"] = res["s_suppkey"].astype("int64")
+    return res.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+
+
+def q21_sole_returner(sf_dir: str):
+    """TPC-H Q21 shape — the only-offender multi-EXISTS: each order
+    (whole within its bucket) computes its distinct-supplier count and
+    its set of R-flag suppliers in one vectorized pass; orders with
+    ≥2 suppliers and exactly one R-supplier emit that supplier, whose
+    offense count folds through a second bucketed exchange before the
+    co-partitioned name join — no per-order Python, no driver state."""
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.groupby("l_orderkey")["l_suppkey"].nunique()
+        r = df[df["l_returnflag"] == "R"]
+        gr = r.groupby("l_orderkey")["l_suppkey"]
+        nr = gr.nunique().reindex(ns.index).fillna(0)
+        the = gr.min().reindex(ns.index)
+        m = (ns >= 2) & (nr == 1)
+        return pd.DataFrame({"s_suppkey": the[m].astype("int64").to_numpy()})
+
+    winners = bucketed_group_map(li, ["l_orderkey"], per_bucket)
+    counts = bucketed_agg(
+        winners, ["s_suppkey"], how="count", out_col="numwait"
+    )
+    out = bucket_hash_join(
+        counts, _t(sf_dir, "supplier", ["s_suppkey", "s_name"]), on=["s_suppkey"]
+    ).to_pandas()
+    res = out[["s_suppkey", "s_name", "numwait"]].copy()
+    res["s_suppkey"] = res["s_suppkey"].astype("int64")
+    res["numwait"] = res["numwait"].astype("int64")
+    return res.sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10345,6 +10623,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_count": q16_supplier_count,
         "q22_balance_anti": q22_balance_anti,
+        "q2_min_retail_part": q2_min_retail_part,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation_year": q9_profit_by_nation_year,
+        "q20_bulk_suppliers": q20_bulk_suppliers,
+        "q21_sole_returner": q21_sole_returner,
     }
 
 
@@ -13915,5 +14198,66 @@ def oracle_sql() -> dict[str, str]:
                               where o_custkey = c_custkey
                                 and o_orderpriority = '1-URGENT')
             group by 1 order by 1
+        """,
+        "q2_min_retail_part": """
+            select p_size, p_partkey, p_name, p_retailprice
+            from part p
+            where p_retailprice = (select min(p_retailprice)
+                                   from part p2 where p2.p_size = p.p_size)
+            order by p_size, p_partkey
+        """,
+        "q8_market_share": """
+            with j as (
+              select year(o_orderdate) y, s_nationkey,
+                     round(l_extendedprice * 100)::bigint
+                       * (100 - round(l_discount * 100)::bigint) rev
+              from lineitem
+              join orders on o_orderkey = l_orderkey
+              join supplier on s_suppkey = l_suppkey)
+            select y::bigint as o_year,
+                   round(sum(case when s_nationkey = 7 then rev
+                                  else 0 end)::double
+                         / sum(rev)::double, 6) as mkt_share
+            from j group by 1 order by 1
+        """,
+        "q9_profit_by_nation_year": """
+            select n_name, year(o_orderdate)::bigint as o_year,
+                   round(sum(round(l_extendedprice * 100)::bigint
+                             * (100 - round(l_discount * 100)::bigint))::double
+                         / 10000.0, 2) as profit
+            from lineitem
+            join orders on o_orderkey = l_orderkey
+            join supplier on s_suppkey = l_suppkey
+            join nation on n_nationkey = s_nationkey
+            group by 1, 2
+            order by n_name, o_year desc
+        """,
+        "q20_bulk_suppliers": """
+            with q as (select l_suppkey, sum(l_quantity) total_qty
+                       from lineitem
+                       join part on p_partkey = l_partkey
+                                and p_type = 'PROMO'
+                       where l_shipdate >= '1997-01-01'
+                         and l_shipdate < '1998-01-01'
+                       group by 1
+                       having sum(l_quantity) > 450)
+            select s_suppkey, s_name, total_qty
+            from supplier join q on l_suppkey = s_suppkey
+            order by s_suppkey
+        """,
+        "q21_sole_returner": """
+            with r as (
+              select l_orderkey,
+                     count(distinct l_suppkey) ns,
+                     count(distinct l_suppkey)
+                       filter (where l_returnflag = 'R') nr,
+                     min(l_suppkey)
+                       filter (where l_returnflag = 'R') the_s
+              from lineitem group by 1)
+            select s_suppkey, s_name, count(*)::bigint as numwait
+            from r join supplier on s_suppkey = the_s
+            where ns >= 2 and nr = 1
+            group by 1, 2
+            order by numwait desc, s_suppkey
         """,
     }
