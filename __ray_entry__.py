@@ -10316,6 +10316,188 @@ def q21_sole_returner(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def user_trend_events(sf_dir: str):
+    """Per-user OLS trend (value vs day) from EXACT integer moments:
+    each batch folds (n, Σx, Σy, Σxx, Σxy) per user with x = epoch-day
+    and y = cents — all int64, so the bucketed final sums are
+    bit-exact at any parallelism and both engines evaluate the
+    identical closed-form slope float.  The grouped version of the
+    ols2 normal-equations combiner; shuffle carries 5 ints per
+    (user, block)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            df["ts"].astype("int64").to_numpy() // day_us
+        ).astype("int64")
+        y = np.rint(df["value"].to_numpy(dtype="float64") * 100.0).astype(
+            "int64"
+        )
+        m = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "sxy": x * y,
+            }
+        )
+        return m.groupby("user_id", as_index=False).sum()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[
+            ["n", "sx", "sy", "sxx", "sxy"]
+        ].sum()
+        den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+        g = g[den != 0].copy()
+        num = g["n"] * g["sxy"] - g["sx"] * g["sy"]
+        den = g["n"] * g["sxx"] - g["sx"] * g["sx"]
+        g["slope"] = (
+            num.to_numpy(dtype="float64") / den.to_numpy(dtype="float64")
+        ) / 100.0
+        return g[["user_id", "n", "slope"]]
+
+    out = bucketed_group_map(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        ["user_id"],
+        final,
+        batch_partial=partial,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "n_events": out["n"].astype("int64"),
+            "slope": round_half_away(out["slope"].to_numpy(dtype="float64"), 6),
+        }
+    ).sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def winsorized_mean_events(sf_dir: str):
+    """Winsorized mean per event type with GLOBAL P05/P95 clamps: the
+    two bounds come from the distributed exact-quantile bracket search
+    (percentile_disc — data values, so integer cents), every batch
+    clips its cents against the two broadcast ints and folds
+    (sum, count) per type, and the means divide exact integers.  Two
+    count-≤ passes + one combiner pass; no full-column driver state."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import exact_quantile
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {"event_type": t["event_type"].combine_chunks(), "c": pa.array(c)}
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    lo = int(exact_quantile(ds, "c", 0.05))
+    hi = int(exact_quantile(ds, "c", 0.95))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["c"].clip(lo, hi)
+        g = pd.DataFrame({"event_type": df["event_type"], "s": w, "n": 1})
+        return g.groupby("event_type", as_index=False).sum()
+
+    out = (
+        ds.map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["s", "n"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "wmean": round_half_away(
+                out["s"].to_numpy(dtype="float64")
+                / out["n"].to_numpy(dtype="float64")
+                / 100.0,
+                6,
+            ),
+        }
+    ).sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+def mad_outliers_events(sf_dir: str):
+    """Median-absolute-deviation outlier audit per event type — the
+    robust alternative to the z-score filter: per-type median of cents
+    (percentile_disc, one bucketed exchange), per-type median of
+    |c − med| (second exchange over deviations computed MAP-SIDE from
+    the broadcast O(#types) median table), then one fold counting rows
+    beyond 3·MAD.  Everything stays in integer cents, so both engines
+    agree exactly; the per-type tables never exceed #types rows."""
+    from web_graph_ray.stages.relational import grouped_quantile
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pa.table(
+            {"event_type": t["event_type"].combine_chunks(), "c": pa.array(c)}
+        )
+
+    ds = _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    med = (
+        grouped_quantile(ds, ["event_type"], "c", 0.5, out_col="m")
+        .to_pandas()
+        .set_index("event_type")["m"]
+        .astype("int64")
+        .to_dict()
+    )
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med).to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "ad": np.abs(df["c"].to_numpy(dtype="int64") - m),
+            }
+        )
+
+    devs = ds.map_batches(dev, batch_format="pandas")
+    mad = (
+        grouped_quantile(devs, ["event_type"], "ad", 0.5, out_col="mad")
+        .to_pandas()
+        .set_index("event_type")["mad"]
+        .astype("int64")
+        .to_dict()
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        th = df["event_type"].map(mad).to_numpy(dtype="int64") * 3
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_outliers": (df["ad"].to_numpy(dtype="int64") > th).astype(
+                    "int64"
+                ),
+                "n": 1,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    out = (
+        devs.map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n_outliers", "n"]]
+        .sum()
+    )
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type", kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10628,6 +10810,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation_year": q9_profit_by_nation_year,
         "q20_bulk_suppliers": q20_bulk_suppliers,
         "q21_sole_returner": q21_sole_returner,
+        "user_trend_events": user_trend_events,
+        "winsorized_mean_events": winsorized_mean_events,
+        "mad_outliers_events": mad_outliers_events,
     }
 
 
@@ -14259,5 +14444,55 @@ def oracle_sql() -> dict[str, str]:
             where ns >= 2 and nr = 1
             group by 1, 2
             order by numwait desc, s_suppkey
+        """,
+        "user_trend_events": """
+            with m as (
+              select user_id, count(*) n,
+                     sum(epoch_us(ts) // 86400000000) sx,
+                     sum(round(value * 100)::bigint) sy,
+                     sum((epoch_us(ts) // 86400000000)
+                         * (epoch_us(ts) // 86400000000)) sxx,
+                     sum((epoch_us(ts) // 86400000000)
+                         * round(value * 100)::bigint) sxy
+              from events group by 1)
+            select user_id, n::bigint as n_events,
+                   round((n * sxy - sx * sy)::double
+                         / (n * sxx - sx * sx)::double / 100.0, 6) as slope
+            from m
+            where n * sxx - sx * sx <> 0
+            order by user_id
+        """,
+        "winsorized_mean_events": """
+            with c as (select event_type,
+                              round(value * 100)::bigint c
+                       from events),
+            b as (select quantile_disc(c, 0.05) lo,
+                         quantile_disc(c, 0.95) hi from c)
+            select event_type, count(*)::bigint as n,
+                   round(sum(least(greatest(c, lo), hi))::double
+                         / count(*) / 100.0, 6) as wmean
+            from c, b
+            group by 1 order by 1
+        """,
+        "mad_outliers_events": """
+            with c as (select event_type,
+                              round(value * 100)::bigint c
+                       from events),
+            med as (select event_type,
+                           percentile_disc(0.5)
+                             within group (order by c) m
+                    from c group by 1),
+            d as (select c.event_type, abs(c.c - m) ad
+                  from c join med using(event_type)),
+            mad as (select event_type,
+                           percentile_disc(0.5)
+                             within group (order by ad) md
+                    from d group by 1)
+            select d.event_type,
+                   sum(case when ad > 3 * md then 1 else 0 end)::bigint
+                     as n_outliers,
+                   count(*)::bigint as n
+            from d join mad using(event_type)
+            group by 1 order by 1
         """,
     }
