@@ -10498,6 +10498,69 @@ def mad_outliers_events(sf_dir: str):
     )
 
 
+def tfrecord_roundtrip_documents(sf_dir: str):
+    """TFRecord (tf.train.Example) sink → source fidelity
+    (sources/text_formats.py::write_tfrecord/read_tfrecord — stdlib
+    protobuf wire encoding + masked-CRC32C framing, RFC 3720 vectors
+    pinned in tests): documents round-trip through the training-data
+    container format and the per-source aggregates over the RE-READ
+    shards must match the parquet oracle.  Only exact kinds (int64,
+    bytes) ride the format here — FloatList is float32 by design."""
+    import os as _os
+
+    from web_graph_ray.sources.text_formats import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    out_dir = (
+        f"/tmp/wgr_tfrec_docs_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    write_tfrecord(
+        _t(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]),
+        out_dir,
+    )
+    back = read_tfrecord(out_dir)
+
+    def agg(t: pa.Table) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "source": [b.decode() for b in t["source"].to_pylist()],
+                "n": 1,
+                "chars": t["n_chars"].to_numpy(zero_copy_only=False),
+                "text_bytes": [len(b) for b in t["text"].to_pylist()],
+                "min_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                "max_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            }
+        )
+        return g.groupby("source", as_index=False).agg(
+            n=("n", "sum"), chars=("chars", "sum"),
+            text_bytes=("text_bytes", "sum"),
+            min_id=("min_id", "min"), max_id=("max_id", "max"),
+        )
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    m = (
+        parts.groupby("source", as_index=False)
+        .agg(
+            n=("n", "sum"), chars=("chars", "sum"),
+            text_bytes=("text_bytes", "sum"),
+            min_id=("min_id", "min"), max_id=("max_id", "max"),
+        )
+        .sort_values("source")
+    )
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "n": m["n"].astype("int64"),
+            "sum_chars": m["chars"].astype("int64"),
+            "text_bytes": m["text_bytes"].astype("int64"),
+            "min_doc_id": m["min_id"].astype("int64"),
+            "max_doc_id": m["max_id"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10813,6 +10876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_trend_events": user_trend_events,
         "winsorized_mean_events": winsorized_mean_events,
         "mad_outliers_events": mad_outliers_events,
+        "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
     }
 
 
@@ -14494,5 +14558,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::bigint as n
             from d join mad using(event_type)
             group by 1 order by 1
+        """,
+        "tfrecord_roundtrip_documents": """
+            select source, count(*)::bigint as n,
+                   sum(n_chars)::bigint as sum_chars,
+                   sum(strlen(text))::bigint as text_bytes,
+                   min(doc_id)::bigint as min_doc_id,
+                   max(doc_id)::bigint as max_doc_id
+            from documents group by source order by source
         """,
     }
