@@ -10561,6 +10561,98 @@ def tfrecord_roundtrip_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def holt_forecast_daily_events(sf_dir: str):
+    """Holt double-exponential smoothing (level + trend, α=0.5, β=0.3)
+    over the daily value series, forecasting 7 days past the horizon:
+    daily totals fold to EXACT integer cents through the combiner, the
+    O(days) smoothing recurrence runs in day order on the driver, and
+    the twin mirrors the identical float recurrence with a recursive
+    CTE (every term ::double — DuckDB types bare float literals as
+    DECIMAL, which silently changes fold arithmetic)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"d": us // day_us, "c": c})
+
+    daily = (
+        bucketed_agg(
+            _t(sf_dir, "events", ["ts", "value"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["d"],
+            value_col="c",
+            how="sum",
+            out_col="c",
+        )
+        .to_pandas()
+        .sort_values("d")
+    )
+    y = daily["c"].to_numpy(dtype="float64") / 100.0
+    level, trend = float(y[0]), 0.0
+    for v in y[1:]:
+        nl = 0.5 * v + 0.5 * (level + trend)
+        trend = 0.3 * (nl - level) + 0.7 * trend
+        level = nl
+    return pd.DataFrame(
+        {
+            "n_days": [len(y)],
+            "level": round_half_away(np.array([level]), 6),
+            "trend": round_half_away(np.array([trend]), 6),
+            "forecast7": round_half_away(np.array([level + 7.0 * trend]), 6),
+        }
+    )
+
+
+def bounce_rate_users(sf_dir: str):
+    """Per-user session bounce rate: sessions from the 1800 s-gap
+    sessionizer (one bucketed exchange keyed by user), bounces =
+    single-event sessions, rate = exact small-integer division both
+    engines round identically.  A pure composition over the existing
+    sessionize primitive — no new shuffle beyond its one exchange."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import sessionize
+
+    sess = sessionize(
+        _t(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts", 1800
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "n_sessions": 1,
+                "n_bounces": (df["n_events"].to_numpy() == 1).astype("int64"),
+            }
+        )
+        return g.groupby("user_id", as_index=False).sum()
+
+    out = (
+        sess.map_batches(fold, batch_format="pandas")
+        .to_pandas()
+        .groupby("user_id", as_index=False)[["n_sessions", "n_bounces"]]
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "n_sessions": out["n_sessions"].astype("int64"),
+            "n_bounces": out["n_bounces"].astype("int64"),
+            "bounce_rate": round_half_away(
+                out["n_bounces"].to_numpy(dtype="float64")
+                / out["n_sessions"].to_numpy(dtype="float64"),
+                6,
+            ),
+        }
+    ).sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10877,6 +10969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_events": winsorized_mean_events,
         "mad_outliers_events": mad_outliers_events,
         "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
+        "holt_forecast_daily_events": holt_forecast_daily_events,
+        "bounce_rate_users": bounce_rate_users,
     }
 
 
@@ -14566,5 +14660,48 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::bigint as min_doc_id,
                    max(doc_id)::bigint as max_doc_id
             from documents group by source order by source
+        """,
+        "holt_forecast_daily_events": """
+            with recursive o as (
+              select row_number() over (order by d) i,
+                     (c::double / 100.0) y
+              from (select epoch_us(ts) // 86400000000 d,
+                           sum(round(value * 100)::bigint) c
+                    from events group by 1)),
+            h(i, l, b) as (
+                select 1::bigint, y, 0.0::double from o where i = 1
+                union all
+                select h.i + 1,
+                       0.5 * o.y + 0.5 * (h.l + h.b),
+                       0.3 * (0.5 * o.y + 0.5 * (h.l + h.b) - h.l)
+                         + 0.7 * h.b
+                from h join o on o.i = h.i + 1)
+            select (select max(i) from o)::bigint as n_days,
+                   round(l, 6) as level, round(b, 6) as trend,
+                   round(l + 7.0 * b, 6) as forecast7
+            from h where i = (select max(i) from o)
+        """,
+        "bounce_rate_users": """
+            with e as (
+              select user_id, floor(epoch(ts))::bigint sec,
+                     case when floor(epoch(ts))::bigint
+                               - lag(floor(epoch(ts))::bigint)
+                                 over (partition by user_id order by ts) > 1800
+                          or lag(ts) over (partition by user_id order by ts)
+                             is null
+                          then 1 else 0 end new_s
+              from events),
+            s as (select user_id,
+                         sum(new_s) over (partition by user_id order by sec
+                                          rows unbounded preceding) sid
+                  from e),
+            g as (select user_id, sid, count(*) ne
+                  from s group by 1, 2)
+            select user_id, count(*)::bigint as n_sessions,
+                   sum(case when ne = 1 then 1 else 0 end)::bigint
+                     as n_bounces,
+                   round(sum(case when ne = 1 then 1 else 0 end)::double
+                         / count(*), 6) as bounce_rate
+            from g group by 1 order by 1
         """,
     }
