@@ -10653,6 +10653,144 @@ def bounce_rate_users(sf_dir: str):
     ).sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def ks_test_events(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the click and
+    purchase value distributions — the distribution-drift primitive
+    beside PSI (binned) and Mann-Whitney (rank): exact per-cent-value
+    counts for both samples fold through one bucketed exchange keyed
+    by the VALUE (O(distinct cents) rows — bounded by the value range,
+    never the row count), the two empirical CDFs accumulate in value
+    order on the driver, and D = max |F₀ − F₁| divides exact integers
+    identically on both engines."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m0, m1 = et == "click", et == "purchase"
+        keep = m0 | m1
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        g = pd.DataFrame(
+            {
+                "c": c[keep],
+                "n0": m0[keep].astype("int64"),
+                "n1": m1[keep].astype("int64"),
+            }
+        )
+        return g.groupby("c", as_index=False).sum()
+
+    counts = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["event_type", "value"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["c"],
+            lambda df: df.groupby("c", as_index=False)[["n0", "n1"]].sum(),
+        )
+        .to_pandas()
+        .sort_values("c")
+    )
+    t0 = int(counts["n0"].sum())
+    t1 = int(counts["n1"].sum())
+    f0 = np.cumsum(counts["n0"].to_numpy(dtype="float64")) / t0
+    f1 = np.cumsum(counts["n1"].to_numpy(dtype="float64")) / t1
+    d = float(np.max(np.abs(f0 - f1)))
+    return pd.DataFrame(
+        {
+            "n_click": [t0],
+            "n_purchase": [t1],
+            "ks_d": round_half_away(np.array([d]), 6),
+        }
+    )
+
+
+def journey_paths_users(sf_dir: str):
+    """User-journey path mining: each user's first 5 event types in
+    (ts, event_id) order concatenate into a path signature inside one
+    user-keyed bucketed exchange (vectorized sort + head-5 + join per
+    bucket), then path frequencies fold through a second combiner —
+    the funnel-free view of how sessions actually start."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        head = df.groupby("user_id").head(5)
+        return (
+            head.groupby("user_id", as_index=False)["event_type"]
+            .agg(">".join)
+            .rename(columns={"event_type": "path"})
+        )
+
+    paths = bucketed_group_map(
+        _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        per_bucket,
+    )
+    out = bucketed_agg(
+        paths.map_batches(
+            lambda df: df[["path"]], batch_format="pandas"
+        ),
+        ["path"],
+        out_col="n_users",
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(
+        ["n_users", "path"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def cramers_v_events(sf_dir: str):
+    """Cramér's V effect size of the event_type × weekday association
+    — chi-square normalized to [0, 1] so drift alarms compare across
+    grids of different shape.  Same one-exchange contingency fold as
+    chi2_events_weekday (35 cells, O(cells) driver math); V =
+    √(χ²/(n·(min(r,c)−1)))."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pa.table(
+            {
+                "event_type": t["event_type"].combine_chunks(),
+                "dow": pa.array(dow, pa.int64()),
+            }
+        )
+
+    cells = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            project, batch_format="pyarrow"
+        ),
+        ["event_type", "dow"],
+        out_col="n",
+    ).to_pandas()
+    pivot = (
+        cells.pivot_table(index="event_type", columns="dow", values="n",
+                          aggfunc="sum", fill_value=0)
+        .sort_index()
+        .to_numpy(dtype="float64")
+    )
+    row = pivot.sum(axis=1, keepdims=True)
+    col = pivot.sum(axis=0, keepdims=True)
+    n = pivot.sum()
+    expected = row @ col / n
+    chi2 = float(((pivot - expected) ** 2 / expected).sum())
+    k = min(pivot.shape[0], pivot.shape[1]) - 1
+    v = math.sqrt(chi2 / (n * k))
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "chi2": round_half_away(np.array([chi2]), 6),
+            "cramers_v": round_half_away(np.array([v]), 6),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -10971,6 +11109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
+        "ks_test_events": ks_test_events,
+        "journey_paths_users": journey_paths_users,
+        "cramers_v_events": cramers_v_events,
     }
 
 
@@ -14703,5 +14844,66 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(case when ne = 1 then 1 else 0 end)::double
                          / count(*), 6) as bounce_rate
             from g group by 1 order by 1
+        """,
+        "ks_test_events": """
+            with a as (
+              select round(value * 100)::bigint c,
+                     sum(case when event_type = 'click'
+                              then 1 else 0 end) n0,
+                     sum(case when event_type = 'purchase'
+                              then 1 else 0 end) n1
+              from events
+              where event_type in ('click', 'purchase')
+              group by 1),
+            t as (select sum(n0) t0, sum(n1) t1 from a),
+            cum as (select c,
+                           sum(n0) over (order by c) c0,
+                           sum(n1) over (order by c) c1
+                    from a)
+            select (select t0 from t)::bigint as n_click,
+                   (select t1 from t)::bigint as n_purchase,
+                   round(max(abs(c0::double / t0 - c1::double / t1)), 6)
+                     as ks_d
+            from cum, t
+        """,
+        "journey_paths_users": """
+            with r as (select user_id, event_type,
+                              row_number() over (partition by user_id
+                                                 order by ts, event_id) rn
+                       from events),
+            p as (select user_id,
+                         string_agg(event_type, '>' order by rn) path
+                  from r where rn <= 5 group by 1)
+            select path, count(*)::bigint as n_users
+            from p group by 1
+            order by n_users desc, path
+        """,
+        "cramers_v_events": """
+            with c as (
+              select event_type,
+                     ((epoch_us(ts) // 86400000000) + 4) % 7 dow,
+                     count(*)::double n
+              from events group by 1, 2),
+            grid as (
+              select et.event_type, d.dow
+              from (select distinct event_type from c) et
+              cross join (select distinct dow from c) d),
+            f as (
+              select g.event_type, g.dow, coalesce(c.n, 0) n
+              from grid g left join c using (event_type, dow)),
+            r as (select event_type, sum(n) rn from f group by 1),
+            k as (select dow, sum(n) cn from f group by 1),
+            t as (select sum(n) tot from f),
+            x as (select sum(pow(f.n - r.rn * k.cn / t.tot, 2)
+                             / (r.rn * k.cn / t.tot)) chi2
+                  from f join r using (event_type)
+                  join k using (dow) cross join t),
+            dims as (select least((select count(*) from r),
+                                  (select count(*) from k)) - 1 kk)
+            select (select tot from t)::bigint as n,
+                   round(chi2, 6) as chi2,
+                   round(sqrt(chi2 / ((select tot from t) * kk)), 6)
+                     as cramers_v
+            from x, dims
         """,
     }
