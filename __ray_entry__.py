@@ -10791,6 +10791,59 @@ def cramers_v_events(sf_dir: str):
     )
 
 
+def embedding_covariance(sf_dir: str):
+    """Distributed d×d covariance of the embedding matrix — the
+    whitening / PCA front half: each block folds the EXACT integer
+    Gram matrix Xᵀ6·X6 and column sums of e-6-quantized coordinates
+    (one 64×64 int64 matmul per block — the matrix-valued combiner),
+    the driver reduces O(d²·blocks) partials in arbitrary-precision
+    Python ints, and cov(i,j) = (n·Sxy − Si·Sj)/(n²·10¹²) is a single
+    float division of exact integers — bit-identical on both engines
+    at any parallelism or scale."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        x6 = np.rint(x * 1_000_000.0).astype("int64")
+        p = x6.T @ x6
+        s = x6.sum(axis=0)
+        d = x6.shape[1]
+        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        rows = pd.DataFrame(
+            {"i": i.ravel(), "j": j.ravel(), "sxy": p.ravel(), "si": 0}
+        )
+        sums = pd.DataFrame(
+            {"i": np.arange(d), "j": -1, "sxy": 0, "si": s}
+        )
+        out = pd.concat([rows, sums], ignore_index=True)
+        out["n"] = len(x6)
+        return out
+
+    parts = (
+        _t(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts.loc[(parts["i"] == 0) & (parts["j"] == -1), "n"].sum())
+    sums = parts[parts["j"] == -1].groupby("i")["si"].sum()
+    gram = parts[parts["j"] >= 0].groupby(["i", "j"], as_index=False)[
+        "sxy"
+    ].sum()
+    si = {int(k): int(v) for k, v in sums.items()}
+    cov = []
+    for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
+        num = n * int(sxy) - si[int(i_)] * si[int(j_)]
+        cov.append(float(num) / (float(n) * n * 1e12))
+    out = pd.DataFrame(
+        {
+            "i": gram["i"].astype("int64"),
+            "j": gram["j"].astype("int64"),
+            "cov": round_half_away(np.array(cov, dtype="float64"), 6),
+        }
+    )
+    return out.sort_values(["i", "j"], kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11112,6 +11165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test_events": ks_test_events,
         "journey_paths_users": journey_paths_users,
         "cramers_v_events": cramers_v_events,
+        "embedding_covariance": embedding_covariance,
     }
 
 
@@ -14905,5 +14959,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(chi2 / ((select tot from t) * kk)), 6)
                      as cramers_v
             from x, dims
+        """,
+        "embedding_covariance": """
+            with u as (
+              select vec_id, (t.i - 1)::bigint i,
+                     round(list_extract(embedding, t.i) * 1000000)::bigint v
+              from embeddings, generate_series(1, 64) t(i)),
+            n as (select count(*)::bigint c from embeddings),
+            s as (select i, sum(v) si from u group by 1),
+            p as (select a.i i, b.i j, sum(a.v * b.v) sxy
+                  from u a join u b using (vec_id) group by 1, 2)
+            select p.i, p.j,
+                   round((c::hugeint * sxy
+                          - sa.si::hugeint * sb.si)::double
+                         / (c::double * c * 1e12), 6) as cov
+            from p
+            join s sa on sa.i = p.i
+            join s sb on sb.i = p.j
+            cross join n
+            order by p.i, p.j
         """,
     }
