@@ -10844,6 +10844,65 @@ def embedding_covariance(sf_dir: str):
     return out.sort_values(["i", "j"], kind="mergesort").reset_index(drop=True)
 
 
+def schema_evolution_documents(sf_dir: str):
+    """Schema-evolution read (sources/evolution.py::read_parquet_evolved
+    — union-by-name over drifted shards, footer-only planning, typed
+    null pads): documents split into a v1 corpus (doc_id, text, source
+    — the "early pipeline" shards) and a v2 corpus (+ lang, n_chars)
+    by doc_id parity, both written as parquet shards, read back as ONE
+    Dataset.  The per-source aggregate counts v2-only columns' nulls —
+    exactly reproducible from the original table by the parity rule."""
+    import os as _os
+
+    import shutil as _shutil
+
+    from web_graph_ray.sources.evolution import read_parquet_evolved
+
+    out_dir = (
+        f"/tmp/wgr_evolve_docs_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    if _os.path.isdir(out_dir):
+        _shutil.rmtree(out_dir)
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    v1 = docs.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        ).select(["doc_id", "text", "source"]),
+        batch_format="pyarrow",
+    )
+    v2 = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    v1.write_parquet(_os.path.join(out_dir, "v1"))
+    v2.write_parquet(_os.path.join(out_dir, "v2"))
+
+    back = read_parquet_evolved(out_dir)
+
+    def agg(t: pa.Table) -> pd.DataFrame:
+        has_lang = pc.is_valid(t["lang"]).to_numpy(zero_copy_only=False)
+        chars = t["n_chars"].to_pandas().fillna(0).astype("int64")
+        g = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "n": 1,
+                "n_with_lang": has_lang.astype("int64"),
+                "sum_chars": chars,
+            }
+        )
+        return g.groupby("source", as_index=False).sum()
+
+    out = (
+        back.map_batches(agg, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", as_index=False)[["n", "n_with_lang", "sum_chars"]]
+        .sum()
+    )
+    for c in ["n", "n_with_lang", "sum_chars"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11166,6 +11225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_paths_users": journey_paths_users,
         "cramers_v_events": cramers_v_events,
         "embedding_covariance": embedding_covariance,
+        "schema_evolution_documents": schema_evolution_documents,
     }
 
 
@@ -14978,5 +15038,13 @@ def oracle_sql() -> dict[str, str]:
             join s sb on sb.i = p.j
             cross join n
             order by p.i, p.j
+        """,
+        "schema_evolution_documents": """
+            select source, count(*)::bigint as n,
+                   sum(case when doc_id % 2 = 1 then 1 else 0 end)::bigint
+                     as n_with_lang,
+                   sum(case when doc_id % 2 = 1 then n_chars
+                            else 0 end)::bigint as sum_chars
+            from documents group by 1 order by 1
         """,
     }
