@@ -10903,6 +10903,148 @@ def schema_evolution_documents(sf_dir: str):
     return out.sort_values("source", kind="mergesort").reset_index(drop=True)
 
 
+def _daily_cents(sf_dir: str, how: str = "sum") -> pd.DataFrame:
+    """Daily exact-integer cent totals (or counts) of event value —
+    the shared front half of the time-series statistics entries: one
+    combiner fold, O(days) driver rows, day order restored locally."""
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        c = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype("int64")
+        return pd.DataFrame({"d": us // day_us, "c": c})
+
+    ds = _t(sf_dir, "events", ["ts", "value"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    if how == "sum":
+        out = bucketed_agg(ds, ["d"], value_col="c", how="sum", out_col="c")
+    else:
+        out = bucketed_agg(ds, ["d"], out_col="c")
+    return out.to_pandas().sort_values("d").reset_index(drop=True)
+
+
+def runs_test_daily_events(sf_dir: str):
+    """Wald–Wolfowitz runs test for randomness of the daily-total
+    series around its median: days classify above/below the exact
+    percentile_disc median of the O(days) driver table (median days
+    drop, the two-sided convention both engines mirror), runs count by
+    sign changes, and the z-score divides exact integer moments.
+    Distributed part = the one daily combiner fold."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    daily = _daily_cents(sf_dir)
+    c = daily["c"].to_numpy(dtype="int64")
+    v = np.sort(c)
+    med = int(v[(len(v) + 1) // 2 - 1])  # percentile_disc(0.5)
+    s = c[c != med] > med
+    n1, n2 = int(s.sum()), int((~s).sum())
+    runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
+    mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+    )
+    z = (runs - mu) / math.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_above": [n1],
+            "n_below": [n2],
+            "n_runs": [runs],
+            "z": round_half_away(np.array([z]), 6),
+        }
+    )
+
+
+def kendall_tau_daily_events(sf_dir: str):
+    """Kendall's τ-a between the daily click-count and purchase-count
+    series — the rank-concordance complement to Spearman: per-day
+    exact integer counts of both types fold through one exchange, the
+    O(days²) concordant/discordant comparison runs on the tiny driver
+    table in pure integers, and τ = (C − D)/(n(n−1)/2) divides exact
+    ints."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        m = (et == "click") | (et == "purchase")
+        g = pd.DataFrame(
+            {
+                "d": us[m] // day_us,
+                "a": (et[m] == "click").astype("int64"),
+                "b": (et[m] == "purchase").astype("int64"),
+            }
+        )
+        return g.groupby("d", as_index=False).sum()
+
+    daily = (
+        bucketed_group_map(
+            _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+                proj, batch_format="pyarrow"
+            ),
+            ["d"],
+            lambda df: df.groupby("d", as_index=False)[["a", "b"]].sum(),
+        )
+        .to_pandas()
+        .sort_values("d")
+    )
+    a = daily["a"].to_numpy(dtype="int64")
+    b = daily["b"].to_numpy(dtype="int64")
+    da = np.sign(a[None, :] - a[:, None])
+    db = np.sign(b[None, :] - b[:, None])
+    iu = np.triu_indices(len(a), k=1)
+    prod = da[iu] * db[iu]
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    n = len(a)
+    tau = (conc - disc) / (n * (n - 1) / 2.0)
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "concordant": [conc],
+            "discordant": [disc],
+            "tau": round_half_away(np.array([tau]), 6),
+        }
+    )
+
+
+def cusum_drift_daily_events(sf_dir: str):
+    """One-sided CUSUM drift detector over the daily totals: with the
+    exact global mean μ (integer cents / integer days) and slack
+    k = |μ|/100, the excursion s ← max(0, s + x − μ − k) folds in day
+    order; the statistic is the max excursion and its day.  The twin
+    mirrors the identical float recurrence with a recursive CTE (every
+    seed ::double)."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    daily = _daily_cents(sf_dir)
+    c = daily["c"].to_numpy(dtype="int64")
+    d = daily["d"].to_numpy(dtype="int64")
+    tot, n = int(c.sum()), len(c)
+    mu = tot / n / 100.0
+    k = abs(mu) / 100.0
+    s, smax, dmax = 0.0, 0.0, int(d[0])
+    for di, ci in zip(d, c):
+        s = max(0.0, s + (ci / 100.0 - mu - k))
+        if s > smax:
+            smax, dmax = s, int(di)
+    return pd.DataFrame(
+        {
+            "n_days": [n],
+            "max_cusum": round_half_away(np.array([smax]), 6),
+            "argmax_day": [dmax],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11226,6 +11368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cramers_v_events": cramers_v_events,
         "embedding_covariance": embedding_covariance,
         "schema_evolution_documents": schema_evolution_documents,
+        "runs_test_daily_events": runs_test_daily_events,
+        "kendall_tau_daily_events": kendall_tau_daily_events,
+        "cusum_drift_daily_events": cusum_drift_daily_events,
     }
 
 
@@ -15046,5 +15191,84 @@ def oracle_sql() -> dict[str, str]:
                    sum(case when doc_id % 2 = 1 then n_chars
                             else 0 end)::bigint as sum_chars
             from documents group by 1 order by 1
+        """,
+        "runs_test_daily_events": """
+            with dm as (select epoch_us(ts) // 86400000000 d,
+                               sum(round(value * 100)::bigint) c
+                        from events group by 1),
+            med as (select percentile_disc(0.5)
+                             within group (order by c) m from dm),
+            s as (select d, (c > m) ab from dm, med where c <> m),
+            r as (select ab, lag(ab) over (order by d) pab from s),
+            agg as (select
+                      (select sum(case when ab then 1 else 0 end) from s) n1,
+                      (select sum(case when ab then 0 else 1 end) from s) n2,
+                      1 + sum(case when pab is not null and ab <> pab
+                                   then 1 else 0 end) runs
+                    from r)
+            select n1::bigint as n_above, n2::bigint as n_below,
+                   runs::bigint as n_runs,
+                   round((runs - (1 + (2 * n1 * n2)::double / (n1 + n2)))
+                         / sqrt((2 * n1 * n2)::double
+                                * (2 * n1 * n2 - n1 - n2)
+                                / (pow((n1 + n2)::double, 2)
+                                   * (n1 + n2 - 1))), 6) as z
+            from agg
+        """,
+        "kendall_tau_daily_events": """
+            with dm as (select epoch_us(ts) // 86400000000 d,
+                               sum(case when event_type = 'click'
+                                        then 1 else 0 end) a,
+                               sum(case when event_type = 'purchase'
+                                        then 1 else 0 end) b
+                        from events
+                        where event_type in ('click', 'purchase')
+                        group by 1),
+            p as (select sign(y.a - x.a) * sign(y.b - x.b) pr
+                  from dm x join dm y on y.d > x.d),
+            n as (select count(*) nn from dm)
+            select nn::bigint as n_days,
+                   sum(case when pr > 0 then 1 else 0 end)::bigint
+                     as concordant,
+                   sum(case when pr < 0 then 1 else 0 end)::bigint
+                     as discordant,
+                   round((sum(case when pr > 0 then 1 else 0 end)
+                          - sum(case when pr < 0 then 1 else 0 end))
+                         / ((nn * (nn - 1))::double / 2), 6) as tau
+            from p, n group by nn
+        """,
+        "cusum_drift_daily_events": """
+            with recursive dm as (
+              select epoch_us(ts) // 86400000000 d,
+                     sum(round(value * 100)::bigint) c
+              from events group by 1),
+            o as (select row_number() over (order by d) i, d, c from dm),
+            st as (select (sum(c)::double / count(*)) / 100.0 mu from o),
+            h(i, s, smax, dmax) as (
+              select 0::bigint, 0.0::double, 0.0::double,
+                     (select min(d) from o)::bigint
+              union all
+              select h.i + 1,
+                     greatest(0.0::double,
+                       h.s + (o.c::double / 100.0 - (select mu from st)
+                              - abs((select mu from st)) / 100.0)),
+                     case when greatest(0.0::double,
+                            h.s + (o.c::double / 100.0 - (select mu from st)
+                                   - abs((select mu from st)) / 100.0))
+                            > h.smax
+                          then greatest(0.0::double,
+                            h.s + (o.c::double / 100.0 - (select mu from st)
+                                   - abs((select mu from st)) / 100.0))
+                          else h.smax end,
+                     case when greatest(0.0::double,
+                            h.s + (o.c::double / 100.0 - (select mu from st)
+                                   - abs((select mu from st)) / 100.0))
+                            > h.smax
+                          then o.d::bigint else h.dmax end
+              from h join o on o.i = h.i + 1)
+            select (select max(i) from o)::bigint as n_days,
+                   round(smax, 6) as max_cusum,
+                   dmax as argmax_day
+            from h where i = (select max(i) from o)
         """,
     }
