@@ -11045,6 +11045,42 @@ def cusum_drift_daily_events(sf_dir: str):
     )
 
 
+def phrase_query_documents(sf_dir: str):
+    """Positional phrase search — the IR primitive conjunctive search
+    can't express: documents containing the exact token sequence
+    "table value", with occurrence counts.  Adjacency tests run
+    entirely inside each block (per-doc token-array shift compare —
+    one scan, ZERO shuffles, O(matching docs) driver rows); the twin
+    tokenizes with a lateral position join, so both engines count
+    token-level adjacency, immune to the substring-overlap undercount
+    a LIKE-based oracle would have."""
+    T1, T2 = "table", "value"
+
+    def scan(t: pa.Table) -> pd.DataFrame:
+        ids, cnts = [], []
+        for did, txt in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = np.array(txt.split(" "))
+            if len(toks) < 2:
+                continue
+            c = int(((toks[:-1] == T1) & (toks[1:] == T2)).sum())
+            if c:
+                ids.append(did)
+                cnts.append(c)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "n_occurrences": pd.Series(cnts, dtype="int64")}
+        )
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11371,6 +11407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test_daily_events": runs_test_daily_events,
         "kendall_tau_daily_events": kendall_tau_daily_events,
         "cusum_drift_daily_events": cusum_drift_daily_events,
+        "phrase_query_documents": phrase_query_documents,
     }
 
 
@@ -15270,5 +15307,17 @@ def oracle_sql() -> dict[str, str]:
                    round(smax, 6) as max_cusum,
                    dmax as argmax_day
             from h where i = (select max(i) from o)
+        """,
+        "phrase_query_documents": """
+            with tok as (select doc_id, string_split(text, ' ') ts
+                         from documents),
+            p as (select doc_id, unnest(ts) w,
+                         unnest(range(1, len(ts) + 1)) pos
+                  from tok)
+            select a.doc_id, count(*)::bigint as n_occurrences
+            from p a join p b on b.doc_id = a.doc_id
+                              and b.pos = a.pos + 1
+            where a.w = 'table' and b.w = 'value'
+            group by 1 order by 1
         """,
     }
