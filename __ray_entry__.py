@@ -11081,6 +11081,176 @@ def phrase_query_documents(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def seq_pattern_support_users(sf_dir: str):
+    """Windowed sequential-pattern support (GSP's atomic step): users
+    with a purchase 1 µs–3600 s AFTER some signup.  Only the two
+    pattern types' (user, µs) rows enter one user-keyed exchange;
+    inside each bucket a vectorized searchsorted finds, per purchase,
+    whether any signup lands in its trailing window — no quadratic
+    pair join, no sequence materialization.  (The unwindowed version
+    is degenerate here: every user fires all five types, so plain
+    signup<purchase support is 100% — verified in-round.)"""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    W_US = 3600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": t["user_id"].combine_chunks(),
+                "us": pc.cast(t["ts"], pa.int64()),
+                "is_p": pc.equal(t["event_type"], "purchase"),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows_u, rows_hit = [], []
+        for u, g in df.groupby("user_id"):
+            s = np.sort(g.loc[~g["is_p"], "us"].to_numpy(dtype="int64"))
+            p = g.loc[g["is_p"], "us"].to_numpy(dtype="int64")
+            if len(s) == 0 or len(p) == 0:
+                rows_u.append(int(u))
+                rows_hit.append(0)
+                continue
+            # nearest signup strictly before each purchase
+            idx = np.searchsorted(s, p, side="left") - 1
+            ok = (idx >= 0) & (p - s[np.clip(idx, 0, None)] <= W_US) & (
+                p - s[np.clip(idx, 0, None)] >= 1
+            )
+            rows_u.append(int(u))
+            rows_hit.append(int(ok.any()))
+        return pd.DataFrame(
+            {"user_id": pd.Series(rows_u, dtype="int64"),
+             "hit": pd.Series(rows_hit, dtype="int64")}
+        )
+
+    per_user = bucketed_group_map(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        per_bucket,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_users": [len(per_user)],
+            "n_support": [int(per_user["hit"].sum())],
+        }
+    )
+
+
+def odds_ratio_weekend_events(sf_dir: str):
+    """Weekend-vs-weekday purchase odds ratio with a Wald 95% CI — the
+    2×2 epidemiology/AB primitive: four exact cell counts fold through
+    the combiner, OR = (a·d)/(b·c) and CI = exp(ln OR ± 1.96·√Σ1/cell)
+    evaluate identically on both engines from the same integers."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        wknd = (dow == 0) | (dow == 6)
+        purch = t["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        return pd.DataFrame(
+            {
+                "a": [int((wknd & purch).sum())],
+                "b": [int((wknd & ~purch).sum())],
+                "c": [int((~wknd & purch).sum())],
+                "d": [int((~wknd & ~purch).sum())],
+            }
+        )
+
+    m = (
+        _t(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()
+    )
+    a, b, c, d = int(m["a"]), int(m["b"]), int(m["c"]), int(m["d"])
+    orr = (a * d) / (b * c)
+    se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return pd.DataFrame(
+        {
+            "n_wknd_purch": [a],
+            "n_wkday_purch": [c],
+            "odds_ratio": round_half_away(np.array([orr]), 6),
+            "ci_lo": round_half_away(
+                np.array([math.exp(math.log(orr) - 1.96 * se)]), 6
+            ),
+            "ci_hi": round_half_away(
+                np.array([math.exp(math.log(orr) + 1.96 * se)]), 6
+            ),
+        }
+    )
+
+
+def ledger_clamp_users(sf_dir: str):
+    """Bounded-accumulator ledger per user: balance ← clip(balance +
+    cents, 0, 100 000 cents) over (ts, event_id) order — the inventory /
+    credit-limit semantics NO prefix-sum decomposition can express
+    (the clamp makes the fold non-associative).  Each user's exact
+    integer fold runs inside its bucket task; the twin mirrors it with
+    a per-user recursive CTE over row-numbered events.  Output:
+    per-user final balance + clamp counts."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    CAP = 100_000  # cents ($1000 — low enough to clamp on this corpus)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        c = np.rint(df["value"].to_numpy(dtype="float64") * 100.0).astype(
+            "int64"
+        )
+        # signed flow: purchases debit, everything else credits
+        sign = np.where(
+            df["event_type"].to_numpy() == "purchase", -1, 1
+        )
+        flow = c * sign
+        uid = df["user_id"].to_numpy()
+        out_u, out_bal, out_lo, out_hi = [], [], [], []
+        i = 0
+        n = len(df)
+        while i < n:
+            j = i
+            bal = 0
+            lo = hi = 0
+            u = uid[i]
+            while j < n and uid[j] == u:
+                bal += int(flow[j])
+                if bal < 0:
+                    bal = 0
+                    lo += 1
+                elif bal > CAP:
+                    bal = CAP
+                    hi += 1
+                j += 1
+            out_u.append(int(u))
+            out_bal.append(bal)
+            out_lo.append(lo)
+            out_hi.append(hi)
+            i = j
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out_u, dtype="int64"),
+                "final_cents": pd.Series(out_bal, dtype="int64"),
+                "n_floor_clamps": pd.Series(out_lo, dtype="int64"),
+                "n_cap_clamps": pd.Series(out_hi, dtype="int64"),
+            }
+        )
+
+    out = bucketed_group_map(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts", "event_id", "value"]),
+        ["user_id"],
+        per_bucket,
+    ).to_pandas()
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11408,6 +11578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau_daily_events": kendall_tau_daily_events,
         "cusum_drift_daily_events": cusum_drift_daily_events,
         "phrase_query_documents": phrase_query_documents,
+        "seq_pattern_support_users": seq_pattern_support_users,
+        "odds_ratio_weekend_events": odds_ratio_weekend_events,
+        "ledger_clamp_users": ledger_clamp_users,
     }
 
 
@@ -15319,5 +15492,70 @@ def oracle_sql() -> dict[str, str]:
                               and b.pos = a.pos + 1
             where a.w = 'table' and b.w = 'value'
             group by 1 order by 1
+        """,
+        "seq_pattern_support_users": """
+            with u as (select distinct user_id from events
+                       where event_type in ('signup', 'purchase')),
+            hit as (select distinct p.user_id from events p
+                    where p.event_type = 'purchase'
+                      and exists (select 1 from events s
+                                  where s.user_id = p.user_id
+                                    and s.event_type = 'signup'
+                                    and epoch_us(p.ts) - epoch_us(s.ts)
+                                        between 1 and 3600000000))
+            select (select count(*) from u)::bigint as n_users,
+                   (select count(*) from hit)::bigint as n_support
+        """,
+        "odds_ratio_weekend_events": """
+            with x as (select event_type,
+                              ((epoch_us(ts) // 86400000000) + 4) % 7 dow
+                       from events),
+            g as (select
+              sum(case when dow in (0, 6) and event_type = 'purchase'
+                       then 1 else 0 end) a,
+              sum(case when dow in (0, 6) and event_type <> 'purchase'
+                       then 1 else 0 end) b,
+              sum(case when dow not in (0, 6) and event_type = 'purchase'
+                       then 1 else 0 end) c,
+              sum(case when dow not in (0, 6) and event_type <> 'purchase'
+                       then 1 else 0 end) d
+              from x)
+            select a::bigint as n_wknd_purch, c::bigint as n_wkday_purch,
+                   round((a * d)::double / (b * c), 6) as odds_ratio,
+                   round(exp(ln((a * d)::double / (b * c))
+                             - 1.96::double
+                               * sqrt(1::double / a + 1::double / b
+                                      + 1::double / c + 1::double / d)), 6)
+                     as ci_lo,
+                   round(exp(ln((a * d)::double / (b * c))
+                             + 1.96::double
+                               * sqrt(1::double / a + 1::double / b
+                                      + 1::double / c + 1::double / d)), 6)
+                     as ci_hi
+            from g
+        """,
+        "ledger_clamp_users": """
+            with recursive e as (
+              select user_id,
+                     row_number() over (partition by user_id
+                                        order by ts, event_id) i,
+                     (case when event_type = 'purchase' then -1 else 1 end)
+                       * round(value * 100)::bigint f
+              from events),
+            n as (select user_id, max(i) mi from e group by 1),
+            h(user_id, i, bal, lo, hi) as (
+              select user_id, 0::bigint, 0::bigint, 0::bigint, 0::bigint
+              from n
+              union all
+              select h.user_id, h.i + 1,
+                     greatest(0, least(100000, h.bal + e.f)),
+                     h.lo + case when h.bal + e.f < 0 then 1 else 0 end,
+                     h.hi + case when h.bal + e.f > 100000
+                                 then 1 else 0 end
+              from h join e on e.user_id = h.user_id and e.i = h.i + 1)
+            select h.user_id, bal as final_cents, lo as n_floor_clamps,
+                   hi as n_cap_clamps
+            from h join n on n.user_id = h.user_id and h.i = n.mi
+            order by h.user_id
         """,
     }
