@@ -11251,6 +11251,50 @@ def ledger_clamp_users(sf_dir: str):
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+def proximity_query_documents(sf_dir: str):
+    """Proximity search (NEAR/3): documents where "hash" and "merge"
+    occur within 3 tokens of each other, in either order — the ranked-
+    retrieval companion to the exact-adjacency phrase query.  Per-doc
+    position arrays compare via one searchsorted nearest-neighbour
+    probe per occurrence (O(occ·log occ), never the O(occ²) pair
+    join); one scan, zero shuffles.  The twin pays the quadratic
+    position self-join — correct at oracle scale, which is the point
+    of having the engine-side algorithm."""
+    T1, T2 = "hash", "merge"
+    K = 3
+
+    def scan(t: pa.Table) -> pd.DataFrame:
+        ids, pairs = [], []
+        for did, txt in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist()
+        ):
+            toks = np.array(txt.split(" "))
+            p1 = np.flatnonzero(toks == T1)
+            p2 = np.flatnonzero(toks == T2)
+            if len(p1) == 0 or len(p2) == 0:
+                continue
+            # for each T1 position, distance to the nearest T2 position
+            idx = np.searchsorted(p2, p1)
+            left = p2[np.clip(idx - 1, 0, len(p2) - 1)]
+            right = p2[np.clip(idx, 0, len(p2) - 1)]
+            dist = np.minimum(np.abs(p1 - left), np.abs(p1 - right))
+            n_pairs = int((dist <= K).sum())
+            if n_pairs:
+                ids.append(did)
+                pairs.append(n_pairs)
+        return pd.DataFrame(
+            {"doc_id": pd.Series(ids, dtype="int64"),
+             "n_near": pd.Series(pairs, dtype="int64")}
+        )
+
+    out = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(scan, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11581,6 +11625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pattern_support_users": seq_pattern_support_users,
         "odds_ratio_weekend_events": odds_ratio_weekend_events,
         "ledger_clamp_users": ledger_clamp_users,
+        "proximity_query_documents": proximity_query_documents,
     }
 
 
@@ -15557,5 +15602,20 @@ def oracle_sql() -> dict[str, str]:
                    hi as n_cap_clamps
             from h join n on n.user_id = h.user_id and h.i = n.mi
             order by h.user_id
+        """,
+        "proximity_query_documents": """
+            with tok as (select doc_id, string_split(text, ' ') ts
+                         from documents),
+            p as (select doc_id, unnest(ts) w,
+                         unnest(range(1, len(ts) + 1)) pos
+                  from tok),
+            h as (select doc_id, pos from p where w = 'hash'),
+            m as (select doc_id, pos from p where w = 'merge'),
+            near as (select h.doc_id, h.pos from h
+                     where exists (select 1 from m
+                                   where m.doc_id = h.doc_id
+                                     and abs(m.pos - h.pos) <= 3))
+            select doc_id, count(*)::bigint as n_near
+            from near group by 1 order by 1
         """,
     }
