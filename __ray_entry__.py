@@ -11295,6 +11295,45 @@ def proximity_query_documents(sf_dir: str):
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
+def peakiness_daily_events(sf_dir: str):
+    """Traffic peakiness per day: the busiest hour's share of each
+    day's events — the load-balancing / capacity-planning profile.
+    One (day, hour) count fold (≤ 24·days rows), per-day max/total in
+    exact integers, share rounded 6 dp; output is the O(days) daily
+    table."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_agg
+
+    hour_us = 3600 * _US_PER_S
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        h = us // hour_us
+        return pa.table(
+            {"d": pa.array(h // 24), "h": pa.array(h % 24)}
+        )
+
+    cells = bucketed_agg(
+        _t(sf_dir, "events", ["ts"]).map_batches(proj, batch_format="pyarrow"),
+        ["d", "h"],
+        out_col="n",
+    ).to_pandas()
+    g = cells.groupby("d")["n"]
+    out = pd.DataFrame(
+        {
+            "d": g.max().index.astype("int64"),
+            "peak_n": g.max().to_numpy(dtype="int64"),
+            "total_n": g.sum().to_numpy(dtype="int64"),
+        }
+    )
+    out["peak_share"] = round_half_away(
+        out["peak_n"].to_numpy(dtype="float64")
+        / out["total_n"].to_numpy(dtype="float64"),
+        6,
+    )
+    return out.sort_values("d", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11626,6 +11665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "odds_ratio_weekend_events": odds_ratio_weekend_events,
         "ledger_clamp_users": ledger_clamp_users,
         "proximity_query_documents": proximity_query_documents,
+        "peakiness_daily_events": peakiness_daily_events,
     }
 
 
@@ -15617,5 +15657,15 @@ def oracle_sql() -> dict[str, str]:
                                      and abs(m.pos - h.pos) <= 3))
             select doc_id, count(*)::bigint as n_near
             from near group by 1 order by 1
+        """,
+        "peakiness_daily_events": """
+            with c as (select epoch_us(ts) // 3600000000 // 24 d,
+                              (epoch_us(ts) // 3600000000) % 24 h,
+                              count(*)::bigint n
+                       from events group by 1, 2)
+            select d::bigint as d, max(n)::bigint as peak_n,
+                   sum(n)::bigint as total_n,
+                   round(max(n)::double / sum(n), 6) as peak_share
+            from c group by 1 order by 1
         """,
     }
