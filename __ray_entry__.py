@@ -11726,15 +11726,30 @@ def _fingerprint_sql() -> str:
         """
 
 
+def _sql_mix_ctes(carry: str = "") -> str:
+    """The murmur3-finalizer mix (two modmul+xor rounds and a final
+    xor-shift) as three chained CTEs ``mx1 → mx2 → hx`` reading column
+    ``fnv`` from CTE ``v``.  Staging through columns instead of nesting
+    the rounds as one expression matters: each round interpolates its
+    input ~24×, so the nested form blows up to ~1 MB of SQL that
+    DuckDB's binder chews 15-20 s (and can OOM) on — the chained form
+    is ~3 KB for identical arithmetic.  ``carry`` names extra columns
+    (e.g. ``"g, "``) threaded through each stage."""
+    r1 = _sql_modmul(_sql_xor64("fnv", "((fnv) >> 33)"), 0xFF51AFD7ED558CCD)
+    r2 = _sql_modmul(_sql_xor64("h", "((h) >> 33)"), 0xC4CEB9FE1A85EC53)
+    r3 = _sql_xor64("h", "((h) >> 33)")
+    return (
+        f"mx1 as (select {carry}{r1} as h from v),\n"
+        f"            mx2 as (select {carry}{r2} as h from mx1),\n"
+        f"            hx as (select {carry}{r3} as h from mx2),"
+    )
+
+
 def _hll_sql() -> str:
     """HyperLogLog estimate re-derived in SQL: FNV-1a over the decimal
     digits of user_id, murmur3 finalizer (modmul + 64-bit xor), exact
     bit_length via bin(), register max per index, the standard
     alpha*m^2/sum(2^-reg) estimator with the linear-counting fix."""
-    h = "fnv"
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
-    h = _sql_xor64(h, f"(({h}) >> 33)")
     return f"""
             with v as (
               select list_reduce(
@@ -11743,7 +11758,7 @@ def _hll_sql() -> str:
                                         c -> ascii(c)::bigint)),
                        (h, b) -> {_FNV_SQL_STEP}) fnv
               from events),
-            hx as (select {h} as h from v),
+            {_sql_mix_ctes()}
             rk as (select (h % 4096)::bigint idx,
                           case when (h >> 12) > 0
                                then 52 - length(bin((h >> 12)::bigint)) + 1
@@ -11769,10 +11784,6 @@ def _kmv_sql(source: str = "lineitem", col: str = "l_orderkey") -> str:
     so the estimate matches the engine bit-for-bit before the 2-dp
     round.  ``source``/``col`` parameterize the hashed relation (the
     union-merge twin sketches a filtered subquery)."""
-    h = "fnv"
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
-    h = _sql_xor64(h, f"(({h}) >> 33)")
     return f"""
             with v as (
               select list_reduce(
@@ -11781,8 +11792,8 @@ def _kmv_sql(source: str = "lineitem", col: str = "l_orderkey") -> str:
                                         c -> ascii(c)::bigint)),
                        (h, b) -> {_FNV_SQL_STEP}) fnv
               from {source}),
-            hx as (select distinct {h} as h from v),
-            k as (select h from hx order by h limit 1024),
+            {_sql_mix_ctes()}
+            k as (select distinct h from hx order by h limit 1024),
             m as (select max(h) kth, count(*) n from k)
             select case when n < 1024 then round(n::double, 2)
                         else round(1023 * 18446744073709551616.0
@@ -11795,10 +11806,6 @@ def _kmv_sql(source: str = "lineitem", col: str = "l_orderkey") -> str:
 def _hll_grouped_sql() -> str:
     """Grouped HLL twin: the _hll_sql derivation with event_type carried
     through every CTE and a final per-group estimate."""
-    h = "fnv"
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xFF51AFD7ED558CCD)
-    h = _sql_modmul(_sql_xor64(h, f"(({h}) >> 33)"), 0xC4CEB9FE1A85EC53)
-    h = _sql_xor64(h, f"(({h}) >> 33)")
     return f"""
             with v as (
               select event_type g, list_reduce(
@@ -11807,7 +11814,7 @@ def _hll_grouped_sql() -> str:
                                         c -> ascii(c)::bigint)),
                        (h, b) -> {_FNV_SQL_STEP}) fnv
               from events),
-            hx as (select g, {h} as h from v),
+            {_sql_mix_ctes(carry="g, ")}
             rk as (select g, (h % 4096)::bigint idx,
                           case when (h >> 12) > 0
                                then 52 - length(bin((h >> 12)::bigint)) + 1
