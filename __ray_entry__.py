@@ -10561,6 +10561,83 @@ def tfrecord_roundtrip_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def warc_roundtrip_documents(sf_dir: str):
+    """WARC (ISO 28500) sink → source fidelity
+    (sources/warc.py::write_warc/read_warc — stdlib gzip,
+    member-per-record layout à la Common Crawl, microsecond WARC-Date,
+    content-hashed idempotent shards): documents dress up as fetched
+    pages (url from source+doc_id, warc_ts from doc_id, html = utf-8
+    text), ride through ``.warc.gz`` shards, and the per-source
+    aggregates over the RE-READ records — including the min/max
+    timestamps recovered from WARC-Date headers — must match the
+    parquet oracle."""
+    import os as _os
+
+    from web_graph_ray.sources.warc import read_warc, write_warc
+
+    def dress(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://{s}.example/doc/{d}"
+            for s, d in zip(t["source"].to_pylist(), did)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(did * 1_000_003 + 7, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "html": pa.array(
+                    [s.encode() for s in t["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    out_dir = (
+        f"/tmp/wgr_warc_docs_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    pages = _t(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        dress, batch_format="pyarrow"
+    )
+    write_warc(pages, out_dir)
+    back = read_warc(out_dir)
+
+    def agg(t: pa.Table) -> pd.DataFrame:
+        us = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                # host label between "https://" and ".example"
+                "source": [u[8 : u.index(".example")] for u in
+                           t["url"].to_pylist()],
+                "n": 1,
+                "text_bytes": [len(b) for b in t["html"].to_pylist()],
+                "min_us": us,
+                "max_us": us,
+            }
+        )
+        return g.groupby("source", as_index=False).agg(
+            n=("n", "sum"), text_bytes=("text_bytes", "sum"),
+            min_us=("min_us", "min"), max_us=("max_us", "max"),
+        )
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    m = (
+        parts.groupby("source", as_index=False)
+        .agg(n=("n", "sum"), text_bytes=("text_bytes", "sum"),
+             min_us=("min_us", "min"), max_us=("max_us", "max"))
+        .sort_values("source")
+    )
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "n": m["n"].astype("int64"),
+            "text_bytes": m["text_bytes"].astype("int64"),
+            "min_us": m["min_us"].astype("int64"),
+            "max_us": m["max_us"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def holt_forecast_daily_events(sf_dir: str):
     """Holt double-exponential smoothing (level + trend, α=0.5, β=0.3)
     over the daily value series, forecasting 7 days past the horizon:
@@ -10791,7 +10868,7 @@ def cramers_v_events(sf_dir: str):
     )
 
 
-def embedding_covariance(sf_dir: str):
+def embedding_covariance_exact(sf_dir: str):
     """Distributed d×d covariance of the embedding matrix — the
     whitening / PCA front half: each block folds the EXACT integer
     Gram matrix Xᵀ6·X6 and column sums of e-6-quantized coordinates
@@ -11650,12 +11727,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_events": winsorized_mean_events,
         "mad_outliers_events": mad_outliers_events,
         "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
+        "warc_roundtrip_documents": warc_roundtrip_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
         "journey_paths_users": journey_paths_users,
         "cramers_v_events": cramers_v_events,
-        "embedding_covariance": embedding_covariance,
+        "embedding_covariance_exact": embedding_covariance_exact,
         "schema_evolution_documents": schema_evolution_documents,
         "runs_test_daily_events": runs_test_daily_events,
         "kendall_tau_daily_events": kendall_tau_daily_events,
@@ -15363,6 +15441,13 @@ def oracle_sql() -> dict[str, str]:
                    max(doc_id)::bigint as max_doc_id
             from documents group by source order by source
         """,
+        "warc_roundtrip_documents": """
+            select source, count(*)::bigint as n,
+                   sum(strlen(text))::bigint as text_bytes,
+                   min(doc_id * 1000003 + 7)::bigint as min_us,
+                   max(doc_id * 1000003 + 7)::bigint as max_us
+            from documents group by source order by source
+        """,
         "holt_forecast_daily_events": """
             with recursive o as (
               select row_number() over (order by d) i,
@@ -15467,7 +15552,7 @@ def oracle_sql() -> dict[str, str]:
                      as cramers_v
             from x, dims
         """,
-        "embedding_covariance": """
+        "embedding_covariance_exact": """
             with u as (
               select vec_id, (t.i - 1)::bigint i,
                      round(list_extract(embedding, t.i) * 1000000)::bigint v
