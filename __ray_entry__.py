@@ -10638,6 +10638,75 @@ def warc_roundtrip_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def sitemap_roundtrip_documents(sf_dir: str):
+    """Sitemap-protocol sink → source fidelity
+    (sources/sitemap.py::write_sitemaps/read_sitemaps — per-host
+    <urlset> shards via ONE host groupby, 50k-URL protocol cap,
+    sitemapindex when sharded, W3C lastmod codec): documents dress up
+    as pages (one host per source), ride through sitemap XML, and the
+    per-host aggregates over the RE-READ frontier seeds — including
+    min/max lastmod recovered from the XML, second-truncated by the
+    protocol — must match the parquet oracle."""
+    import os as _os
+
+    from web_graph_ray.sources.sitemap import read_sitemaps, write_sitemaps
+
+    def dress(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://{s}.example/doc/{d}"
+            for s, d in zip(t["source"].to_pylist(), did)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(did * 1_000_003 + 7, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+            }
+        )
+
+    out_dir = (
+        f"/tmp/wgr_sitemap_docs_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    pages = _t(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        dress, batch_format="pyarrow"
+    )
+    write_sitemaps(pages, out_dir)
+    back = read_sitemaps(out_dir)
+
+    def agg(t: pa.Table) -> pd.DataFrame:
+        us = t["lastmod_us"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame(
+            {
+                "source": [u[8 : u.index(".example")] for u in
+                           t["url"].to_pylist()],
+                "n": 1,
+                "min_us": us,
+                "max_us": us,
+            }
+        )
+        return g.groupby("source", as_index=False).agg(
+            n=("n", "sum"), min_us=("min_us", "min"), max_us=("max_us", "max")
+        )
+
+    parts = back.map_batches(agg, batch_format="pyarrow").to_pandas()
+    m = (
+        parts.groupby("source", as_index=False)
+        .agg(n=("n", "sum"), min_us=("min_us", "min"),
+             max_us=("max_us", "max"))
+        .sort_values("source")
+    )
+    return pd.DataFrame(
+        {
+            "source": m["source"].to_numpy(),
+            "n": m["n"].astype("int64"),
+            "min_us": m["min_us"].astype("int64"),
+            "max_us": m["max_us"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
 def holt_forecast_daily_events(sf_dir: str):
     """Holt double-exponential smoothing (level + trend, α=0.5, β=0.3)
     over the daily value series, forecasting 7 days past the horizon:
@@ -11728,6 +11797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": mad_outliers_events,
         "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
         "warc_roundtrip_documents": warc_roundtrip_documents,
+        "sitemap_roundtrip_documents": sitemap_roundtrip_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
@@ -15446,6 +15516,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(strlen(text))::bigint as text_bytes,
                    min(doc_id * 1000003 + 7)::bigint as min_us,
                    max(doc_id * 1000003 + 7)::bigint as max_us
+            from documents group by source order by source
+        """,
+        "sitemap_roundtrip_documents": """
+            select source, count(*)::bigint as n,
+                   min((doc_id * 1000003 + 7) // 1000000
+                       * 1000000)::bigint as min_us,
+                   max((doc_id * 1000003 + 7) // 1000000
+                       * 1000000)::bigint as max_us
             from documents group by source order by source
         """,
         "holt_forecast_daily_events": """
