@@ -10638,6 +10638,79 @@ def warc_roundtrip_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def warc_cdx_lookup_documents(sf_dir: str):
+    """CDX-indexed WARC point lookups (sources/warc.py::write_warc
+    cdx=True / read_cdx / read_warc_record): the sink derives a
+    Parquet ``url -> (shard, offset, length)`` sidecar from the same
+    gzip member list as the shard bytes, then every ~97th document is
+    served by seek-and-inflate of EXACTLY ONE record — O(record) I/O
+    regardless of shard or corpus size, the Common-Crawl serving
+    pattern.  Returns (doc_id, us, text_bytes) per looked-up record;
+    the probe set is bounded (n/97 rows) so the driver-side lookup
+    loop is O(probes), mirroring the indexed-serving QUERY_LIMIT
+    convention."""
+    import os as _os
+
+    from web_graph_ray.sources.warc import (
+        read_cdx,
+        read_warc_record,
+        write_warc,
+    )
+
+    def dress(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"https://{s}.example/doc/{d}"
+            for s, d in zip(t["source"].to_pylist(), did)
+        ]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(did * 1_000_003 + 7, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "html": pa.array(
+                    [s.encode() for s in t["text"].to_pylist()], pa.binary()
+                ),
+            }
+        )
+
+    out_dir = (
+        f"/tmp/wgr_warc_cdx_{_os.path.basename(_os.path.normpath(sf_dir))}"
+    )
+    pages = _t(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        dress, batch_format="pyarrow"
+    )
+    write_warc(pages, out_dir, cdx=True)
+
+    def probe_set(t: pa.Table) -> pa.Table:
+        did = np.array(
+            [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()],
+            dtype="int64",
+        )
+        return t.filter(pa.array(did % 97 == 0))
+
+    probes = (
+        read_cdx(out_dir)
+        .map_batches(probe_set, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = []
+    for row in probes.itertuples():
+        url, us, payload = read_warc_record(
+            out_dir, row.shard, int(row.offset), int(row.length)
+        )
+        out.append(
+            (int(url.rsplit("/", 1)[1]), us, len(payload))
+        )
+    return (
+        pd.DataFrame(out, columns=["doc_id", "us", "text_bytes"])
+        .astype("int64")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def sitemap_roundtrip_documents(sf_dir: str):
     """Sitemap-protocol sink → source fidelity
     (sources/sitemap.py::write_sitemaps/read_sitemaps — per-host
@@ -11798,6 +11871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip_documents": tfrecord_roundtrip_documents,
         "warc_roundtrip_documents": warc_roundtrip_documents,
         "sitemap_roundtrip_documents": sitemap_roundtrip_documents,
+        "warc_cdx_lookup_documents": warc_cdx_lookup_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
@@ -15517,6 +15591,11 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id * 1000003 + 7)::bigint as min_us,
                    max(doc_id * 1000003 + 7)::bigint as max_us
             from documents group by source order by source
+        """,
+        "warc_cdx_lookup_documents": """
+            select doc_id, (doc_id * 1000003 + 7)::bigint as us,
+                   strlen(text)::bigint as text_bytes
+            from documents where doc_id % 97 = 0 order by doc_id
         """,
         "sitemap_roundtrip_documents": """
             select source, count(*)::bigint as n,

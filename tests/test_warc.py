@@ -16,7 +16,9 @@ from web_graph_ray.sources.warc import (
     _warc_date,
     encode_warc_gz,
     parse_warc_gz,
+    read_cdx,
     read_warc,
+    read_warc_record,
     write_warc,
 )
 
@@ -110,6 +112,38 @@ def test_write_read_distributed_roundtrip(ray_session, tmp_path):
     assert back["url"].tolist() == exp["url"].tolist()
     assert back["warc_ts"].tolist() == exp["warc_ts"].tolist()
     assert [bytes(b) for b in back["html"]] == [bytes(b) for b in exp["html"]]
+
+
+def test_cdx_point_lookup(ray_session, tmp_path):
+    t = pa.table(
+        {
+            "url": [f"https://h{i % 3}.example/p/{i}" for i in range(30)],
+            "warc_ts": pa.array(
+                [1_700_000_000_000_000 + i for i in range(30)], pa.int64()
+            ).cast(pa.timestamp("us")),
+            "html": [b"<html>%d</html>" % i for i in range(30)],
+        }
+    )
+    out = str(tmp_path / "warc")
+    write_warc(ray.data.from_arrow(t).repartition(3), out, cdx=True)
+    idx = read_cdx(out).to_pandas()
+    assert len(idx) == 30
+    # every record is point-readable via its (shard, offset, length)
+    for row in idx.sample(8, random_state=0).itertuples():
+        url, us, payload = read_warc_record(
+            out, row.shard, row.offset, row.length
+        )
+        assert url == row.url
+        i = int(url.rsplit("/", 1)[1])
+        assert payload == b"<html>%d</html>" % i
+        assert us == 1_700_000_000_000_000 + i
+    # cdx sidecar does not pollute the full-scan source
+    assert read_warc(out).count() == 30
+    # a misaligned seek is rejected, not silently misparsed
+    r0 = idx.iloc[0]
+    with pytest.raises(ValueError):
+        read_warc_record(out, r0["shard"], int(r0["offset"]) + 1,
+                         int(r0["length"]))
 
 
 def test_write_idempotent_rerun(ray_session, tmp_path):

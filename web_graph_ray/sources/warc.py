@@ -48,7 +48,14 @@ import shutil
 
 import pyarrow as pa
 
-__all__ = ["write_warc", "read_warc", "encode_warc_gz", "parse_warc_gz"]
+__all__ = [
+    "write_warc",
+    "read_warc",
+    "encode_warc_gz",
+    "parse_warc_gz",
+    "read_cdx",
+    "read_warc_record",
+]
 
 _SOFTWARE = b"web_graph_ray-warc/1.0"
 _CRLF = b"\r\n"
@@ -118,6 +125,15 @@ def encode_warc_gz(
     ``.warc.gz`` byte string: one ``warcinfo`` member, then one
     ``response`` member per row.  ``mtime=0`` pins the gzip header so
     output is byte-deterministic."""
+    return b"".join(_gz_members(rows, shard_tag))
+
+
+def _gz_members(
+    rows: list[tuple[str, int, bytes]], shard_tag: bytes = b""
+) -> list[bytes]:
+    """The shard's gzip members in order (warcinfo first) — the
+    indexed writer derives CDX ``(offset, length)`` pairs from these
+    lengths, so the member list IS the index's source of truth."""
     info_payload = (
         b"software: " + _SOFTWARE + _CRLF + b"format: WARC File Format 1.1"
         + _CRLF
@@ -156,7 +172,7 @@ def encode_warc_gz(
                 mtime=0,
             )
         )
-    return b"".join(out)
+    return out
 
 
 def parse_warc_gz(blob: bytes) -> tuple[list[str], list[int], list[bytes]]:
@@ -208,25 +224,31 @@ def write_warc(
     ts_col: str = "warc_ts",
     payload_col: str = "html",
     clean: bool = True,
+    cdx: bool = False,
 ) -> str:
     """Distributed WARC sink: one content-hash-named ``.warc.gz`` shard
-    per block, tmp+rename atomic, member-per-record layout."""
+    per block, tmp+rename atomic, member-per-record layout.  With
+    ``cdx=True`` each shard also writes a Parquet CDX sidecar under
+    ``cdx/`` mapping ``url -> (shard, offset, length, warc_ts)`` so
+    :func:`read_warc_record` can seek-and-inflate exactly one record —
+    the Common-Crawl serving pattern.  The sidecar is derived from the
+    same member list as the shard bytes, so it cannot drift."""
     if clean and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    if cdx:
+        os.makedirs(os.path.join(out_dir, "cdx"), exist_ok=True)
 
     def w(t: "pa.Table") -> "pa.Table":
+        import pyarrow.parquet as pq
+
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.int64())
-        rows = list(
-            zip(
-                t[url_col].to_pylist(),
-                ts.to_pylist(),
-                t[payload_col].to_pylist(),
-            )
-        )
-        blob = encode_warc_gz(rows)
+        tss = ts.to_pylist()
+        rows = list(zip(t[url_col].to_pylist(), tss, t[payload_col].to_pylist()))
+        members = _gz_members(rows)
+        blob = b"".join(members)
         name = hashlib.sha1(blob).hexdigest()[:24]
         final = os.path.join(out_dir, f"{name}.warc.gz")
         if not os.path.exists(final):  # idempotent re-run
@@ -234,10 +256,55 @@ def write_warc(
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, final)
+        if cdx:
+            # member 0 is warcinfo; record i lives at member i+1
+            offs, at = [], len(members[0])
+            for m in members[1:]:
+                offs.append(at)
+                at += len(m)
+            idx = pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    ts_col: pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                    "shard": pa.array([f"{name}.warc.gz"] * len(rows)),
+                    "offset": pa.array(offs, pa.int64()),
+                    "length": pa.array(
+                        [len(m) for m in members[1:]], pa.int64()
+                    ),
+                }
+            )
+            cdx_final = os.path.join(out_dir, "cdx", f"{name}.parquet")
+            if not os.path.exists(cdx_final):
+                tmp = cdx_final + f".tmp.{os.getpid()}"
+                pq.write_table(idx, tmp)
+                os.replace(tmp, cdx_final)
         return pa.table({"path": [final], "rows": [len(rows)]})
 
     ds.map_batches(w, batch_format="pyarrow").materialize()
     return out_dir
+
+
+def read_cdx(out_dir: str):
+    """The CDX sidecar as a Dataset of
+    ``(url, warc_ts, shard, offset, length)`` rows."""
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(out_dir, "cdx"))
+
+
+def read_warc_record(
+    out_dir: str, shard: str, offset: int, length: int
+) -> tuple[str, int, bytes]:
+    """Point lookup: seek to one gzip member inside a shard, inflate
+    only it, return ``(url, epoch_us, payload)``.  O(record) I/O no
+    matter how large the shard or corpus — the CDX serving path."""
+    with open(os.path.join(out_dir, shard), "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    urls, tss, payloads = parse_warc_gz(blob)
+    if len(urls) != 1:
+        raise ValueError("cdx: (offset, length) did not span one record")
+    return urls[0], tss[0], payloads[0]
 
 
 def read_warc(path: str, ts_col: str = "warc_ts"):
@@ -264,6 +331,6 @@ def read_warc(path: str, ts_col: str = "warc_ts"):
             }
         )
 
-    return ray.data.read_binary_files(path).map_batches(
+    return ray.data.read_binary_files(path, file_extensions=["gz"]).map_batches(
         parse, batch_format="pyarrow"
     )
