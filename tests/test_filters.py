@@ -154,3 +154,42 @@ Disallow:
         r = RobotsRules({"h": ["/a/", "/b/"]})
         assert not r.is_allowed("h", "/a/x")
         assert r.is_allowed("h", "/c/")
+
+
+class TestSitemapDirectives:
+    """robots.txt Sitemap: lines (RFC 9309 §2.3) — host-wide,
+    group-independent, order-preserving dedup; feeds
+    sources.sitemap.parse_sitemap."""
+
+    def test_collects_across_groups(self):
+        from web_graph_ray.state.politeness import (
+            parse_robots,
+            parse_sitemap_directives,
+        )
+
+        body = """
+User-agent: a
+Disallow: /x/
+Sitemap: https://h.example/sitemap-1.xml   # trailing comment
+User-agent: b
+Sitemap: https://h.example/sitemap-2.xml
+Sitemap: https://h.example/sitemap-1.xml
+Sitemap:
+"""
+        assert parse_sitemap_directives(body) == [
+            "https://h.example/sitemap-1.xml",
+            "https://h.example/sitemap-2.xml",
+        ]
+        # group parsing is untouched by the sitemap lines
+        assert parse_robots(body, "a") == [[False, "/x/"]]
+
+    def test_roundtrip_into_sitemap_parser(self):
+        from web_graph_ray.sources.sitemap import encode_urlset, parse_sitemap
+        from web_graph_ray.state.politeness import parse_sitemap_directives
+
+        urls = parse_sitemap_directives("Sitemap: https://h.example/s.xml")
+        assert urls == ["https://h.example/s.xml"]
+        kind, got, _ = parse_sitemap(
+            encode_urlset([("https://h.example/p/1", None)])
+        )
+        assert kind == "urlset" and got == ["https://h.example/p/1"]

@@ -24,7 +24,33 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-__all__ = ["parse_robots", "parse_robots_groups", "RobotsRules", "load_robots_rules"]
+__all__ = [
+    "parse_robots",
+    "parse_robots_groups",
+    "parse_sitemap_directives",
+    "RobotsRules",
+    "load_robots_rules",
+]
+
+
+def parse_sitemap_directives(body: str) -> list[str]:
+    """``Sitemap:`` lines from a robots.txt body (RFC 9309 §2.3 /
+    sitemaps.org): host-wide and group-independent, so they are
+    collected separately from the Allow/Disallow groups — in file
+    order, deduped preserving first occurrence.  The returned absolute
+    URLs are crawl seeds: fetch each and hand the bytes to
+    ``sources.sitemap.parse_sitemap`` (or a shard directory to
+    ``read_sitemaps``) to expand into frontier rows."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw_line in body.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        key, _, value = line.partition(":")
+        value = value.strip()
+        if key.strip().lower() == "sitemap" and value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
 
 
 def parse_robots_groups(body: str) -> dict[str, list[list]]:
