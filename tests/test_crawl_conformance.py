@@ -228,6 +228,21 @@ class TestPoliteness:
         assert_conformance(eng, res)
 
 
+class TestCuckooGate:
+    """seen_gate='cuckoo' must be output-identical to the Bloom default:
+    either gate only short-circuits DEFINITELY-novel ids and defers all
+    maybes to the exact probe (state/seen.py contract)."""
+
+    def test_conformance(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
+        eng = make_engine(
+            corpus_path, tmp_path_factory.mktemp("cuckoo"),
+            respect_robots=False, seen_gate="cuckoo",
+        )
+        eng.run(seeds)
+        res = run_oracle(corpus_table, seeds)
+        assert_conformance(eng, res)
+
+
 class TestPriorityQueue:
     def test_deep_first_with_politeness(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):
         """Non-FIFO priority ordering: deeper pages admitted first when

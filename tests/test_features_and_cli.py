@@ -101,6 +101,90 @@ class TestBloom:
         assert load_bloom(str(tmp_path), 99) == (None, -1)
 
 
+class TestCuckoo:
+    @staticmethod
+    def _ids(lo, hi):
+        import hashlib
+
+        return [hashlib.sha1(str(i).encode()).hexdigest() for i in range(lo, hi)]
+
+    def test_no_false_negatives_and_low_fp(self):
+        from web_graph_ray.state.seen import CuckooFilter
+
+        ids = self._ids(0, 30000)
+        cf = CuckooFilter.sized_for(15000)
+        cf.add_many(ids[:15000])
+        assert cf.contains_many(ids[:15000]).all()  # never a false negative
+        # 16-bit fingerprints, 2 buckets × 4 slots ⇒ fp rate ≈ 8/2^16
+        assert cf.contains_many(ids[15000:]).mean() < 0.01
+
+    def test_delete_restores_novelty(self):
+        from web_graph_ray.state.seen import CuckooFilter
+
+        ids = self._ids(0, 5000)
+        cf = CuckooFilter.sized_for(5000)
+        cf.add_many(ids)
+        expired, kept = ids[:2000], ids[2000:]
+        assert cf.delete_many(expired) == 2000
+        assert cf.contains_many(kept).all()  # survivors still gated
+        # expired ids read as novel again (minus residual fp collisions)
+        assert cf.contains_many(expired).mean() < 0.01
+        assert cf.count == 3000
+
+    def test_stash_never_drops_and_overfull(self):
+        from web_graph_ray.state.seen import CuckooFilter
+
+        ids = self._ids(0, 9000)
+        cf = CuckooFilter(1 << 11)  # 8192 slots ⇒ forced past 95% load
+        cf.add_many(ids)
+        assert cf.contains_many(ids).all()  # stash preserves every insert
+        assert cf.overfull  # caller regrows, exactly like the Bloom path
+
+    def test_gate_roundtrip_and_kind_sniffing(self, tmp_path):
+        from web_graph_ray.state.seen import (
+            BloomFilter, CuckooFilter, load_gate, make_gate, save_gate,
+        )
+
+        ids = self._ids(0, 4000)
+        cf = make_gate("cuckoo", 4000)
+        assert isinstance(cf, CuckooFilter)
+        cf.add_many(ids)
+        save_gate(str(tmp_path), 3, cf, through_round=7)
+        loaded, through = load_gate(str(tmp_path), 3)
+        assert isinstance(loaded, CuckooFilter) and through == 7
+        assert loaded.contains_many(ids).all()
+        assert (loaded.table == cf.table).all() and loaded.count == cf.count
+
+        bf = make_gate("bloom", 4000)
+        assert isinstance(bf, BloomFilter)
+        bf.add_many(ids)
+        save_gate(str(tmp_path), 4, bf, through_round=9)
+        loaded2, through2 = load_gate(str(tmp_path), 4)
+        assert isinstance(loaded2, BloomFilter) and through2 == 9
+        assert loaded2.contains_many(ids).all()
+        assert load_gate(str(tmp_path), 99) == (None, -1)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            make_gate("quotient", 100)
+
+    def test_deterministic_across_construction(self):
+        """Same ids ⇒ identical lookups regardless of insert grouping —
+        the sidecar must be a deterministic function of the id set for
+        crash-rerun overwrites to be byte-safe reads."""
+        from web_graph_ray.state.seen import CuckooFilter
+
+        ids = self._ids(0, 6000)
+        a = CuckooFilter.sized_for(6000)
+        a.add_many(ids)
+        b = CuckooFilter.sized_for(6000)
+        for k in range(0, 6000, 500):
+            b.add_many(ids[k : k + 500])
+        probe = self._ids(6000, 12000)
+        assert (a.contains_many(probe) == b.contains_many(probe)).all()
+
+
 class TestEnrichment:
     def test_extract_emitter_features(self):
         import pyarrow as pa

@@ -47,6 +47,12 @@ class CrawlConfig:
     #: rounds old is treated as unseen and re-enqueued.  None = ∞
     #: horizon (never re-crawl — the deterministic default).
     seen_ttl_rounds: int | None = None
+    #: negative gate for the seen-set probe: "bloom" (default) or
+    #: "cuckoo" (partial-key cuckoo filter, Fan et al. 2014 — same
+    #: no-false-negative contract plus in-place deletion; state/seen.py).
+    #: Exactness-neutral either way: the gate only short-circuits
+    #: DEFINITELY-novel ids; maybe-seen ids are probed exactly.
+    seen_gate: str = "bloom"
     #: compute per-page curation features (lang ID, quality metrics,
     #: simhash fingerprint) on extracted text — the training-data
     #: enrichment a 100 TB pipeline runs inline with the crawl

@@ -253,6 +253,7 @@ def make_prober(
     work: str, rnd: int, priority_mode: str = "fifo",
     seen_ttl_rounds: int | None = None,
     num_buckets: int = 0,
+    seen_gate: str = "bloom",
 ):
     """Frontier-construction task for one target bucket: within-round
     first-wins dedup by candidate_seq, then exact anti-join against the
@@ -317,7 +318,7 @@ def make_prober(
             )
             cand_ids = df["to_page_id"].tolist()
 
-            from ..state.seen import BloomFilter, load_bloom, save_bloom
+            from ..state.seen import load_gate, make_gate, save_gate
 
             if seen_ttl_rounds is not None:
                 # TTL horizon: seen = membership (novel ∪ deferred) in the
@@ -379,13 +380,18 @@ def make_prober(
                 _emit_novel(novel, bucket, res, link_rows)
                 continue
 
-            bloom, bloom_r = load_bloom(work, bucket)
-            if bloom is not None and bloom_r >= rnd:
-                # Bloom pre-filter (complete through this round): False ⇒
+            from ..state.seen import BloomFilter, CuckooFilter
+
+            gate, gate_r = load_gate(work, bucket)
+            want_cls = CuckooFilter if seen_gate == "cuckoo" else BloomFilter
+            if gate is not None and not isinstance(gate, want_cls):
+                gate = None  # kind switched mid-crawl: regrow from exact set
+            if gate is not None and gate_r >= rnd:
+                # Gate pre-filter (complete through this round): False ⇒
                 # DEFINITELY novel; True ⇒ check exactly, reading ONLY the
                 # maybe-seen ids from the sorted snapshot (row-group
                 # pruning) + the post-snapshot delta files.
-                maybe = bloom.contains_many(cand_ids)
+                maybe = gate.contains_many(cand_ids)
                 need = [i for i, m in zip(cand_ids, maybe) if m]
                 seen: set[str] = set()
                 if need:
@@ -412,8 +418,8 @@ def make_prober(
             else:
                 enq, comp_r = _read_enqueued(work, bucket, rnd)
                 novel = df[~df["to_page_id"].isin(enq)]
-                bloom = BloomFilter.sized_for(max(4096, 2 * (len(enq) + len(novel))))
-                bloom.add_many(list(enq))
+                gate = make_gate(seen_gate, max(4096, 2 * (len(enq) + len(novel))))
+                gate.add_many(list(enq))
 
             if rnd - comp_r >= COMPACT_EVERY:
                 # fold the delta tail into a fresh snapshot (deterministic,
@@ -424,17 +430,17 @@ def make_prober(
                     pa.Table.from_pydict({"page_id": pa.array(sorted(enq))}),
                     os.path.join(work, "enqueued", f"bucket={bucket:04d}.through={rnd:06d}.parquet"),
                 )
-            # keep the bloom complete through round rnd+1 (this round's
+            # keep the gate complete through round rnd+1 (this round's
             # novel discoveries included); regrow from the exact set when
             # past design fill
             novel_ids = novel["to_page_id"].tolist()
-            bloom.add_many(novel_ids)
-            if bloom.overfull:
+            gate.add_many(novel_ids)
+            if gate.overfull:
                 if enq is None:
                     enq, _ = _read_enqueued(work, bucket, rnd)
-                bloom = BloomFilter.sized_for(2 * (len(enq) + len(novel_ids)))
-                bloom.add_many(list(enq) + novel_ids)
-            save_bloom(work, bucket, bloom, rnd + 1)
+                gate = make_gate(seen_gate, 2 * (len(enq) + len(novel_ids)))
+                gate.add_many(list(enq) + novel_ids)
+            save_gate(work, bucket, gate, rnd + 1)
             _emit_novel(novel, bucket, res, link_rows)
         return pa.Table.from_pydict(res)
 
@@ -857,7 +863,7 @@ class CrawlEngine:
             # per-execution startup would dominate at ~2 executions/round.
             probe = make_prober(
                 self.work, rnd, self.cfg.priority_mode, self.cfg.seen_ttl_rounds,
-                self.cfg.num_buckets,
+                self.cfg.num_buckets, self.cfg.seen_gate,
             )
             futures = [
                 _PROBE_TASK.remote(probe, p["bucket"], p["dir"]) for p in link_parts

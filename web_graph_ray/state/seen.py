@@ -24,7 +24,16 @@ import os
 
 import numpy as np
 
-__all__ = ["BloomFilter", "bloom_path", "load_bloom", "save_bloom"]
+__all__ = [
+    "BloomFilter",
+    "CuckooFilter",
+    "bloom_path",
+    "load_bloom",
+    "save_bloom",
+    "make_gate",
+    "load_gate",
+    "save_gate",
+]
 
 _K = 7  # hash functions
 
@@ -72,8 +81,224 @@ class BloomFilter:
         return self.count * 16 > self.nbits  # past design fill → regrow
 
 
+class CuckooFilter:
+    """Partial-key cuckoo filter (Fan et al., CoNEXT 2014) — the
+    north_rule's named alternative to the Bloom gate.  Same contract:
+    ``contains_many`` False means DEFINITELY novel (exactness preserved
+    by the downstream exact set), True means probe exactly.  What the
+    Bloom can't do and this can: ``delete_many`` — a TTL horizon can
+    retire expired ids from the gate in place instead of rebuilding or
+    carrying sidecar churn.
+
+    Layout: ``nbuckets × 4`` slots of 16-bit fingerprints (0 = empty;
+    fingerprints are forced nonzero), ~18.1 bits/key at the standard
+    95% target load.  As with the Bloom, hashing is free: page_ids ARE
+    sha1 hex digests, so the fingerprint and primary index are disjoint
+    64-bit slices of the id and the alternate index is the standard
+    ``i ^ hash(fp)`` partial-key kick — deterministic, seed-free,
+    stable across processes.  Evicted fingerprints that exceed the kick
+    budget land in a small stash (checked by lookups), so the filter
+    NEVER drops an inserted key; a non-empty stash or 95% load reports
+    ``overfull`` and the caller regrows exactly like the Bloom path.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+    _MIX = np.uint64(0x5BD1E995)  # fp -> alt-index mix (odd constant)
+
+    def __init__(
+        self,
+        nbuckets: int,
+        table: np.ndarray | None = None,
+        stash: np.ndarray | None = None,
+        count: int = 0,
+    ):
+        assert nbuckets & (nbuckets - 1) == 0, "nbuckets must be a power of two"
+        self.nbuckets = nbuckets
+        self.table = (
+            table if table is not None
+            else np.zeros((nbuckets, self.SLOTS), dtype=np.uint16)
+        )
+        # stash rows: (index, fingerprint) pairs that exceeded the kick
+        # budget — bounded small; non-empty => overfull => regrow
+        self.stash = (
+            stash if stash is not None else np.empty((0, 2), dtype=np.uint64)
+        )
+        self.count = count
+
+    @staticmethod
+    def sized_for(n_ids: int) -> "CuckooFilter":
+        """Buckets for ≤95% load at n_ids keys, power of two, min 2^11."""
+        need = max(1, int(np.ceil(n_ids / (CuckooFilter.SLOTS * 0.95))))
+        nbuckets = 1 << max(11, int(np.ceil(np.log2(need))))
+        return CuckooFilter(nbuckets)
+
+    def _fp_idx(self, ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """(fingerprints, primary indexes) from the sha1-hex ids."""
+        if not ids:
+            return (np.empty(0, dtype=np.uint64),) * 2
+        fp = np.array([int(i[32:36], 16) for i in ids], dtype=np.uint64)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        h1 = np.array([int(i[0:16], 16) for i in ids], dtype=np.uint64)
+        return fp, h1 & np.uint64(self.nbuckets - 1)
+
+    def _alt(self, idx, fp):
+        with np.errstate(over="ignore"):
+            return (idx ^ (fp * self._MIX)) & np.uint64(self.nbuckets - 1)
+
+    def add_many(self, ids: list[str]) -> None:
+        fps, idxs = self._fp_idx(ids)
+        stash_new: list[tuple[int, int]] = []
+        t = self.table
+        for fp, i1 in zip(fps.tolist(), idxs.tolist()):
+            placed = False
+            for idx in (i1, int(self._alt(np.uint64(i1), np.uint64(fp)))):
+                row = t[idx]
+                for s in range(self.SLOTS):
+                    if row[s] == 0:
+                        row[s] = fp
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                continue
+            # evict: deterministic kick path (slot chosen by kick count)
+            idx, cur = i1, fp
+            for kick in range(self.MAX_KICKS):
+                s = (cur + kick) % self.SLOTS
+                cur, t[idx][s] = int(t[idx][s]), cur
+                idx = int(self._alt(np.uint64(idx), np.uint64(cur)))
+                row = t[idx]
+                placed = False
+                for s2 in range(self.SLOTS):
+                    if row[s2] == 0:
+                        row[s2] = cur
+                        placed = True
+                        break
+                if placed:
+                    break
+            else:
+                stash_new.append((idx, cur))
+        if stash_new:
+            self.stash = np.concatenate(
+                [self.stash, np.array(stash_new, dtype=np.uint64)]
+            )
+        self.count += len(ids)
+
+    def contains_many(self, ids: list[str]) -> np.ndarray:
+        """True = maybe seen, False = DEFINITELY novel (stash included)."""
+        fps, i1 = self._fp_idx(ids)
+        if not len(fps):
+            return np.zeros(0, dtype=bool)
+        i2 = self._alt(i1, fps)
+        hit = (self.table[i1.astype(np.int64)] == fps[:, None].astype(np.uint16)).any(axis=1)
+        hit |= (self.table[i2.astype(np.int64)] == fps[:, None].astype(np.uint16)).any(axis=1)
+        if len(self.stash):
+            sfp = self.stash[:, 1]
+            si = self.stash[:, 0]
+            salt = self._alt(si, sfp)
+            for k in range(len(sfp)):
+                m = (fps == sfp[k]) & ((i1 == si[k]) | (i2 == si[k])
+                                       | (i1 == salt[k]) | (i2 == salt[k]))
+                hit |= m
+        return hit
+
+    def delete_many(self, ids: list[str]) -> int:
+        """Remove ONE fingerprint copy per id (cuckoo deletion is only
+        sound for ids that were actually inserted — the TTL caller
+        retires exactly the expired members).  Returns #removed."""
+        fps, i1s = self._fp_idx(ids)
+        removed = 0
+        t = self.table
+        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
+            done = False
+            for idx in (i1, int(self._alt(np.uint64(i1), np.uint64(fp)))):
+                row = t[idx]
+                for s in range(self.SLOTS):
+                    if row[s] == fp:
+                        row[s] = 0
+                        removed += 1
+                        done = True
+                        break
+                if done:
+                    break
+            if not done and len(self.stash):
+                i2 = int(self._alt(np.uint64(i1), np.uint64(fp)))
+                m = (self.stash[:, 1] == fp) & (
+                    (self.stash[:, 0] == i1) | (self.stash[:, 0] == i2)
+                )
+                if m.any():
+                    # drop one matching stash row (same fp AND bucket pair)
+                    drop = int(np.flatnonzero(m)[0])
+                    self.stash = np.delete(self.stash, drop, axis=0)
+                    removed += 1
+                    done = True
+            if done:
+                self.count -= 1
+        return removed
+
+    @property
+    def overfull(self) -> bool:
+        return (
+            len(self.stash) > 0
+            or self.count > 0.95 * self.nbuckets * self.SLOTS
+        )
+
+
+def make_gate(kind: str, n_ids: int):
+    """Factory for the seen-set negative gate: 'bloom' | 'cuckoo'."""
+    if kind == "cuckoo":
+        return CuckooFilter.sized_for(n_ids)
+    if kind == "bloom":
+        return BloomFilter.sized_for(n_ids)
+    raise ValueError(f"unknown seen_gate kind: {kind!r}")
+
+
 def bloom_path(work: str, bucket: int) -> str:
     return os.path.join(work, "bloom", f"bucket={bucket:04d}.npz")
+
+
+def load_gate(work: str, bucket: int):
+    """Returns (gate, through_round) or (None, -1).  Kind-sniffing: a
+    sidecar with a ``table`` array is a cuckoo filter; the legacy
+    ``bits`` layout is a Bloom — so switching ``seen_gate`` mid-crawl
+    just regrows from the exact set on the first mismatched round."""
+    path = bloom_path(work, bucket)
+    if not os.path.exists(path):
+        return None, -1
+    with np.load(path) as z:
+        if "table" in z:
+            table = z["table"]
+            stash = z["stash"]
+            meta = z["meta"]  # [nbuckets, count, through_round]
+            return (
+                CuckooFilter(
+                    int(meta[0]), table=table, stash=stash.astype(np.uint64),
+                    count=int(meta[1]),
+                ),
+                int(meta[2]),
+            )
+        bits = z["bits"]
+        meta = z["meta"]  # [nbits, count, through_round]
+    return BloomFilter(int(meta[0]), bits=bits, count=int(meta[1])), int(meta[2])
+
+
+def save_gate(work: str, bucket: int, gate, through_round: int) -> None:
+    """Persist either gate kind atomically under the shared sidecar path."""
+    if isinstance(gate, BloomFilter):
+        save_bloom(work, bucket, gate, through_round)
+        return
+    path = bloom_path(work, bucket)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp.{os.getpid()}.npz"
+    np.savez(
+        tmp.removesuffix(".npz"),
+        table=gate.table,
+        stash=gate.stash,
+        meta=np.array([gate.nbuckets, gate.count, through_round], dtype=np.int64),
+    )
+    os.replace(tmp, path)
 
 
 def load_bloom(work: str, bucket: int) -> tuple[BloomFilter | None, int]:
