@@ -242,6 +242,21 @@ class TestCuckooGate:
         res = run_oracle(corpus_table, seeds)
         assert_conformance(eng, res)
 
+    def test_ttl_conformance(self, ray_session, tmp_path_factory):
+        """TTL horizon + cuckoo gate ≡ the oracle's last_member gate on
+        the re-crawl ring.  12 rounds crosses the COMPACT_EVERY=8
+        sidecar boundary, so the delta-maintained gate (delete exiting
+        round, add entering round) runs against BOTH the no-sidecar and
+        the compacted-sidecar exact backstop in one crawl."""
+        d = tmp_path_factory.mktemp("cuckoo_ttl")
+        path, table = TestSeenTTL._ring_corpus(d)
+        seeds = ["http://ring.test/p0.html"]
+        eng = make_engine(path, d, respect_robots=False, seen_ttl_rounds=3,
+                          max_rounds=12, seen_gate="cuckoo")
+        eng.run(seeds)
+        res = run_oracle(table, seeds, seen_ttl_rounds=3, max_rounds=12)
+        assert_conformance(eng, res)
+
 
 class TestPriorityQueue:
     def test_deep_first_with_politeness(self, ray_session, corpus_path, corpus_table, seeds, tmp_path_factory):

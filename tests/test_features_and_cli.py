@@ -169,6 +169,22 @@ class TestCuckoo:
         with _pytest.raises(ValueError):
             make_gate("quotient", 100)
 
+    def test_multicopy_add_delete(self):
+        """TTL-window semantics: one fingerprint copy per (id, active
+        round) — re-adding an id stacks a copy, each round-expiry delete
+        removes exactly one, and the id stays gated while ≥1 remains."""
+        from web_graph_ray.state.seen import CuckooFilter
+
+        pid = self._ids(0, 1)
+        cf = CuckooFilter.sized_for(100)
+        cf.add_many(pid)
+        cf.add_many(pid)  # active in two window rounds
+        assert cf.delete_many(pid) == 1
+        assert cf.contains_many(pid).all()  # second copy still gates
+        assert cf.delete_many(pid) == 1
+        assert not cf.contains_many(pid).any()
+        assert cf.count == 0
+
     def test_deterministic_across_construction(self):
         """Same ids ⇒ identical lookups regardless of insert grouping —
         the sidecar must be a deterministic function of the id set for

@@ -408,6 +408,140 @@ class TestTtlRollingSidecar:
         assert out6b["novel"] == out6["novel"]
 
 
+class TestTtlCuckooGate:
+    """TTL + cuckoo: the gate holds one fingerprint copy per (id,
+    active-round) in the window and advances by delete(exiting round) +
+    add(entering round) — O(delta) per bucket-round, with the exact
+    last-member sidecar rewritten only every COMPACT_EVERY rounds.  Gate
+    misses must touch NO exact state; the emitted frontier must be
+    byte-identical to the every-round-exact bloom TTL path."""
+
+    def test_delta_maintenance_reads_and_equivalence(self, tmp_path, monkeypatch):
+        import hashlib
+
+        import pyarrow.parquet as _pq
+
+        import web_graph_ray.pipelines.crawl as cr
+        from web_graph_ray.state.checkpoint import (
+            atomic_write_parquet,
+            bucket_file,
+            frontier_dirs,
+        )
+
+        H = lambda s: hashlib.sha1(s.encode()).hexdigest()
+        bucket, ttl = 0, 3
+
+        def write_frontier(work, rnd, names):
+            tbl = pa.Table.from_pydict(
+                {"page_id": pa.array([H(n) for n in names], type=pa.string())}
+            )
+            atomic_write_parquet(tbl, bucket_file(frontier_dirs(work, rnd)[0], bucket))
+
+        def cand_dir(d, names):
+            to = [H(n) for n in names]
+            atomic_write_parquet(
+                pa.Table.from_pydict(
+                    {
+                        "page_id": pa.array(["p"] * len(to)),
+                        "to_page_id": pa.array(to),
+                        "to_url": pa.array(["u"] * len(to)),
+                        "to_hostname": pa.array(["h"] * len(to)),
+                        "to_host": pa.array(["h"] * len(to)),
+                        "to_path": pa.array(["/"] * len(to)),
+                        "candidate_seq": pa.array([f"0.{i}" for i in range(len(to))]),
+                        "priority": pa.array([0] * len(to), type=pa.int64()),
+                    }
+                ),
+                str(d) + "/part.parquet",
+            )
+            return str(d)
+
+        work_c = str(tmp_path / "wc")  # cuckoo
+        work_b = str(tmp_path / "wb")  # bloom/exact twin
+        for w in (work_c, work_b):
+            for r in range(6):
+                write_frontier(w, r, [f"id{r}", "idX"])
+
+        reads: list[str] = []
+        orig = _pq.read_table
+
+        def counting(path, *a, **k):
+            if isinstance(path, str):
+                reads.append(path)
+            return orig(path, *a, **k)
+
+        monkeypatch.setattr(cr.pq, "read_table", counting)
+
+        def run_round(rnd, names):
+            """Probe the same candidates on both work dirs; next round's
+            manual frontier overwrite keeps the window pattern."""
+            cd = cand_dir(tmp_path / f"cand{rnd}", names)
+            pc_ = cr.make_prober(work_c, rnd, seen_ttl_rounds=ttl,
+                                 num_buckets=1, seen_gate="cuckoo")
+            reads.clear()
+            oc = cr._probe_one(pc_, bucket, cd)
+            seg = list(reads)
+            pb = cr.make_prober(work_b, rnd, seen_ttl_rounds=ttl, num_buckets=1)
+            ob = cr._probe_one(pb, bucket, cd)
+            assert oc["novel"] == ob["novel"], rnd
+            fc = bucket_file(frontier_dirs(work_c, rnd + 1)[0], bucket)
+            fb = bucket_file(frontier_dirs(work_b, rnd + 1)[0], bucket)
+            assert orig(fc).equals(orig(fb)), rnd  # byte-equal emissions
+            return oc, seg
+
+        # round 5: no gate yet — builds from the window files
+        out5, _ = run_round(5, ["id0", "id4", "new5"])
+        assert out5["novel"] == 2  # id0 expired (< lo=3); id4 in-window
+
+        # round 6: steady-state advance = delete round-3 + add round-6
+        # files; the in-window maybe (id5) scans delta files only (no
+        # sidecar exists before the COMPACT_EVERY boundary)
+        for w in (work_c, work_b):
+            write_frontier(w, 6, ["id6", "idX"])
+        out6, seg6 = run_round(6, ["id0", "id5", "new6"])
+        assert out6["novel"] == 2
+        front6 = {p for p in seg6 if "/frontier/" in p and work_c in p}
+        assert len(front6) <= 4, front6  # rounds 3,6 (advance) + 4,5 (scan)
+        assert not any("ttl_member" in p for p in seg6 if work_c in p)
+
+        # crash-rerun of round 6 with all-novel candidates: gate already
+        # advanced (through=6) ⇒ ZERO frontier reads, ZERO exact reads —
+        # the all-miss fast path touches nothing but the gate sidecar
+        cd = cand_dir(tmp_path / "cand6b", ["fresh1", "fresh2"])
+        p6c = cr.make_prober(work_c, 6, seen_ttl_rounds=ttl,
+                             num_buckets=1, seen_gate="cuckoo")
+        reads.clear()
+        out6c = cr._probe_one(p6c, bucket, cd)
+        assert out6c["novel"] == 2
+        assert not [p for p in reads if "/frontier/" in p and work_c in p]
+        assert not [p for p in reads if "ttl_member" in p and work_c in p]
+
+        # rounds 7–8 cross the COMPACT_EVERY=8 boundary: round 7 writes
+        # the exact sidecar (7 − (−1) = 8 rounds since any compaction)
+        for rnd in (7, 8):
+            for w in (work_c, work_b):
+                write_frontier(w, rnd, [f"id{rnd}", "idX"])
+            run_round(rnd, ["id0", f"id{rnd - 1}", f"new{rnd}"])
+        import os as _os
+
+        assert any(
+            f.startswith("bucket=0000.through=000007")
+            for f in _os.listdir(_os.path.join(work_c, "ttl_member"))
+        )
+
+        # round 9 steady state WITH sidecar: advance reads rounds 6+9,
+        # the maybe-hit (id7, in the compacted map with last_round=7 ≥
+        # lo=7) resolves via ONE filtered sidecar point read — no window
+        # rescans
+        for w in (work_c, work_b):
+            write_frontier(w, 9, ["id9", "idX"])
+        out9, seg9 = run_round(9, ["id0", "id7", "new9"])
+        assert out9["novel"] == 2
+        front9 = {p for p in seg9 if "/frontier/" in p and work_c in p}
+        assert len(front9) <= 2, front9  # exiting round 6 + entering round 9
+        assert sum("ttl_member" in p for p in seg9 if work_c in p) == 1
+
+
 class TestSessionizeManyKeys:
     def test_100k_keys_vectorized(self, ray_session):
         """10^5 distinct users: one vectorized kernel per bucket, NOT one

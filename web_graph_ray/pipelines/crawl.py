@@ -322,14 +322,26 @@ def make_prober(
 
             if seen_ttl_rounds is not None:
                 # TTL horizon: seen = membership (novel ∪ deferred) in the
-                # last ``ttl`` rounds only.  A rolling per-bucket
-                # ``last-member-round`` sidecar makes this O(1) files per
-                # round: load the latest sidecar, fold in ONLY the rounds
-                # it hasn't seen (normally just this round's two files),
-                # prune entries older than the horizon, persist.  The
-                # sidecar is a deterministic function of committed
-                # frontier files, so a crash-rerun overwrites an
-                # identical file.  Mirrors the oracle's last_member gate.
+                # last ``ttl`` rounds only.  Two strategies share the exact
+                # ``last-member-round`` sidecar (mirrors the oracle's
+                # last_member gate); everything below is a deterministic
+                # function of committed frontier files, so a crash-rerun
+                # overwrites identical files.
+                #
+                # * bloom (default): fold + prune + persist the sidecar
+                #   every round, probe against the in-memory dict —
+                #   O(window members) read+write per bucket-round.
+                # * cuckoo: a deletable gate holds ONE fingerprint copy
+                #   per (id, active-round) pair in the window.  Each
+                #   round it add_many's the entering round's members and
+                #   delete_many's the exiting round's — O(delta) work.
+                #   Gate misses are DEFINITELY outside the window (novel
+                #   with no exact read at all); hits fall through to a
+                #   row-group-pruned point read of the sidecar + the
+                #   post-sidecar delta files.  The sidecar itself is
+                #   rewritten only every COMPACT_EVERY rounds.  This is
+                #   what the Bloom structurally cannot do: retire expired
+                #   ids from the gate in place.
                 lo = max(0, rnd - seen_ttl_rounds + 1)
                 # a split shard also reads its base-named files (sidecars
                 # from rounds before the split) — a superset is harmless:
@@ -338,44 +350,125 @@ def make_prober(
                 if num_buckets and bucket >= num_buckets:
                     cand_files.add(bucket % num_buckets)
                 ttl_dir = os.path.join(work, "ttl_member")
-                state_f, state_r = _find_through(ttl_dir, bucket, rnd)
-                last: dict = {}
-                if state_f is not None:
-                    t = pq.read_table(state_f)
-                    last = dict(
-                        zip(t["page_id"].to_pylist(), t["last_round"].to_pylist())
+                _mcache: dict[int, list] = {}
+
+                def _member_ids(x: int) -> list:
+                    """Sorted distinct member ids (novel ∪ deferred) of
+                    round x for this bucket."""
+                    if x not in _mcache:
+                        ids: set = set()
+                        for d in frontier_dirs(work, x):
+                            for bid in cand_files:
+                                f = bucket_file(d, bid)
+                                if os.path.exists(f):
+                                    ids.update(pq.read_table(
+                                        f, columns=["page_id"]
+                                    )["page_id"].to_pylist())
+                        _mcache[x] = sorted(ids)
+                    return _mcache[x]
+
+                def _fold_sidecar() -> dict:
+                    """Fold deltas into the sidecar, prune past-horizon
+                    entries, persist through=rnd; returns the pruned map."""
+                    state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                    last: dict = {}
+                    if state_f is not None:
+                        t = pq.read_table(state_f)
+                        last = dict(
+                            zip(t["page_id"].to_pylist(), t["last_round"].to_pylist())
+                        )
+                    for x in range(state_r + 1, rnd + 1):
+                        for pid in _member_ids(x):
+                            last[pid] = x  # x ascends: latest wins
+                    last = {p: r for p, r in last.items() if r >= lo}
+                    atomic_write_parquet(
+                        pa.Table.from_pydict(
+                            {
+                                "page_id": pa.array(list(last), type=pa.string()),
+                                "last_round": pa.array(
+                                    list(last.values()), type=pa.int64()
+                                ),
+                            }
+                        ),
+                        os.path.join(
+                            ttl_dir, f"bucket={bucket:04d}.through={rnd:06d}.parquet"
+                        ),
+                        # page_id-sorted small row groups: the cuckoo
+                        # path's isin() point reads prune within the file
+                        sort_by="page_id",
+                        row_group_size=4096,
                     )
-                for x in range(state_r + 1, rnd + 1):
-                    for d in frontier_dirs(work, x):
-                        for bid in cand_files:
-                            f = bucket_file(d, bid)
-                            if os.path.exists(f):
-                                for pid in pq.read_table(
-                                    f, columns=["page_id"]
-                                )["page_id"].to_pylist():
-                                    last[pid] = x  # x ascends: latest wins
-                last = {p: r for p, r in last.items() if r >= lo}
-                atomic_write_parquet(
-                    pa.Table.from_pydict(
-                        {
-                            "page_id": pa.array(list(last), type=pa.string()),
-                            "last_round": pa.array(
-                                list(last.values()), type=pa.int64()
-                            ),
-                        }
-                    ),
-                    os.path.join(
-                        ttl_dir, f"bucket={bucket:04d}.through={rnd:06d}.parquet"
-                    ),
-                )
-                if state_f is not None and state_r < rnd:
-                    # superseded sidecar: safe to drop — any rerun that
-                    # can't find a sidecar rebuilds from the window files
-                    try:
-                        os.remove(state_f)
-                    except OSError:
-                        pass
-                # after pruning, membership within the window IS the map
+                    if state_f is not None and state_r < rnd:
+                        # superseded sidecar: safe to drop — any rerun that
+                        # can't find a sidecar rebuilds from the window files
+                        try:
+                            os.remove(state_f)
+                        except OSError:
+                            pass
+                    return last
+
+                if seen_gate == "cuckoo":
+                    from ..state.seen import CuckooFilter, load_gate, save_gate
+
+                    gate, gate_r = load_gate(work, bucket, name="ttl_gate")
+                    if not isinstance(gate, CuckooFilter):
+                        gate, gate_r = None, -1
+                    if gate is not None and gate_r == rnd - 1:
+                        # advance the window by one round: delete the
+                        # exiting rounds' copies, add the entering round's
+                        for x in range(max(0, rnd - seen_ttl_rounds), lo):
+                            gate.delete_many(_member_ids(x))
+                        gate.add_many(_member_ids(rnd))
+                        if gate.overfull:
+                            gate = None  # regrow from the window files
+                        else:
+                            save_gate(work, bucket, gate, rnd, name="ttl_gate")
+                    elif gate is not None and gate_r != rnd:
+                        # stale or from a crashed later round: a partial
+                        # window gate could false-negative — rebuild
+                        gate = None
+                    if gate is None:
+                        win: list = []
+                        for x in range(lo, rnd + 1):
+                            win.extend(_member_ids(x))
+                        gate = make_gate("cuckoo", max(4096, 2 * len(win)))
+                        gate.add_many(win)
+                        save_gate(work, bucket, gate, rnd, name="ttl_gate")
+                    # gate miss ⇒ definitely no activity in [lo, rnd] ⇒
+                    # novel; hits get the exact check (so false positives
+                    # never change the output, only cost a point read)
+                    maybe = gate.contains_many(cand_ids)
+                    need = {i for i, m in zip(cand_ids, maybe) if m}
+                    seen: set = set()
+                    state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                    if need and state_f is not None:
+                        seen.update(
+                            pq.read_table(
+                                state_f,
+                                columns=["page_id"],
+                                filters=(
+                                    pc.field("page_id").isin(sorted(need))
+                                    & (pc.field("last_round") >= lo)
+                                ),
+                            )["page_id"].to_pylist()
+                        )
+                        need -= seen
+                    for x in range(max(lo, state_r + 1), rnd + 1):
+                        if not need:
+                            break
+                        hit = need.intersection(_member_ids(x))
+                        seen |= hit
+                        need -= hit
+                    if rnd - state_r >= COMPACT_EVERY:
+                        _fold_sidecar()
+                    novel = df[~df["to_page_id"].isin(seen)]
+                    _emit_novel(novel, bucket, res, link_rows)
+                    continue
+
+                # bloom path: the gate can't retire expired ids, so the
+                # exact map is folded + persisted every round and
+                # membership within the window IS the map
+                last = _fold_sidecar()
                 novel = df[~df["to_page_id"].isin(last.keys())]
                 _emit_novel(novel, bucket, res, link_rows)
                 continue

@@ -255,16 +255,19 @@ def make_gate(kind: str, n_ids: int):
     raise ValueError(f"unknown seen_gate kind: {kind!r}")
 
 
-def bloom_path(work: str, bucket: int) -> str:
-    return os.path.join(work, "bloom", f"bucket={bucket:04d}.npz")
+def bloom_path(work: str, bucket: int, name: str = "bloom") -> str:
+    return os.path.join(work, name, f"bucket={bucket:04d}.npz")
 
 
-def load_gate(work: str, bucket: int):
+def load_gate(work: str, bucket: int, name: str = "bloom"):
     """Returns (gate, through_round) or (None, -1).  Kind-sniffing: a
     sidecar with a ``table`` array is a cuckoo filter; the legacy
     ``bits`` layout is a Bloom — so switching ``seen_gate`` mid-crawl
-    just regrows from the exact set on the first mismatched round."""
-    path = bloom_path(work, bucket)
+    just regrows from the exact set on the first mismatched round.
+    ``name`` picks the sidecar family: the all-time enqueued gate lives
+    under ``bloom/``; the TTL-window gate (different through-round
+    semantics — see pipelines/crawl.py) under ``ttl_gate/``."""
+    path = bloom_path(work, bucket, name)
     if not os.path.exists(path):
         return None, -1
     with np.load(path) as z:
@@ -284,12 +287,12 @@ def load_gate(work: str, bucket: int):
     return BloomFilter(int(meta[0]), bits=bits, count=int(meta[1])), int(meta[2])
 
 
-def save_gate(work: str, bucket: int, gate, through_round: int) -> None:
+def save_gate(work: str, bucket: int, gate, through_round: int, name: str = "bloom") -> None:
     """Persist either gate kind atomically under the shared sidecar path."""
     if isinstance(gate, BloomFilter):
-        save_bloom(work, bucket, gate, through_round)
+        save_bloom(work, bucket, gate, through_round, name)
         return
-    path = bloom_path(work, bucket)
+    path = bloom_path(work, bucket, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}.npz"
     np.savez(
@@ -312,8 +315,9 @@ def load_bloom(work: str, bucket: int) -> tuple[BloomFilter | None, int]:
     return BloomFilter(int(meta[0]), bits=bits, count=int(meta[1])), int(meta[2])
 
 
-def save_bloom(work: str, bucket: int, bloom: BloomFilter, through_round: int) -> None:
-    path = bloom_path(work, bucket)
+def save_bloom(work: str, bucket: int, bloom: BloomFilter, through_round: int,
+               name: str = "bloom") -> None:
+    path = bloom_path(work, bucket, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}.npz"
     np.savez(
