@@ -2526,6 +2526,25 @@ def jsonl_roundtrip_documents(sf_dir: str):
     return back.sort_values("doc_id").reset_index(drop=True)
 
 
+def jsonl_gz_roundtrip_documents(sf_dir: str):
+    """Gzip-JSONL sink → source fidelity (sources/text_formats.py):
+    the compressed corpus interchange format (C4/OSCAR-style
+    ``.jsonl.gz`` shards, one gzip member per block, deterministic
+    bytes via zeroed gzip mtime) round-trips exactly; each shard
+    inflates inside its own read task.  Result = the re-read table, so
+    the oracle (plain parquet SELECT) certifies end-to-end fidelity
+    through compression."""
+    import os
+
+    from web_graph_ray.sources.text_formats import read_jsonl_gz, write_jsonl_gz
+
+    out = f"/tmp/wgr_jsonlgz_docs_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl_gz(_t(sf_dir, "documents"), out)
+    back = read_jsonl_gz(out).to_pandas()
+    back = back[["doc_id", "text", "lang", "source", "n_chars"]]
+    return back.sort_values("doc_id").reset_index(drop=True)
+
+
 def csv_roundtrip_lineitem(sf_dir: str):
     """CSV sink → source fidelity for numeric tables: lineitem measures
     survive a sharded CSV round-trip; aggregate over the re-read data
@@ -11872,6 +11891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip_documents": warc_roundtrip_documents,
         "sitemap_roundtrip_documents": sitemap_roundtrip_documents,
         "warc_cdx_lookup_documents": warc_cdx_lookup_documents,
+        "jsonl_gz_roundtrip_documents": jsonl_gz_roundtrip_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
@@ -15596,6 +15616,10 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, (doc_id * 1000003 + 7)::bigint as us,
                    strlen(text)::bigint as text_bytes
             from documents where doc_id % 97 = 0 order by doc_id
+        """,
+        "jsonl_gz_roundtrip_documents": """
+            select doc_id, text, lang, source, n_chars
+            from documents order by doc_id
         """,
         "sitemap_roundtrip_documents": """
             select source, count(*)::bigint as n,
