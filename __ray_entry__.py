@@ -2545,6 +2545,55 @@ def jsonl_gz_roundtrip_documents(sf_dir: str):
     return back.sort_values("doc_id").reset_index(drop=True)
 
 
+def incremental_read_documents(sf_dir: str):
+    """Snapshot-incremental consumption of the resumable partitioned
+    sink (sources/sinks.py::read_incremental — the Iceberg-style
+    manifest-snapshot read plus a consumer cursor): wave 1 lands
+    sources src0..src9 and the consumer reads + commits its cursor;
+    wave 2 lands the full table (already-committed partitions are
+    skipped by the sink) and the second incremental read delivers ONLY
+    the ten late-arriving sources; a third read confirms the stream is
+    drained.  Result = per-source exact counts/sums over the second
+    read — the oracle computes the same over strlen(source)=5, so a
+    hash match certifies incremental delivery is exactly the new
+    partitions, no more, no less."""
+    import os
+    import shutil
+
+    from web_graph_ray.sources.sinks import read_incremental, write_partitioned
+
+    base = f"/tmp/wgr_incr_docs_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    out, cur = base + "/out", base + "/cursor.json"
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def wave1(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.utf8_length(t["source"]), 4))
+
+    write_partitioned(docs.map_batches(wave1, batch_format="pyarrow"), out, "source")
+    ds1, keys1, commit1 = read_incremental(out, "source", cur)
+    assert ds1 is not None and len(keys1) == 10 and ds1.count() > 0
+    commit1()  # consumer's wave-1 output is durable → advance cursor
+
+    write_partitioned(docs, out, "source")  # wave 2: only new partitions write
+    ds2, keys2, commit2 = read_incremental(out, "source", cur)
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("doc_id", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "n", "sum_chars"])
+
+    parts = ds2.map_batches(part_counts, batch_format="pyarrow").to_pandas()
+    commit2()
+    ds3, keys3, _ = read_incremental(out, "source", cur)
+    assert ds3 is None and not keys3  # drained: nothing re-delivered
+    g = parts.groupby("source", as_index=False).agg(
+        n=("n", "sum"), sum_chars=("sum_chars", "sum")
+    )
+    g["n"] = g["n"].astype("int64")
+    g["sum_chars"] = g["sum_chars"].astype("int64")
+    return g.sort_values("source").reset_index(drop=True)
+
+
 def csv_roundtrip_lineitem(sf_dir: str):
     """CSV sink → source fidelity for numeric tables: lineitem measures
     survive a sharded CSV round-trip; aggregate over the re-read data
@@ -11892,6 +11941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_roundtrip_documents": sitemap_roundtrip_documents,
         "warc_cdx_lookup_documents": warc_cdx_lookup_documents,
         "jsonl_gz_roundtrip_documents": jsonl_gz_roundtrip_documents,
+        "incremental_read_documents": incremental_read_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
@@ -15620,6 +15670,12 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_gz_roundtrip_documents": """
             select doc_id, text, lang, source, n_chars
             from documents order by doc_id
+        """,
+        "incremental_read_documents": """
+            select source, count(*)::bigint as n,
+                   sum(n_chars)::bigint as sum_chars
+            from documents where strlen(source) = 5
+            group by source order by source
         """,
         "sitemap_roundtrip_documents": """
             select source, count(*)::bigint as n,

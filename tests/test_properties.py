@@ -648,6 +648,40 @@ class TestPartitionedSink:
             total += t.num_rows
         assert total == 60
 
+    def test_incremental_read_exactly_once(self, ray_session, tmp_path):
+        """read_incremental delivers each committed partition exactly
+        once per cursor commit: new partitions only, crash-before-commit
+        re-delivers, drained stream returns None."""
+        import pandas as pd
+        import ray
+
+        from web_graph_ray.sources.sinks import read_incremental, write_partitioned
+
+        out = str(tmp_path / "sink")
+        cur = str(tmp_path / "cursor.json")
+        wave1 = pd.DataFrame({"day": ["d1"] * 3 + ["d2"] * 2, "v": range(5)})
+        write_partitioned(ray.data.from_pandas(wave1).repartition(2), out, "day")
+
+        ds1, keys1, commit1 = read_incremental(out, "day", cur)
+        assert keys1 == ["d1", "d2"] and ds1.count() == 5
+        # crash before commit: the same partitions are re-delivered
+        ds1b, keys1b, commit1b = read_incremental(out, "day", cur)
+        assert keys1b == ["d1", "d2"] and ds1b.count() == 5
+        commit1b()
+
+        # wave 2: d3/d4 arrive (d1/d2 skipped by the sink's manifests)
+        wave2 = pd.DataFrame(
+            {"day": ["d1"] * 3 + ["d3"] * 4 + ["d4"] * 1, "v": range(8)}
+        )
+        write_partitioned(ray.data.from_pandas(wave2).repartition(2), out, "day")
+        ds2, keys2, commit2 = read_incremental(out, "day", cur)
+        assert keys2 == ["d3", "d4"] and ds2.count() == 5
+        assert set(ds2.to_pandas()["day"]) == {"d3", "d4"}
+        commit2()
+
+        ds3, keys3, _ = read_incremental(out, "day", cur)
+        assert ds3 is None and keys3 == []
+
 
 class TestLagRunningScrub:
     def test_keyed_lag_matches_pandas(self, ray_session):

@@ -24,7 +24,13 @@ import pandas as pd
 import ray
 import ray.data
 
-__all__ = ["write_partitioned", "finished_partitions"]
+__all__ = [
+    "write_partitioned",
+    "finished_partitions",
+    "committed_snapshot",
+    "read_partitions",
+    "read_incremental",
+]
 
 
 def finished_partitions(out_dir: str) -> set[str]:
@@ -79,3 +85,60 @@ def write_partitioned(
         ds, [partition_col], write_bucket, num_buckets=num_buckets
     ).to_pandas()
     return out.sort_values("partition").reset_index(drop=True)
+
+
+def committed_snapshot(out_dir: str) -> list[str]:
+    """The sink's committed partition keys, sorted — a consistent
+    snapshot: a manifest exists iff its data file was fully renamed, so
+    a reader never sees a torn partition regardless of concurrent
+    writers."""
+    return sorted(finished_partitions(out_dir))
+
+
+def read_partitions(
+    out_dir: str, partition_col: str, keys
+) -> "ray.data.Dataset | None":
+    """Dataset over exactly the given committed partition values —
+    planning lists only those files, so nothing else is opened (the
+    read-side mirror of the sink's partition pruning).  None when
+    ``keys`` is empty."""
+    files = [
+        os.path.join(out_dir, f"{partition_col}={k}", "part.parquet")
+        for k in sorted(set(map(str, keys)))
+    ]
+    if not files:
+        return None
+    return ray.data.read_parquet(files)
+
+
+def read_incremental(out_dir: str, partition_col: str, cursor_path: str):
+    """Exactly-once incremental consumption of the partitioned sink
+    (the changelog-consumer idiom: Iceberg-style snapshot reads over
+    the manifest list, with a consumer-side cursor).
+
+    Returns ``(ds, new_keys, commit)``: ``ds`` covers the partitions
+    committed since the cursor (None if nothing new), and ``commit()``
+    atomically advances the cursor file to include them.  A consumer
+    that crashes BEFORE commit re-reads the same partitions next time
+    (at-least-once per attempt); committing only after its own output
+    is durable makes consumption exactly-once per partition.  The
+    cursor is one small JSON (O(#partitions) keys) — no scan of data
+    files, no driver-held state."""
+    done: set[str] = set()
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            done = set(json.load(f)["processed"])
+    new = [k for k in committed_snapshot(out_dir) if k not in done]
+    ds = read_partitions(out_dir, partition_col, new)
+
+    def commit() -> None:
+        merged = sorted(done | set(new))
+        d = os.path.dirname(cursor_path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        tmp = cursor_path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"processed": merged}, f)
+        os.replace(tmp, cursor_path)
+
+    return ds, new, commit
