@@ -2545,6 +2545,42 @@ def jsonl_gz_roundtrip_documents(sf_dir: str):
     return back.sort_values("doc_id").reset_index(drop=True)
 
 
+def boilerplate_scrub_documents(sf_dir: str):
+    """CCNet/RefinedWeb-style boilerplate line removal
+    (stages/dedup.py::remove_boilerplate_lines): lines occurring in ≥
+    min_docs distinct documents are deleted everywhere, order preserved.
+    The corpus is derived deterministically on BOTH sides: a per-source
+    'NAV {source}' header, the original text, a 'SUBSCRIBE…' footer on
+    even doc_ids and a doc-unique 'rare line {id}' on doc_id%97==0 — so
+    the scrub must remove exactly the shared nav/footer lines and keep
+    the unique ones."""
+    from web_graph_ray.stages.dedup import remove_boilerplate_lines
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        txt = "NAV " + df["source"] + "\n" + df["text"]
+        txt = txt + np.where(
+            df["doc_id"] % 2 == 0, "\nSUBSCRIBE TO OUR NEWSLETTER", ""
+        )
+        txt = txt + np.where(
+            df["doc_id"] % 97 == 0, "\nrare line " + df["doc_id"].astype(str), ""
+        )
+        out = df[["doc_id"]].copy()
+        out["text"] = txt
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    res = remove_boilerplate_lines(
+        docs.map_batches(synth, batch_format="pyarrow"), min_docs=2
+    ).to_pandas()
+    return (
+        res[["doc_id", "text", "n_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def incremental_read_documents(sf_dir: str):
     """Snapshot-incremental consumption of the resumable partitioned
     sink (sources/sinks.py::read_incremental — the Iceberg-style
@@ -11942,6 +11978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_cdx_lookup_documents": warc_cdx_lookup_documents,
         "jsonl_gz_roundtrip_documents": jsonl_gz_roundtrip_documents,
         "incremental_read_documents": incremental_read_documents,
+        "boilerplate_scrub_documents": boilerplate_scrub_documents,
         "holt_forecast_daily_events": holt_forecast_daily_events,
         "bounce_rate_users": bounce_rate_users,
         "ks_test_events": ks_test_events,
@@ -15676,6 +15713,35 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::bigint as sum_chars
             from documents where strlen(source) = 5
             group by source order by source
+        """,
+        "boilerplate_scrub_documents": """
+            with corpus as (
+              select doc_id,
+                     'NAV ' || source || chr(10) || text
+                     || case when doc_id % 2 = 0
+                        then chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER'
+                        else '' end
+                     || case when doc_id % 97 = 0
+                        then chr(10) || 'rare line ' || doc_id
+                        else '' end as text
+              from documents),
+            l as (select doc_id, string_split(text, chr(10)) as ls
+                  from corpus),
+            lines as (select doc_id,
+                             unnest(generate_series(1, len(ls))) as line_no,
+                             ls
+                      from l),
+            sel as (select doc_id, line_no, ls[line_no] as line from lines),
+            boiler as (select line from sel
+                       group by line having count(distinct doc_id) >= 2),
+            flag as (select s.doc_id, s.line_no, s.line,
+                            b.line is not null as isb
+                     from sel s left join boiler b using (line))
+            select doc_id,
+                   coalesce(string_agg(case when not isb then line end,
+                                       chr(10) order by line_no), '') as text,
+                   count(*) filter (where isb)::bigint as n_removed
+            from flag group by doc_id order by doc_id
         """,
         "sitemap_roundtrip_documents": """
             select source, count(*)::bigint as n,

@@ -934,6 +934,113 @@ class TestStdlibCodecTier:
             stage(batch)
 
 
+class TestBoilerplateScrub:
+    """remove_boilerplate_lines: lines in ≥ min_docs distinct docs are
+    deleted everywhere; order preserved; both join paths identical."""
+
+    @staticmethod
+    def _docs(extra_cols=False):
+        import pyarrow as pa
+
+        texts = [
+            "NAV HOME\nunique zero\nFOOTER",
+            "NAV HOME\nunique one\nFOOTER",
+            "NAV HOME\nunique two",
+            "NAV HOME\nFOOTER",  # becomes fully boilerplate
+            "standalone doc",
+        ]
+        d = {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+        if extra_cols:
+            d["lang"] = pa.array(["en"] * len(texts))
+        return pa.Table.from_pydict(d)
+
+    @staticmethod
+    def _reference(texts, min_docs):
+        from collections import Counter
+
+        df = Counter()
+        for t in texts:
+            for ln in set(t.split("\n")):
+                df[ln] += 1
+        boiler = {ln for ln, c in df.items() if c >= min_docs}
+        out = []
+        for t in texts:
+            lines = t.split("\n")
+            kept = [ln for ln in lines if ln not in boiler]
+            out.append(("\n".join(kept), len(lines) - len(kept)))
+        return out
+
+    def test_matches_reference_and_keeps_columns(self, ray_session):
+        import ray
+
+        from web_graph_ray.stages.dedup import remove_boilerplate_lines
+
+        tbl = self._docs(extra_cols=True)
+        got = (
+            remove_boilerplate_lines(
+                ray.data.from_arrow(tbl).repartition(3), min_docs=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._reference(tbl["text"].to_pylist(), 3)
+        assert got["text"].tolist() == [w[0] for w in want]
+        assert got["n_removed"].tolist() == [w[1] for w in want]
+        assert got["lang"].tolist() == ["en"] * 5  # passthrough column
+        # doc 3 was pure boilerplate: survives with empty text
+        assert got.loc[3, "text"] == "" and got.loc[3, "n_removed"] == 2
+
+    def test_partitioned_path_equals_broadcast(self, ray_session, monkeypatch):
+        import ray
+
+        import web_graph_ray.stages.dedup as dd
+
+        tbl = self._docs()
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        bc = (
+            dd.remove_boilerplate_lines(ds, min_docs=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(dd, "BROADCAST_BYTES", 0)
+        part = (
+            dd.remove_boilerplate_lines(ds, min_docs=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert bc[["doc_id", "text", "n_removed"]].equals(
+            part[["doc_id", "text", "n_removed"]]
+        )
+
+    def test_duplicate_line_instances_counted(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from web_graph_ray.stages.dedup import remove_boilerplate_lines
+
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["ad\nkeep\nad", "ad\nother"]),
+            }
+        )
+        got = (
+            remove_boilerplate_lines(ray.data.from_arrow(tbl), min_docs=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # both instances of the shared line in doc 0 are removed/counted
+        assert got["text"].tolist() == ["keep", "other"]
+        assert got["n_removed"].tolist() == [2, 1]
+
+
 class TestPassageDedup:
     """passage_dedup: corpus-wide first-wins at 8-token segments."""
 

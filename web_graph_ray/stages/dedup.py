@@ -725,6 +725,137 @@ def decontaminate(
     return bucket_anti_join(docs, contaminated, [id_col], num_buckets=num_buckets)
 
 
+def remove_boilerplate_lines(
+    docs: "ray.data.Dataset",
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """CCNet/RefinedWeb-style boilerplate line scrub: any LINE occurring
+    in ≥ ``min_docs`` distinct documents (nav menus, cookie banners,
+    footers — the stuff that repeats across a whole host) is deleted
+    from every document; remaining lines keep their order.  Returns the
+    input columns with ``text_col`` rewritten plus an ``n_removed``
+    per-doc count of deleted line instances.
+
+    Scale shape — two passes over lines, never over doc pairs:
+
+    * pass 1 counts DISTINCT docs per line: per-batch (doc, line) pair
+      dedup (combiner) → one bucketed exchange keyed on the line → df
+      counts → boilerplate keys (``df ≥ min_docs``).  Grouping is on
+      the line STRING, not a hash, so a collision can never delete an
+      innocent line.
+    * pass 2 rewrites docs.  The boilerplate set is small by
+      construction (its total bytes ≤ corpus line bytes / min_docs), so
+      within ``BROADCAST_BYTES`` it ships once via ``ray.put`` and each
+      batch rewrites itself with vectorized isin — zero further
+      shuffles (the realistic path at any corpus size with a sane
+      threshold).  Past the gate: exploded (doc, line_no, line) rows
+      take a ``bucket_anti_join`` against the keys, reassemble per doc
+      in one more keyed exchange, and ``bucket_left_join`` back onto
+      the docs so fully-boilerplate docs survive with empty text.
+    """
+    from .relational import bucket_anti_join, bucket_left_join, bucketed_group_map
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        ex = df[[id_col]].assign(line=df[text_col].str.split("\n")).explode("line")
+        return pa.Table.from_pandas(ex.drop_duplicates(), preserve_index=False)
+
+    counts = bucketed_group_map(
+        docs.map_batches(pair_rows, batch_format="pyarrow"),
+        ["line"],
+        lambda d: d.drop_duplicates()
+        .groupby("line", as_index=False)
+        .agg(df=(id_col, "nunique")),
+        num_buckets=num_buckets,
+        batch_partial=lambda d: d.drop_duplicates(),
+    )
+    boiler = counts.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t["df"], pa.scalar(min_docs, pa.int64()))
+        ).select(["line"]),
+        batch_format="pyarrow",
+    ).materialize()
+    sizes = boiler.map_batches(
+        lambda t: pa.table(
+            {
+                "b": pa.array(
+                    [int(pa.compute.sum(pa.compute.binary_length(t["line"])).as_py() or 0)]
+                ),
+                "n": pa.array([t.num_rows]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    total_bytes = int(sizes["b"].sum()) + 16 * int(sizes["n"].sum())
+
+    def split_cols(df: pd.DataFrame):
+        s = df[text_col].str.split("\n")
+        ex = df[[id_col]].assign(line=s).explode("line")
+        return ex  # index repeats the batch row position per line
+
+    if total_bytes <= BROADCAST_BYTES:
+        key_ref = ray.put(frozenset(boiler.to_pandas()["line"].tolist()))
+
+        def rewrite(t: pa.Table) -> pa.Table:
+            keys = ray.get(key_ref)
+            df = t.to_pandas()
+            ex = split_cols(df)
+            drop = ex["line"].isin(keys)
+            kept = ex[~drop].groupby(level=0)["line"].agg("\n".join)
+            out = df.copy()
+            out[text_col] = kept.reindex(df.index, fill_value="")
+            out["n_removed"] = (
+                drop.groupby(ex.index).sum().reindex(df.index, fill_value=0).astype("int64")
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return docs.map_batches(rewrite, batch_format="pyarrow")
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        df = t.select([id_col, text_col]).to_pandas()
+        ex = split_cols(df)
+        ex["line_no"] = ex.groupby(level=0).cumcount().astype("int64")
+        return pa.Table.from_pandas(ex.reset_index(drop=True), preserve_index=False)
+
+    lines = docs.map_batches(line_rows, batch_format="pyarrow")
+    kept = bucket_anti_join(lines, boiler, ["line"], num_buckets=num_buckets)
+    reassembled = bucketed_group_map(
+        kept,
+        [id_col],
+        lambda d: d.sort_values("line_no")
+        .groupby(id_col, as_index=False)
+        .agg(_clean=("line", "\n".join), _kept=("line", "size")),
+        num_buckets=num_buckets,
+    )
+
+    def with_totals(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_lines"] = df[text_col].str.count("\n").astype("int64") + 1
+        return pa.Table.from_pandas(df.drop(columns=[text_col]), preserve_index=False)
+
+    joined = bucket_left_join(
+        docs.map_batches(with_totals, batch_format="pyarrow"),
+        reassembled,
+        [id_col],
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df[text_col] = df["_clean"].fillna("")
+        df["n_removed"] = (
+            df["_lines"] - df["_kept"].fillna(0).astype("int64")
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            df.drop(columns=["_clean", "_kept", "_lines"]), preserve_index=False
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # passage-level first-wins dedup (ExactSubstr at segment granularity)
 # ---------------------------------------------------------------------------
