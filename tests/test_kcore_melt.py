@@ -100,11 +100,30 @@ def test_melt_matches_pandas(ray_session):
 
 
 def test_melt_int_values_upcast(ray_session):
-    """Integer value columns melt into ONE float64 value column (mixed
-    measure dtypes can't share a column otherwise)."""
+    """Mixed int/float value columns melt into ONE float64 value column
+    (measure dtypes can't share a column otherwise)."""
     df = pd.DataFrame({"id": [1], "a": [2], "b": [3.5]})
     out = melt(
         ray.data.from_pandas(df), id_cols=["id"], value_cols=["a", "b"]
     ).to_pandas()
     assert out["value"].dtype == np.float64
     assert sorted(out["value"]) == [2.0, 3.5]
+
+
+def test_melt_preserves_big_int64_and_strings(ray_session):
+    """All-int64 value columns stay int64 (a float64 force-cast would
+    silently corrupt ids above 2^53); string value columns melt as
+    objects instead of raising."""
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    df = pd.DataFrame({"id": [1], "a": [big], "b": [7]})
+    out = melt(
+        ray.data.from_pandas(df), id_cols=["id"], value_cols=["a", "b"]
+    ).to_pandas()
+    assert out["value"].dtype == np.int64
+    assert sorted(out["value"]) == [7, big]
+
+    sdf = pd.DataFrame({"id": [1, 2], "u": ["x", "y"], "v": ["p", "q"]})
+    sout = melt(
+        ray.data.from_pandas(sdf), id_cols=["id"], value_cols=["u", "v"]
+    ).to_pandas()
+    assert sorted(sout["value"]) == ["p", "q", "x", "y"]

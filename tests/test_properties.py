@@ -1444,6 +1444,25 @@ class TestTextFormats:
         write_jsonl_gz(ray.data.from_pandas(df).repartition(3), out)
         assert sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz")) == shards
 
+    def test_jsonl_gz_empty_block_roundtrip(self, ray_session, tmp_path):
+        """A block drained by a filter must not write a zero-byte shard
+        (pyarrow's JSON reader rejects an empty stream): the roundtrip
+        must survive empty blocks."""
+        import pandas as pd
+        import ray.data
+
+        from web_graph_ray.sources.text_formats import read_jsonl_gz, write_jsonl_gz
+
+        df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a", "b", "c"]})
+        ds = ray.data.from_pandas(df).repartition(3).filter(
+            lambda r: r["doc_id"] == 1
+        )
+        out = str(tmp_path / "jlgz_empty")
+        write_jsonl_gz(ds, out)
+        back = read_jsonl_gz(out).to_pandas()
+        assert back["doc_id"].tolist() == [1]
+        assert back["text"].tolist() == ["b"]
+
     def test_csv_roundtrip_numeric(self, ray_session, tmp_path):
         import pandas as pd
         import ray.data

@@ -541,6 +541,90 @@ class TestTtlCuckooGate:
         assert len(front9) <= 2, front9  # exiting round 6 + entering round 9
         assert sum("ttl_member" in p for p in seg9 if work_c in p) == 1
 
+    def test_ttl_change_across_resume_rebuilds_gate(self, tmp_path):
+        """Raising seen_ttl_rounds on a resume must NOT run the
+        incremental advance against the old gate: the advance would
+        delete_many a round whose copies were never inserted, which
+        strips the identical-fingerprint copy of a still-in-window
+        member (CuckooFilter.delete_many contract) — a gate false
+        negative that silently re-enqueues a seen page.  The gate
+        sidecar stamps its TTL; a mismatch rebuilds from window files.
+
+        Repro: 'dup' is a member of rounds 5 and 7 only.  ttl=3 gate
+        maintained through round 9 holds window [7,9] (one 'dup' copy,
+        from round 7).  Resume round 10 with ttl=5 ⇒ lo=6: 'dup'
+        (last member round 7 ≥ 6) must be SEEN.  The un-stamped
+        advance path would delete round-5 members — removing 'dup's
+        only copy — and emit it as novel."""
+        import hashlib
+
+        import web_graph_ray.pipelines.crawl as cr
+        from web_graph_ray.state.checkpoint import (
+            atomic_write_parquet,
+            bucket_file,
+            frontier_dirs,
+        )
+
+        H = lambda s: hashlib.sha1(s.encode()).hexdigest()
+        bucket = 0
+        work = str(tmp_path / "w")
+
+        def write_frontier(rnd, names):
+            tbl = pa.Table.from_pydict(
+                {"page_id": pa.array([H(n) for n in names], type=pa.string())}
+            )
+            atomic_write_parquet(tbl, bucket_file(frontier_dirs(work, rnd)[0], bucket))
+
+        def cand_dir(d, names):
+            to = [H(n) for n in names]
+            atomic_write_parquet(
+                pa.Table.from_pydict(
+                    {
+                        "page_id": pa.array(["p"] * len(to)),
+                        "to_page_id": pa.array(to),
+                        "to_url": pa.array(["u"] * len(to)),
+                        "to_hostname": pa.array(["h"] * len(to)),
+                        "to_host": pa.array(["h"] * len(to)),
+                        "to_path": pa.array(["/"] * len(to)),
+                        "candidate_seq": pa.array([f"0.{i}" for i in range(len(to))]),
+                        "priority": pa.array([0] * len(to), type=pa.int64()),
+                    }
+                ),
+                str(d) + "/part.parquet",
+            )
+            return str(d)
+
+        for r in range(10):
+            members = [f"id{r}"] + (["dup"] if r in (5, 7) else [])
+            write_frontier(r, members)
+
+        # maintain the cuckoo TTL gate under ttl=3 through round 9
+        for rnd in (8, 9):
+            p = cr.make_prober(work, rnd, seen_ttl_rounds=3,
+                               num_buckets=1, seen_gate="cuckoo")
+            cr._probe_one(p, bucket, cand_dir(tmp_path / f"c{rnd}", [f"new{rnd}"]))
+            # the probe wrote round rnd+1 novel sidecars; overwrite with
+            # the scripted membership for determinism
+            write_frontier(rnd + 1, [f"id{rnd + 1}"])
+        from web_graph_ray.state.seen import load_gate
+
+        g, gr, gttl = load_gate(work, bucket, name="ttl_gate", with_ttl=True)
+        assert gr == 9 and gttl == 3
+
+        # resume round 10 with ttl=5: 'dup' (last member round 7, lo=6)
+        # must be filtered as seen, not emitted as novel
+        p10 = cr.make_prober(work, 10, seen_ttl_rounds=5,
+                             num_buckets=1, seen_gate="cuckoo")
+        out = cr._probe_one(
+            p10, bucket, cand_dir(tmp_path / "c10", ["dup", "brandnew"])
+        )
+        assert out["novel"] == 1, (
+            "TTL raise across resume produced a cuckoo false negative"
+        )
+        # the rebuilt gate is stamped with the new TTL
+        g2, gr2, gttl2 = load_gate(work, bucket, name="ttl_gate", with_ttl=True)
+        assert gr2 == 10 and gttl2 == 5
+
 
 class TestSessionizeManyKeys:
     def test_100k_keys_vectorized(self, ray_session):

@@ -113,3 +113,24 @@ def test_shard_cap_and_index(ray_session, tmp_path):
     kind, children, _ = parse_sitemap(open(idx, "rb").read())
     assert kind == "sitemapindex" and len(children) == 3
     assert sm.read_sitemaps(out).count() == 25  # index file skipped
+
+
+def test_duplicate_url_mixed_null_lastmod(ray_session, tmp_path):
+    """A re-fetched URL where one row has a null lastmod and another a
+    set one must sort deterministically (null first), not die on
+    None < int tuple comparison."""
+    t = pa.table(
+        {
+            "url": ["https://h.example/a", "https://h.example/a",
+                    "https://h.example/b"],
+            "warc_ts": pa.array(
+                [None, 1_700_000_000_000_000, None], pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "sm")
+    write_sitemaps(ray.data.from_arrow(t).repartition(1), out)
+    back = read_sitemaps(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert back["url"].tolist() == [
+        "https://h.example/a", "https://h.example/a", "https://h.example/b"
+    ]

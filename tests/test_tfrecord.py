@@ -59,3 +59,37 @@ def test_unsupported_type_raises(ray_session, tmp_path):
     t = pa.table({"ts": pa.array([pd.Timestamp("2024-01-01")])})
     with pytest.raises(Exception, match="unsupported column type"):
         write_tfrecord(ray.data.from_arrow(t), str(tmp_path / "tf"))
+
+
+def test_null_cells_roundtrip_as_null(ray_session, tmp_path):
+    """Nulls encode as present-but-EMPTY typed lists (tf.train.Example
+    has no null) and decode back to null — distinguishable from an
+    empty string, and the write must not crash on them."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha", None, ""], pa.string()),
+            "n": pa.array([10, None, 30], pa.int64()),
+            "score": pa.array([1.5, None, 0.0], pa.float64()),
+        }
+    )
+    out = str(tmp_path / "tf")
+    write_tfrecord(ray.data.from_arrow(t), out)
+    back = read_tfrecord(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["text"].tolist() == [b"alpha", None, b""]
+    # pandas surfaces a null int64 as NaN (float64) — check via isna
+    assert back["n"].iloc[0] == 10 and back["n"].iloc[2] == 30
+    assert pd.isna(back["n"].iloc[1])
+    got = back["score"].tolist()
+    assert got[0] == pytest.approx(1.5) and got[2] == 0.0
+    assert got[1] is None or got[1] != got[1]  # null (pandas may NaN it)
+
+
+def test_empty_block_writes_no_shard(ray_session, tmp_path):
+    """A block drained by a filter must not produce a zero-row shard."""
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(3).filter(lambda r: r["x"] == 2)
+    out = str(tmp_path / "tf")
+    write_tfrecord(ds, out)
+    back = read_tfrecord(out).to_pandas()
+    assert back["x"].tolist() == [2]

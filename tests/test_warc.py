@@ -160,3 +160,23 @@ def test_write_idempotent_rerun(ray_session, tmp_path):
     write_warc(ray.data.from_arrow(t), out, clean=False)
     assert sorted(glob.glob(os.path.join(out, "*.warc.gz"))) == first
     assert read_warc(out).count() == 2
+
+
+def test_parse_spaceless_header_colon():
+    """ISO 28500 allows 'field-name \":\" [field-value]' with optional
+    whitespace: a writer that omits the space after the colon must
+    still parse (split on the bare colon + strip), not KeyError."""
+    from web_graph_ray.sources.warc import parse_warc_gz
+
+    body = b"hello"
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type:response\r\n"
+        b"WARC-Target-URI:https://x.example/a\r\n"
+        b"WARC-Date:2024-01-02T03:04:05.000000Z\r\n"
+        b"Content-Length:" + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    urls, tss, payloads = parse_warc_gz(rec)
+    assert urls == ["https://x.example/a"]
+    assert payloads == [body]

@@ -300,6 +300,10 @@ def make_prober(
     def probe(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        from ..state.seen import (
+            BloomFilter, CuckooFilter, load_gate, make_gate, save_gate,
+        )
+
         res = {"bucket": [], "link_rows": [], "novel": []}
         for i in range(batch.num_rows):
             bucket = batch["bucket"][i].as_py()
@@ -317,8 +321,6 @@ def make_prober(
                 "to_page_id", keep="first"
             )
             cand_ids = df["to_page_id"].tolist()
-
-            from ..state.seen import load_gate, make_gate, save_gate
 
             if seen_ttl_rounds is not None:
                 # TTL horizon: seen = membership (novel ∪ deferred) in the
@@ -408,10 +410,18 @@ def make_prober(
                     return last
 
                 if seen_gate == "cuckoo":
-                    from ..state.seen import CuckooFilter, load_gate, save_gate
-
-                    gate, gate_r = load_gate(work, bucket, name="ttl_gate")
+                    gate, gate_r, gate_ttl = load_gate(
+                        work, bucket, name="ttl_gate", with_ttl=True
+                    )
                     if not isinstance(gate, CuckooFilter):
+                        gate, gate_r = None, -1
+                    elif gate_ttl != seen_ttl_rounds:
+                        # resumed under a different TTL (or a pre-stamp
+                        # sidecar): the incremental advance would delete
+                        # rounds that were never inserted, which strips
+                        # identical-fingerprint copies of in-window
+                        # members (gate false negatives ⇒ silent
+                        # re-enqueue).  Rebuild from the window files.
                         gate, gate_r = None, -1
                     if gate is not None and gate_r == rnd - 1:
                         # advance the window by one round: delete the
@@ -422,7 +432,7 @@ def make_prober(
                         if gate.overfull:
                             gate = None  # regrow from the window files
                         else:
-                            save_gate(work, bucket, gate, rnd, name="ttl_gate")
+                            save_gate(work, bucket, gate, rnd, name="ttl_gate", ttl=seen_ttl_rounds)
                     elif gate is not None and gate_r != rnd:
                         # stale or from a crashed later round: a partial
                         # window gate could false-negative — rebuild
@@ -433,7 +443,7 @@ def make_prober(
                             win.extend(_member_ids(x))
                         gate = make_gate("cuckoo", max(4096, 2 * len(win)))
                         gate.add_many(win)
-                        save_gate(work, bucket, gate, rnd, name="ttl_gate")
+                        save_gate(work, bucket, gate, rnd, name="ttl_gate", ttl=seen_ttl_rounds)
                     # gate miss ⇒ definitely no activity in [lo, rnd] ⇒
                     # novel; hits get the exact check (so false positives
                     # never change the output, only cost a point read)
@@ -472,8 +482,6 @@ def make_prober(
                 novel = df[~df["to_page_id"].isin(last.keys())]
                 _emit_novel(novel, bucket, res, link_rows)
                 continue
-
-            from ..state.seen import BloomFilter, CuckooFilter
 
             gate, gate_r = load_gate(work, bucket)
             want_cls = CuckooFilter if seen_gate == "cuckoo" else BloomFilter

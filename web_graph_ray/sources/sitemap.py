@@ -175,7 +175,13 @@ def write_sitemaps(
             mods = ts.to_pylist()
         else:
             mods = [None] * len(urls)
-        rows = sorted(zip(urls, mods))
+        # null lastmod sorts before any set one for the same URL — a
+        # plain tuple sort falls through to None < int and dies when a
+        # re-fetched URL has mixed-null timestamps
+        rows = sorted(
+            zip(urls, mods),
+            key=lambda r: (r[0], r[1] is not None, r[1] or 0),
+        )
         names: list[str] = []
         for i in range(0, len(rows), urls_per_file):
             blob = encode_urlset(rows[i : i + urls_per_file])

@@ -65,6 +65,12 @@ def write_jsonl_gz(ds: "ray.data.Dataset", out_dir: str, clean: bool = True) -> 
     os.makedirs(out_dir, exist_ok=True)
 
     def w(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            # an empty block (e.g. a filter that drained it) must not
+            # produce a zero-byte shard: pyarrow's JSON reader rejects
+            # an empty decompressed stream, breaking the roundtrip
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
         raw = t.to_pandas().to_json(orient="records", lines=True).encode()
         buf = gzip.compress(raw, mtime=0)
         final = os.path.join(out_dir, f"{hashlib.sha1(buf).hexdigest()[:24]}.jsonl.gz")
@@ -225,6 +231,15 @@ def _ld(field: int, payload: bytes) -> bytes:
 def _encode_feature(kind: str, value) -> bytes:
     import struct
 
+    if value is None:
+        # a null cell becomes a present-but-EMPTY typed list (zero
+        # values) — tf.train.Example has no null; the empty list is the
+        # canonical sparse representation, keeps every Example carrying
+        # one feature per column (reader alignment), and is
+        # distinguishable from an empty string (a 1-element BytesList
+        # whose value has length 0).  read_tfrecord decodes it to null.
+        field = {"bytes": 1, "float": 2, "int64": 3}[kind]
+        return _ld(field, b"")
     if kind == "bytes":
         inner = _ld(1, value)                      # BytesList.value
         return _ld(1, inner)                       # Feature.bytes_list
@@ -260,12 +275,18 @@ def write_tfrecord(ds: "ray.data.Dataset", out_dir: str, clean: bool = True) -> 
     os.makedirs(out_dir, exist_ok=True)
 
     def w(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
         keys = []
         cols = []
         for f in t.schema:
             if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
                 kind = "bytes"
-                cols.append([s.encode() for s in t[f.name].to_pylist()])
+                cols.append([
+                    s.encode() if s is not None else None
+                    for s in t[f.name].to_pylist()
+                ])
             elif pa.types.is_binary(f.type) or pa.types.is_large_binary(f.type):
                 kind = "bytes"
                 cols.append(t[f.name].to_pylist())
@@ -343,7 +364,10 @@ def _parse_example(payload: bytes) -> dict:
                 lln, m = _read_varint(body, m)
                 lst = body[m : m + lln]
                 fk = ftag >> 3
-                if fk == 1:                        # BytesList
+                if not lst:                        # empty list ⇒ null cell
+                    kind = {1: "bytes", 2: "float", 3: "int64"}[fk]
+                    val = None
+                elif fk == 1:                      # BytesList
                     _vt, p = _read_varint(lst, 0)
                     vln, p = _read_varint(lst, p)
                     kind, val = "bytes", lst[p : p + vln]

@@ -201,8 +201,12 @@ def parse_warc_gz(blob: bytes) -> tuple[list[str], list[int], list[bytes]]:
             raise ValueError("warc: bad record magic")
         hdrs: dict[bytes, bytes] = {}
         for line in head.split(_CRLF)[1:]:
-            k, _, v = line.partition(b": ")
-            hdrs[k.lower()] = v
+            # ISO 28500 grammar is 'field-name ":" [field-value]' with
+            # OPTIONAL whitespace — split on the bare colon and strip,
+            # so 'Content-Length:5' from a space-less writer parses
+            # instead of KeyError-ing on the int() below
+            k, _, v = line.partition(b":")
+            hdrs[k.strip().lower()] = v.strip()
         clen = int(hdrs[b"content-length"])
         body_at = end + 4
         if body_at + clen + 4 > n:

@@ -2245,13 +2245,16 @@ def melt(
     (reference has no unpivot; complements rollup/cube/pivot)."""
 
     def unpivot(df: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for c in value_cols:
-            p = df[id_cols].copy()
-            p[var_col] = c
-            p[val_col] = df[c].to_numpy(dtype="float64")
-            parts.append(p)
-        return pd.concat(parts, ignore_index=True)
+        # pandas' own melt picks the COMMON dtype of the value columns
+        # (all-int64 stays int64 — no silent precision loss above 2^53;
+        # mixed int/float upcasts to float64; strings melt as object)
+        # instead of force-casting everything to float64
+        return df.melt(
+            id_vars=id_cols,
+            value_vars=value_cols,
+            var_name=var_col,
+            value_name=val_col,
+        )
 
     return ds.map_batches(unpivot, batch_format="pandas")
 

@@ -752,7 +752,9 @@ def logodds_terms(
         how="sum",
         out_col="y",
         num_buckets=num_buckets,
-    )
+    ).materialize()  # fans out 3× (totals, yw, join) — pin the blocks so
+    # the explode + bucketed exchange (the heavy pass) runs once, not per
+    # consumer; the materialized set is O(distinct (group, tok)) counts
 
     totals = counts.map_batches(
         lambda df: df.groupby(group_col, as_index=False)["y"].sum(),

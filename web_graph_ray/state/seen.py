@@ -259,38 +259,55 @@ def bloom_path(work: str, bucket: int, name: str = "bloom") -> str:
     return os.path.join(work, name, f"bucket={bucket:04d}.npz")
 
 
-def load_gate(work: str, bucket: int, name: str = "bloom"):
+def load_gate(work: str, bucket: int, name: str = "bloom", with_ttl: bool = False):
     """Returns (gate, through_round) or (None, -1).  Kind-sniffing: a
     sidecar with a ``table`` array is a cuckoo filter; the legacy
     ``bits`` layout is a Bloom — so switching ``seen_gate`` mid-crawl
     just regrows from the exact set on the first mismatched round.
     ``name`` picks the sidecar family: the all-time enqueued gate lives
     under ``bloom/``; the TTL-window gate (different through-round
-    semantics — see pipelines/crawl.py) under ``ttl_gate/``."""
+    semantics — see pipelines/crawl.py) under ``ttl_gate/``.
+
+    ``with_ttl=True`` returns (gate, through_round, ttl) where ``ttl``
+    is the ``seen_ttl_rounds`` the gate was maintained under, or None
+    for sidecars written before TTL stamping / without a TTL.  The TTL
+    window-advance (delete exiting round, add entering round) is only
+    sound when the resumed crawl's TTL matches the gate's — deleting a
+    round's members that were never inserted strips the identical
+    fingerprint of a still-in-window copy (CuckooFilter.delete_many's
+    contract), so callers must rebuild on mismatch."""
     path = bloom_path(work, bucket, name)
     if not os.path.exists(path):
-        return None, -1
+        return (None, -1, None) if with_ttl else (None, -1)
     with np.load(path) as z:
         if "table" in z:
             table = z["table"]
             stash = z["stash"]
-            meta = z["meta"]  # [nbuckets, count, through_round]
-            return (
-                CuckooFilter(
-                    int(meta[0]), table=table, stash=stash.astype(np.uint64),
-                    count=int(meta[1]),
-                ),
-                int(meta[2]),
+            meta = z["meta"]  # [nbuckets, count, through_round(, ttl)]
+            gate = CuckooFilter(
+                int(meta[0]), table=table, stash=stash.astype(np.uint64),
+                count=int(meta[1]),
             )
+            ttl = int(meta[3]) if len(meta) > 3 and int(meta[3]) >= 0 else None
+            if with_ttl:
+                return gate, int(meta[2]), ttl
+            return gate, int(meta[2])
         bits = z["bits"]
-        meta = z["meta"]  # [nbits, count, through_round]
-    return BloomFilter(int(meta[0]), bits=bits, count=int(meta[1])), int(meta[2])
+        meta = z["meta"]  # [nbits, count, through_round(, ttl)]
+    gate = BloomFilter(int(meta[0]), bits=bits, count=int(meta[1]))
+    ttl = int(meta[3]) if len(meta) > 3 and int(meta[3]) >= 0 else None
+    if with_ttl:
+        return gate, int(meta[2]), ttl
+    return gate, int(meta[2])
 
 
-def save_gate(work: str, bucket: int, gate, through_round: int, name: str = "bloom") -> None:
-    """Persist either gate kind atomically under the shared sidecar path."""
+def save_gate(work: str, bucket: int, gate, through_round: int, name: str = "bloom",
+              ttl: int | None = None) -> None:
+    """Persist either gate kind atomically under the shared sidecar path.
+    ``ttl`` stamps the seen_ttl_rounds the gate tracks (-1 = none) so a
+    resume under a different TTL rebuilds instead of mis-advancing."""
     if isinstance(gate, BloomFilter):
-        save_bloom(work, bucket, gate, through_round, name)
+        save_bloom(work, bucket, gate, through_round, name, ttl=ttl)
         return
     path = bloom_path(work, bucket, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -299,7 +316,11 @@ def save_gate(work: str, bucket: int, gate, through_round: int, name: str = "blo
         tmp.removesuffix(".npz"),
         table=gate.table,
         stash=gate.stash,
-        meta=np.array([gate.nbuckets, gate.count, through_round], dtype=np.int64),
+        meta=np.array(
+            [gate.nbuckets, gate.count, through_round,
+             -1 if ttl is None else ttl],
+            dtype=np.int64,
+        ),
     )
     os.replace(tmp, path)
 
@@ -316,13 +337,17 @@ def load_bloom(work: str, bucket: int) -> tuple[BloomFilter | None, int]:
 
 
 def save_bloom(work: str, bucket: int, bloom: BloomFilter, through_round: int,
-               name: str = "bloom") -> None:
+               name: str = "bloom", ttl: int | None = None) -> None:
     path = bloom_path(work, bucket, name)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + f".tmp.{os.getpid()}.npz"
     np.savez(
         tmp.removesuffix(".npz"),
         bits=bloom.bits,
-        meta=np.array([bloom.nbits, bloom.count, through_round], dtype=np.int64),
+        meta=np.array(
+            [bloom.nbits, bloom.count, through_round,
+             -1 if ttl is None else ttl],
+            dtype=np.int64,
+        ),
     )
     os.replace(tmp, path)
