@@ -11657,6 +11657,31 @@ def peakiness_daily_events(sf_dir: str):
     return out.sort_values("d", kind="mergesort").reset_index(drop=True)
 
 
+def dsir_weights_documents(sf_dir: str):
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169)
+    via stages/text.py::dsir_logweights: every document scored by
+    Σ c(tok)·[ln p̂ − ln q̂] with add-0.5-smoothed unigram models, the
+    TARGET distribution being the lang='en' slice and the RAW being the
+    whole corpus.  Zero broadcasts at any vocabulary — counts exchange
+    tok-keyed, totals fold to O(1) driver scalars."""
+    from web_graph_ray.stages.text import dsir_logweights
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "is_target",
+            pc.equal(batch["lang"], "en").cast(pa.int64()),
+        )
+
+    out = dsir_logweights(
+        ds.map_batches(mark, batch_format="pyarrow"), round_to=6
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -11995,6 +12020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ledger_clamp_users": ledger_clamp_users,
         "proximity_query_documents": proximity_query_documents,
         "peakiness_daily_events": peakiness_daily_events,
+        "dsir_weights_documents": dsir_weights_documents,
     }
 
 
@@ -16062,5 +16088,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(n)::bigint as total_n,
                    round(max(n)::double / sum(n), 6) as peak_share
             from c group by 1 order by 1
+        """,
+        "dsir_weights_documents": """
+            with t as (select doc_id, (lang = 'en')::int is_t,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') ts
+                       from documents),
+            tok as (select doc_id, is_t, unnest(ts) tok from t),
+            dt as (select doc_id, is_t, tok, count(*) c from tok group by all),
+            cq as (select tok, sum(c) cq from dt group by tok),
+            cp as (select tok, sum(c) cp from dt where is_t = 1 group by tok),
+            tot as (select (select sum(c) from dt) tq,
+                           (select coalesce(sum(c), 0) from dt where is_t = 1) tp,
+                           (select count(*) from cq) v),
+            r as (select cq.tok,
+                    ln((coalesce(cp.cp, 0) + 0.5) / (tot.tp + 0.5 * tot.v))
+                  - ln((cq.cq + 0.5) / (tot.tq + 0.5 * tot.v)) logr
+                  from cq left join cp using(tok), tot)
+            select dt.doc_id, round(sum(dt.c * r.logr), 6) as dsir_logw
+            from dt join r using(tok)
+            group by dt.doc_id order by doc_id
         """,
     }

@@ -147,3 +147,86 @@ def test_logodds_overrepresented_not_frequent(ray_session):
     out = logodds_terms(ds, k=1, num_buckets=2).to_pandas()
     top = dict(zip(out["source"], out["tok"]))
     assert top == {"a": "quark", "b": "gluon"}
+
+
+def reference_dsir(df, alpha=0.5):
+    """Literal per-doc DSIR log-weight: exact-token unigram models with
+    add-alpha smoothing, target = is_target rows."""
+    import collections
+    import math
+    import re
+
+    word = re.compile(r"[A-Za-z0-9]+")
+    cq, cp = collections.Counter(), collections.Counter()
+    per_doc = {}
+    for _, r in df.iterrows():
+        toks = word.findall(r["text"].lower())
+        per_doc[r["doc_id"]] = collections.Counter(toks)
+        cq.update(toks)
+        if r["is_target"]:
+            cp.update(toks)
+    v = len(cq)
+    tq, tp = sum(cq.values()), sum(cp.values())
+    out = {}
+    for d, cnt in per_doc.items():
+        s = 0.0
+        for t, c in cnt.items():
+            s += c * (
+                math.log((cp.get(t, 0) + alpha) / (tp + alpha * v))
+                - math.log((cq[t] + alpha) / (tq + alpha * v))
+            )
+        out[d] = s
+    return out
+
+
+def test_dsir_matches_reference_and_parallelism_invariant(ray_session):
+    from web_graph_ray.stages.text import dsir_logweights
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "web", "crawl", "data"]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(3, 25))
+        rows.append(
+            {
+                "doc_id": i,
+                "text": " ".join(rng.choice(vocab, n)),
+                "is_target": int(i % 3 == 0),
+            }
+        )
+    df = pd.DataFrame(rows)
+    want = reference_dsir(df)
+
+    got1 = (
+        dsir_logweights(ray.data.from_pandas(df).repartition(1))
+        .to_pandas().set_index("doc_id")["dsir_logw"]
+    )
+    got8 = (
+        dsir_logweights(ray.data.from_pandas(df).repartition(8))
+        .to_pandas().set_index("doc_id")["dsir_logw"]
+    )
+    assert len(got1) == len(df)
+    for d, w in want.items():
+        assert got1[d] == pytest.approx(w, abs=1e-9)
+    # parallelism invariance: identical floats at any block layout
+    pd.testing.assert_series_equal(got1.sort_index(), got8.sort_index())
+
+    # target docs score higher on average than non-target (the point
+    # of importance resampling: in-domain text is up-weighted)
+    m = df.set_index("doc_id")["is_target"]
+    assert got1[m == 1].mean() > got1[m == 0].mean()
+
+
+def test_dsir_no_target_docs_defined(ray_session):
+    """tp == 0 must stay finite (add-alpha smoothing covers it)."""
+    from web_graph_ray.stages.text import dsir_logweights
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta", "beta gamma gamma"],
+            "is_target": [0, 0],
+        }
+    )
+    out = dsir_logweights(ray.data.from_pandas(df)).to_pandas()
+    assert np.isfinite(out["dsir_logw"]).all()

@@ -792,3 +792,144 @@ def logodds_terms(
         tie_cols=["tok"],
         num_buckets=num_buckets,
     )
+
+
+def dsir_logweights(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    alpha: float = 0.5,
+    num_buckets: int = 32,
+    round_to: int | None = None,
+) -> "ray.data.Dataset":
+    """DSIR importance log-weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    document by how much more likely its bag of word tokens is under
+    the TARGET distribution than under the RAW distribution, with
+    add-``alpha`` smoothed unigram feature models:
+
+        log w(d) = Σ_tok c_d(tok) · [ ln p̂(tok) − ln q̂(tok) ]
+        p̂(tok)  = (c_target(tok) + α) / (T_target + α·V)
+        q̂(tok)  = (c_raw(tok)    + α) / (T_raw    + α·V)
+
+    where V = |distinct raw tokens|.  ``target_col`` is a 0/1 column
+    marking the in-domain exemplar docs (they score too — useful as a
+    sanity band).  Returns one row per document: (id_col, dsir_logw).
+
+    The paper buckets hashed n-grams to fix the feature width; here the
+    features are the exact tokens — the same plan with tok replaced by
+    ``hash(tok) % B`` is the constant-width variant, and nothing below
+    depends on the feature domain's size.
+
+    Scale shape (100 TB): tokenize explodes to per-(doc, tok) COUNTS
+    via a per-batch combiner before anything shuffles; two bucketed
+    tok-keyed exchanges build the raw / target count tables; totals
+    (T_raw, T_target, V) fold to O(1) driver scalars via per-block
+    partial sums; the log-ratio table joins back co-partitioned on tok
+    (never broadcast — works at any vocabulary); the per-doc sum is one
+    doc-keyed bucketed group map.  No stage holds more than a block."""
+    import pandas as pd
+
+    from ..functions.text import WORD_RE
+    from .relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks, tgt = [], [], []
+        for i, t, m in zip(
+            batch[id_col].to_pylist(),
+            batch[text_col].to_pylist(),
+            batch[target_col].to_pylist(),
+        ):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            toks.extend(ts)
+            tgt.extend([int(m)] * len(ts))
+        df = (
+            pd.DataFrame({id_col: ids, "tok": toks, "is_t": tgt})
+            .groupby([id_col, "tok", "is_t"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # per-(doc, tok) counts — consumed by both count tables and the
+    # score join, so pin the blocks (O(distinct (doc, tok)) rows)
+    dt = bucketed_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        [id_col, "tok", "is_t"],
+        value_col="c",
+        how="sum",
+        out_col="c",
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # raw count cq = Σc; target count cp = Σ c·is_t — the masked sum
+    # keeps one row PER TOKEN on both sides (zero for tokens absent
+    # from the target slice, defined even with NO target docs), so the
+    # ratio join below is a plain co-partitioned inner join
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cp=df["c"] * df["is_t"])
+        return df.groupby("tok", as_index=False).agg(
+            cq=("c", "sum"), cp=("cp", "sum")
+        )
+
+    def counts_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("tok", as_index=False)[["cq", "cp"]].sum()
+
+    both = bucketed_group_map(
+        dt, ["tok"], counts_final, num_buckets=num_buckets,
+        batch_partial=counts_partial,
+    ).materialize()  # consumed by totals fold AND the score join
+
+    def _fold_int(ds, col) -> int:
+        parts = ds.map_batches(
+            lambda df, c=col: pd.DataFrame({c: [int(df[c].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()
+        return int(parts[col].sum())
+
+    t_raw = _fold_int(both, "cq")
+    t_tgt = _fold_int(both, "cp")
+    v = both.count()
+
+    def score_tok(df: pd.DataFrame) -> pd.DataFrame:
+        cqv = df["cq"].to_numpy(dtype="float64")
+        cpv = df["cp"].to_numpy(dtype="float64")
+        logr = np.log((cpv + alpha) / (t_tgt + alpha * v)) - np.log(
+            (cqv + alpha) / (t_raw + alpha * v)
+        )
+        return pd.DataFrame({"tok": df["tok"], "logr": logr})
+
+    joined = bucket_hash_join(
+        dt.map_batches(
+            lambda df: df[[id_col, "tok", "c"]], batch_format="pandas"
+        ),
+        both.map_batches(score_tok, batch_format="pandas"),
+        ["tok"],
+        num_buckets=num_buckets,
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        # sort so the float accumulation order is a pure function of
+        # the data, not of block arrival
+        df = df.sort_values([id_col, "tok"], kind="mergesort")
+        w = df["c"].to_numpy(dtype="float64") * df["logr"].to_numpy()
+        out = (
+            pd.DataFrame({id_col: df[id_col], "dsir_logw": w})
+            .groupby(id_col, as_index=False)["dsir_logw"]
+            .sum()
+        )
+        if round_to is not None:
+            from ..functions.numeric import round_half_away
+
+            out["dsir_logw"] = round_half_away(
+                out["dsir_logw"].to_numpy(), round_to
+            )
+        return out
+
+    return bucketed_group_map(joined, [id_col], per_doc, num_buckets=num_buckets)
