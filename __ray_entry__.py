@@ -11682,6 +11682,28 @@ def dsir_weights_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def nb_classify_documents(sf_dir: str):
+    """Multinomial Naive Bayes trained on the corpus's lang labels and
+    scored back over every document (stages/text.py::
+    naive_bayes_scores): per-doc argmax of the rounded add-1-smoothed
+    log posterior, ties to the smallest label.  The engine and the SQL
+    twin round to 6 dp BEFORE the argmax, so the winner is a pure
+    function of values both sides agree on exactly."""
+    from web_graph_ray.stages.text import naive_bayes_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scores = naive_bayes_scores(ds, round_to=6).to_pandas()
+    scores = scores.sort_values(
+        ["doc_id", "nb_score", "label"], ascending=[True, False, True]
+    )
+    out = scores.drop_duplicates("doc_id", keep="first").rename(
+        columns={"label": "pred"}
+    )
+    return out[["doc_id", "pred", "nb_score"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12021,6 +12043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_query_documents": proximity_query_documents,
         "peakiness_daily_events": peakiness_daily_events,
         "dsir_weights_documents": dsir_weights_documents,
+        "nb_classify_documents": nb_classify_documents,
     }
 
 
@@ -16107,5 +16130,36 @@ def oracle_sql() -> dict[str, str]:
             select dt.doc_id, round(sum(dt.c * r.logr), 6) as dsir_logw
             from dt join r using(tok)
             group by dt.doc_id order by doc_id
+        """,
+        "nb_classify_documents": """
+            with t as (select doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') ts
+                       from documents),
+            tok as (select doc_id, lang, unnest(ts) tok from t),
+            dt as (select doc_id, lang, tok, count(*) c from tok group by all),
+            lt as (select lang as lab, tok, sum(c) clt from dt group by 1, 2),
+            tl as (select lab, sum(clt) tl from lt group by lab),
+            v as (select count(distinct tok) v from lt),
+            pri as (select lang as lab, count(*) nd from documents group by 1),
+            n as (select count(*) n from documents),
+            nd as (select doc_id, sum(c) n_d from dt group by doc_id),
+            seen as (select dt.doc_id, lt.lab, sum(dt.c * ln(lt.clt + 1.0)) s
+                     from dt join lt using(tok) group by 1, 2),
+            grid as (select nd.doc_id, pri.lab, pri.nd, nd.n_d
+                     from nd cross join pri),
+            sc as (select g.doc_id, g.lab,
+                          round(coalesce(seen.s, 0.0)
+                                + ln(g.nd::double / n.n)
+                                - g.n_d * ln(tl.tl + v.v), 6) as nb_score
+                   from grid g
+                   left join seen on seen.doc_id = g.doc_id
+                                 and seen.lab = g.lab
+                   join tl on tl.lab = g.lab, v, n),
+            r as (select doc_id, lab, nb_score,
+                         row_number() over (partition by doc_id
+                                            order by nb_score desc, lab) rn
+                  from sc)
+            select doc_id, lab as pred, nb_score from r where rn = 1
+            order by doc_id
         """,
     }

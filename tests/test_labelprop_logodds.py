@@ -230,3 +230,82 @@ def test_dsir_no_target_docs_defined(ray_session):
     )
     out = dsir_logweights(ray.data.from_pandas(df)).to_pandas()
     assert np.isfinite(out["dsir_logw"]).all()
+
+
+def reference_nb(df, alpha=1.0):
+    """Literal multinomial NB log posteriors: add-alpha smoothing over
+    the full (label, token) grid — the decomposed engine form must
+    equal this exactly for alpha=1."""
+    import collections
+    import math
+    import re
+
+    word = re.compile(r"[A-Za-z0-9]+")
+    per_doc, lab_cnt = {}, collections.Counter()
+    lt = collections.defaultdict(collections.Counter)
+    vocab = set()
+    for _, r in df.iterrows():
+        toks = word.findall(r["text"].lower())
+        per_doc[r["doc_id"]] = collections.Counter(toks)
+        lab_cnt[r["lang"]] += 1
+        lt[r["lang"]].update(toks)
+        vocab.update(toks)
+    v, n = len(vocab), len(df)
+    out = {}
+    for d, cnt in per_doc.items():
+        for lab in lab_cnt:
+            tl = sum(lt[lab].values())
+            s = math.log(lab_cnt[lab] / n)
+            for t, c in cnt.items():
+                s += c * math.log((lt[lab].get(t, 0) + alpha) / (tl + alpha * v))
+            out[(d, lab)] = s
+    return out
+
+
+def test_naive_bayes_matches_reference(ray_session):
+    from web_graph_ray.stages.text import naive_bayes_scores
+
+    rng = np.random.default_rng(3)
+    vocabs = {
+        "en": ["the", "web", "crawl", "data", "page"],
+        "de": ["der", "netz", "seite", "daten", "crawl"],
+        "es": ["la", "red", "pagina", "datos", "web"],
+    }
+    rows = []
+    for i in range(30):
+        lab = ["en", "de", "es"][i % 3]
+        n = int(rng.integers(3, 15))
+        rows.append(
+            {"doc_id": i, "lang": lab, "text": " ".join(rng.choice(vocabs[lab], n))}
+        )
+    df = pd.DataFrame(rows)
+    want = reference_nb(df)
+
+    got = (
+        naive_bayes_scores(ray.data.from_pandas(df).repartition(4))
+        .to_pandas()
+        .set_index(["doc_id", "label"])["nb_score"]
+    )
+    assert len(got) == 30 * 3  # every doc scores every label
+    for (d, lab), w in want.items():
+        assert got[(d, lab)] == pytest.approx(w, abs=1e-9), (d, lab)
+
+    # training labels dominate: the argmax recovers lang on this
+    # separable corpus
+    pred = (
+        got.reset_index()
+        .sort_values(["doc_id", "nb_score", "label"],
+                     ascending=[True, False, True])
+        .drop_duplicates("doc_id")
+        .set_index("doc_id")["label"]
+    )
+    truth = df.set_index("doc_id")["lang"]
+    assert (pred == truth).mean() > 0.9
+
+
+def test_naive_bayes_rejects_other_alpha(ray_session):
+    from web_graph_ray.stages.text import naive_bayes_scores
+
+    df = pd.DataFrame({"doc_id": [0], "lang": ["en"], "text": ["a b"]})
+    with pytest.raises(ValueError, match="alpha=1"):
+        naive_bayes_scores(ray.data.from_pandas(df), alpha=0.5)

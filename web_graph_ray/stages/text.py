@@ -933,3 +933,187 @@ def dsir_logweights(
         return out
 
     return bucketed_group_map(joined, [id_col], per_doc, num_buckets=num_buckets)
+
+
+def naive_bayes_scores(
+    docs: "ray.data.Dataset",
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    num_buckets: int = 32,
+    round_to: int | None = None,
+) -> "ray.data.Dataset":
+    """Multinomial Naive Bayes trained ON the corpus and scored back
+    over it: per (document, label) the add-``alpha``-smoothed log
+    posterior
+
+        score(d, l) = ln prior(l)
+                    − N_d · ln(T_l + α·V)
+                    + Σ_tok c_d(tok) · ln(c(l, tok) + α)
+
+    (the standard decomposition: tokens a label never saw contribute
+    ln(α) = 0 at α=1 to the sum term, so only OBSERVED (label, tok)
+    pairs join — unseen-pair smoothing folds into the −N_d·ln(T_l+α·V)
+    constant, exactly; with α≠1 the missing-pair ln(α) term is added
+    as (N_d − n_d^{seen,l})·ln α, which this implementation restricts
+    away by requiring α=1 to keep the join inner).  Returns one row per
+    (id_col, label, nb_score); argmax per doc (ties to the smallest
+    label) is the classification.
+
+    Scale shape: per-(doc, tok) counts combine per batch; (label, tok)
+    counts take one tok-keyed exchange; priors and per-label totals
+    fold to O(labels) driver rows; the score join is co-partitioned on
+    tok and inflates by ≤ |labels|; the (doc, label) sum is one
+    doc-keyed bucketed aggregation.  No broadcast at any vocabulary."""
+    import pandas as pd
+
+    from ..functions.text import WORD_RE
+    from .relational import bucket_hash_join, bucketed_agg, bucketed_group_map
+
+    if alpha != 1.0:
+        raise ValueError(
+            "naive_bayes_scores: only alpha=1 keeps unseen-pair "
+            "smoothing exactly foldable into the per-label constant "
+            "(ln(alpha)=0); use alpha=1"
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, labs, toks = [], [], []
+        for i, l, t in zip(
+            batch[id_col].to_pylist(),
+            batch[label_col].to_pylist(),
+            batch[text_col].to_pylist(),
+        ):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            labs.extend([l] * len(ts))
+            toks.extend(ts)
+        df = (
+            pd.DataFrame({id_col: ids, label_col: labs, "tok": toks})
+            .groupby([id_col, label_col, "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dt = bucketed_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        [id_col, label_col, "tok"],
+        value_col="c",
+        how="sum",
+        out_col="c",
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # (label, tok) counts — one tok-keyed exchange; also yields V and
+    # the per-label token totals as tiny driver folds
+    lt = bucketed_agg(
+        dt, [label_col, "tok"], value_col="c", how="sum", out_col="clt",
+        num_buckets=num_buckets,
+    ).materialize()
+
+    lab_tot = (
+        lt.map_batches(
+            lambda df: df.groupby(label_col, as_index=False)["clt"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(label_col, as_index=False)["clt"]
+        .sum()
+    )
+    t_l = dict(zip(lab_tot[label_col], lab_tot["clt"].astype("int64")))
+    v = (
+        lt.map_batches(
+            lambda df: pd.DataFrame({"tok": df["tok"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["tok"]
+        .nunique()
+    )
+    # priors: document counts per label — O(labels) driver rows
+    pri = (
+        docs.map_batches(
+            lambda df: df.groupby(label_col, as_index=False).size(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(label_col, as_index=False)["size"]
+        .sum()
+    )
+    n_docs = int(pri["size"].sum())
+    ln_prior = {l: float(np.log(c / n_docs)) for l, c in zip(pri[label_col], pri["size"])}
+    labels = sorted(ln_prior)
+
+    # per-doc token totals N_d (distributed, doc-keyed)
+    nd = bucketed_agg(
+        dt, [id_col], value_col="c", how="sum", out_col="n_d",
+        num_buckets=num_buckets,
+    )
+
+    # doc-token rows join label-token rows co-partitioned on tok; each
+    # (doc, tok) row fans out to the labels that SAW the token
+    dtok = dt.map_batches(
+        lambda df: df.rename(columns={label_col: "_truth"})[[id_col, "tok", "c"]],
+        batch_format="pandas",
+    )
+    seen = bucket_hash_join(
+        dtok,
+        lt.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "tok": df["tok"],
+                    "_lab": df[label_col],
+                    "lnc": np.log(df["clt"].to_numpy(dtype="float64") + 1.0),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["tok"],
+        num_buckets=num_buckets,
+    )
+    part = bucketed_agg(
+        seen.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "_lab": df["_lab"],
+                    "s": df["c"].to_numpy(dtype="float64") * df["lnc"].to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        [id_col, "_lab"],
+        value_col="s",
+        how="sum",
+        out_col="s",
+        num_buckets=num_buckets,
+    )
+
+    # assemble: every doc scores EVERY label (labels a doc shares no
+    # token with still get prior − N_d·ln(T_l+V))
+    joined = bucket_hash_join(part, nd, [id_col], num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        base = df.drop_duplicates(id_col)[[id_col, "n_d"]]
+        for l in labels:
+            s = df[df["_lab"] == l].set_index(id_col)["s"]
+            o = base.copy()
+            o["label"] = l
+            o["nb_score"] = (
+                o[id_col].map(s).fillna(0.0).to_numpy()
+                + ln_prior[l]
+                - o["n_d"].to_numpy(dtype="float64") * np.log(t_l.get(l, 0) + v)
+            )
+            outs.append(o[[id_col, "label", "nb_score"]])
+        out = pd.concat(outs, ignore_index=True)
+        if round_to is not None:
+            from ..functions.numeric import round_half_away
+
+            out["nb_score"] = round_half_away(
+                out["nb_score"].to_numpy(), round_to
+            )
+        return out
+
+    return bucketed_group_map(joined, [id_col], finish, num_buckets=num_buckets)
