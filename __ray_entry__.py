@@ -11704,6 +11704,29 @@ def nb_classify_documents(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def contam_frac_documents(sf_dir: str):
+    """Fractional benchmark-overlap contamination (GPT-3/PaLM screening
+    variant; stages/dedup.py::contamination_fraction): per document the
+    share of its 5-gram token windows found anywhere in the benchmark
+    slice (doc_id % 50 == 0).  Benchmark docs score 1.0 by
+    construction.  One gram-keyed exchange; the gram→benchmark flag is
+    a masked max so no outer join is needed at any benchmark size."""
+    from web_graph_ray.stages.dedup import contamination_fraction
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        return batch.append_column(
+            "is_bench", pa.array((ids % 50 == 0).astype("int64"))
+        )
+
+    out = contamination_fraction(
+        ds.map_batches(mark, batch_format="pyarrow"), n=5, round_to=6
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12044,6 +12067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peakiness_daily_events": peakiness_daily_events,
         "dsir_weights_documents": dsir_weights_documents,
         "nb_classify_documents": nb_classify_documents,
+        "contam_frac_documents": contam_frac_documents,
     }
 
 
@@ -16161,5 +16185,25 @@ def oracle_sql() -> dict[str, str]:
                   from sc)
             select doc_id, lab as pred, nb_score from r where rn = 1
             order by doc_id
+        """,
+        "contam_frac_documents": """
+            with t as (select doc_id, (doc_id % 50 = 0)::int is_b,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') ts
+                       from documents),
+            g as (select doc_id, is_b,
+                    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                    ts[i+3] || ' ' || ts[i+4] gram
+                  from t,
+                  lateral (select unnest(generate_series(1, len(ts)-4)) i) l(i)
+                  where len(ts) >= 5),
+            dg as (select doc_id, is_b, gram, count(*) c from g group by all),
+            bg as (select gram, max(is_b) ib from dg group by gram)
+            select dg.doc_id,
+                   sum(dg.c)::bigint as n_windows,
+                   sum(dg.c * bg.ib)::bigint as n_matched,
+                   round(sum(dg.c * bg.ib)::double / sum(dg.c), 6)
+                     as contam_frac
+            from dg join bg using(gram)
+            group by dg.doc_id order by doc_id
         """,
     }

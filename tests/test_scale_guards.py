@@ -723,3 +723,76 @@ class TestAnnExactQueryGuard:
         too_many = rng.normal(size=(ann.MAX_EXACT_QUERIES + 1, 8))
         with _pytest.raises(ValueError, match="ivf_cosine_topk"):
             ann.cosine_topk(ds, too_many, k=5)
+
+
+class TestContaminationFraction:
+    def test_matches_reference_and_benchmark_scores_one(self, ray_session):
+        """Fractional overlap agrees with a literal per-doc window scan;
+        benchmark docs score exactly 1.0; <n-token docs drop."""
+        import re
+
+        from web_graph_ray.stages.dedup import contamination_fraction
+
+        word = re.compile(r"[A-Za-z0-9]+")
+        rows = [
+            # benchmark doc
+            {"doc_id": 0, "is_bench": 1,
+             "text": "alpha beta gamma delta epsilon zeta"},
+            # fully contaminated copy
+            {"doc_id": 1, "is_bench": 0,
+             "text": "alpha beta gamma delta epsilon zeta"},
+            # half-window overlap
+            {"doc_id": 2, "is_bench": 0,
+             "text": "alpha beta gamma delta epsilon nope x y z w"},
+            # clean
+            {"doc_id": 3, "is_bench": 0,
+             "text": "one two three four five six seven"},
+            # too short: no 5-gram windows
+            {"doc_id": 4, "is_bench": 0, "text": "tiny doc"},
+        ]
+        df = pd.DataFrame(rows)
+
+        def ref():
+            grams = lambda t: [
+                " ".join(ws[i : i + 5])
+                for ws in [word.findall(t.lower())]
+                for i in range(len(ws) - 4)
+            ]
+            bench = set()
+            for r in rows:
+                if r["is_bench"]:
+                    bench.update(grams(r["text"]))
+            out = {}
+            for r in rows:
+                gs = grams(r["text"])
+                if gs:
+                    out[r["doc_id"]] = sum(g in bench for g in gs) / len(gs)
+            return out
+
+        want = ref()
+        got = (
+            contamination_fraction(
+                ray.data.from_pandas(df).repartition(3), round_to=None
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert sorted(got.index) == sorted(want)  # doc 4 dropped
+        for d, f in want.items():
+            assert got.loc[d, "contam_frac"] == pytest.approx(f, abs=1e-9)
+        assert got.loc[0, "contam_frac"] == 1.0
+        assert got.loc[1, "contam_frac"] == 1.0
+        assert got.loc[3, "contam_frac"] == 0.0
+
+    def test_empty_benchmark_defined(self, ray_session):
+        from web_graph_ray.stages.dedup import contamination_fraction
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "is_bench": [0, 0],
+                "text": ["a b c d e f", "g h i j k l"],
+            }
+        )
+        out = contamination_fraction(ray.data.from_pandas(df)).to_pandas()
+        assert (out["contam_frac"] == 0.0).all()

@@ -1153,3 +1153,90 @@ def edit_distance_pairs(
         ).drop_duplicates(["a", "b"])
 
     return bucketed_group_map(rows, ["band"], band_pairs, num_buckets=num_buckets)
+
+
+def contamination_fraction(
+    docs: "ray.data.Dataset",
+    bench_col: str = "is_bench",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_buckets: int = 32,
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """FRACTIONAL benchmark-overlap contamination score (the GPT-3 /
+    PaLM screening variant, vs :func:`decontaminate`'s any-hit drop):
+    per document, the share of its word-token ``n``-gram windows that
+    occur anywhere in the benchmark slice (``bench_col`` = 0/1).
+    Returns (id_col, n_windows, n_matched, contam_frac); docs with
+    fewer than ``n`` tokens have no windows and drop (no denominator).
+    Benchmark docs score 1.0 by construction — a built-in sanity band.
+
+    Scale shape: per-(doc, gram) counts combine per batch before the
+    single gram-keyed exchange; the gram→is-benchmark flag is a masked
+    MAX over the same exchange (every gram keeps a row, so the score
+    join is a plain co-partitioned inner join — defined even with an
+    empty benchmark); per-doc totals are one doc-keyed aggregation.
+    Nothing broadcasts, nothing exceeds O(distinct grams per bucket)."""
+    from ..functions.text import WORD_RE
+    from .relational import bucket_hash_join, bucketed_agg, bucketed_group_map
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams, flags = [], [], []
+        for i, t, b in zip(
+            batch[id_col].to_pylist(),
+            batch[text_col].to_pylist(),
+            batch[bench_col].to_pylist(),
+        ):
+            ts = WORD_RE.findall(t.lower())
+            for j in range(len(ts) - n + 1):
+                ids.append(i)
+                grams.append(" ".join(ts[j : j + n]))
+                flags.append(int(b))
+        df = (
+            pd.DataFrame({id_col: ids, "gram": grams, "is_b": flags})
+            .groupby([id_col, "gram", "is_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dg = bucketed_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        [id_col, "gram", "is_b"],
+        value_col="c",
+        how="sum",
+        out_col="c",
+        num_buckets=num_buckets,
+    ).materialize()  # consumed by the flag table AND the score join
+
+    bg = bucketed_agg(
+        dg, ["gram"], value_col="is_b", how="max", out_col="ib",
+        num_buckets=num_buckets,
+    )
+
+    joined = bucket_hash_join(
+        dg.map_batches(
+            lambda df: df[[id_col, "gram", "c"]], batch_format="pandas"
+        ),
+        bg,
+        ["gram"],
+        num_buckets=num_buckets,
+    )
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy(dtype="int64")
+        m = c * df["ib"].to_numpy(dtype="int64")
+        g = pd.DataFrame({id_col: df[id_col], "n_windows": c, "n_matched": m})
+        out = g.groupby(id_col, as_index=False)[["n_windows", "n_matched"]].sum()
+        frac = out["n_matched"].to_numpy(dtype="float64") / out[
+            "n_windows"
+        ].to_numpy(dtype="float64")
+        if round_to is not None:
+            from ..functions.numeric import round_half_away
+
+            frac = round_half_away(frac, round_to)
+        out["contam_frac"] = frac
+        return out
+
+    return bucketed_group_map(joined, [id_col], per_doc, num_buckets=num_buckets)
