@@ -11727,6 +11727,70 @@ def contam_frac_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def ccnet_bucket_documents(sf_dir: str):
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): rank
+    every document by its LM score (here the corpus-estimated mean
+    unigram log-probability, the KenLM-perplexity analogue) and bucket
+    into terciles — head = most probable third, tail = least.  The
+    per-doc score reuses the unigram pipeline (explode → bucketed
+    counts → co-partitioned join → per-doc mean — no broadcast at any
+    vocab); the tercile boundaries are two distributed exact
+    order-statistic selects (relational.exact_quantile,
+    percentile_disc semantics, O(pivots) driver state); the label is a
+    final pure map.  Scores round to 6 dp BEFORE the boundary selects
+    on both sides so bucket membership is a pure function of values
+    the twin reproduces exactly."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import (
+        bucket_hash_join,
+        bucketed_agg,
+        bucketed_group_map,
+        exact_quantile,
+    )
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            toks.extend(ts)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "tok": pa.array(toks, pa.string())}
+        )
+
+    tok_rows = ds.map_batches(explode, batch_format="pyarrow")
+    counts = bucketed_agg(tok_rows, ["tok"], out_col="n").materialize()
+    total = counts.sum("n")
+    joined = bucket_hash_join(tok_rows, counts, ["tok"])
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log(df["n"].to_numpy(dtype="float64") / total)
+        out = (
+            pd.DataFrame({"doc_id": df["doc_id"], "lp": lp})
+            .groupby("doc_id", as_index=False)["lp"]
+            .mean()
+            .rename(columns={"lp": "logprob"})
+        )
+        out["logprob"] = round_half_away(out["logprob"].to_numpy(), 6)
+        return out
+
+    lp = bucketed_group_map(joined, ["doc_id"], per_doc).materialize()
+    q33 = exact_quantile(lp, "logprob", 1.0 / 3.0)
+    q67 = exact_quantile(lp, "logprob", 2.0 / 3.0)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["logprob"].to_numpy()
+        df = df.copy()
+        df["bucket"] = np.where(v > q67, "head", np.where(v > q33, "middle", "tail"))
+        return df
+
+    out = lp.map_batches(label, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12068,6 +12132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_documents": dsir_weights_documents,
         "nb_classify_documents": nb_classify_documents,
         "contam_frac_documents": contam_frac_documents,
+        "ccnet_bucket_documents": ccnet_bucket_documents,
     }
 
 
@@ -16205,5 +16270,27 @@ def oracle_sql() -> dict[str, str]:
                      as contam_frac
             from dg join bg using(gram)
             group by dg.doc_id order by doc_id
+        """,
+        "ccnet_bucket_documents": """
+            with toks as (select doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+                          from documents),
+            counts as (select tok, count(*) n from toks group by tok),
+            tot as (select count(*) t from toks),
+            lp as (select doc_id,
+                          round(avg(ln(n / (select t from tot))), 6) as logprob
+                   from toks join counts using(tok)
+                   group by doc_id),
+            qs as (select
+                     percentile_disc(0.3333333333333333)
+                       within group (order by logprob) q33,
+                     percentile_disc(0.6666666666666666)
+                       within group (order by logprob) q67
+                   from lp)
+            select lp.doc_id, lp.logprob,
+                   case when lp.logprob > qs.q67 then 'head'
+                        when lp.logprob > qs.q33 then 'middle'
+                        else 'tail' end as bucket
+            from lp, qs order by doc_id
         """,
     }
