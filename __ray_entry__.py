@@ -11727,6 +11727,20 @@ def contam_frac_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def jl_project_embeddings(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 sign projection 64→8 dims
+    (stages/ann.py::jl_project): integer-quantized inputs make the
+    projection sum exact integer arithmetic, the sign grid derives from
+    the murmur-fmix64 the SQL twins already stage through CTEs, and the
+    single final division rounds identically — bit-exact twin parity.
+    Pure batch map, zero shuffles."""
+    from web_graph_ray.stages.ann import jl_project
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = jl_project(ds, out_dim=8).to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
 def ccnet_bucket_documents(sf_dir: str):
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020): rank
     every document by its LM score (here the corpus-estimated mean
@@ -12133,6 +12147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify_documents": nb_classify_documents,
         "contam_frac_documents": contam_frac_documents,
         "ccnet_bucket_documents": ccnet_bucket_documents,
+        "jl_project_embeddings": jl_project_embeddings,
     }
 
 
@@ -16292,5 +16307,28 @@ def oracle_sql() -> dict[str, str]:
                         when lp.logprob > qs.q33 then 'middle'
                         else 'tail' end as bucket
             from lp, qs order by doc_id
+        """,
+        "jl_project_embeddings": f"""
+            with g as (select gi.i, gj.j
+                       from generate_series(0, 63) gi(i),
+                            generate_series(0, 7) gj(j)),
+            v as (select i, j, (i * 8 + j + 1)::hugeint fnv from g),
+            {_sql_mix_ctes("i, j, ")}
+            s as (select i, j,
+                         case when h % 2 = 0 then 1 else -1 end sgn
+                  from hx),
+            q as (select vec_id, (t.i - 1)::bigint i,
+                         -- ::double BEFORE the multiply: a float32
+                         -- product rounds differently near .5 and
+                         -- shifts ~0.4% of the quantized ints by 1
+                         round(list_extract(embedding, t.i)::double
+                               * 1000000)::bigint v
+                  from embeddings, generate_series(1, 64) t(i))
+            select q.vec_id, s.j::bigint as dim,
+                   round(sum(q.v * s.sgn)::double / (1000000 * sqrt(8.0)), 6)
+                     as value
+            from q join s using(i)
+            group by q.vec_id, s.j
+            order by vec_id, dim
         """,
     }

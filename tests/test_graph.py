@@ -428,3 +428,51 @@ class TestInterpQuantile:
             ).fetchone()[0]
             assert abs(got - exp_np) < 1e-9, (q, got, exp_np)
             assert abs(got - exp_dd) < 1e-9, (q, got, exp_dd)
+
+
+class TestJlProject:
+    def test_distance_preservation_and_determinism(self, ray_session):
+        """JL with a ±1 sign matrix: (1) deterministic across block
+        layouts; (2) pairwise squared distances are preserved in
+        expectation — check the empirical distortion of random pairs
+        stays within the loose JL band for k=16; (3) the sign grid is
+        process-stable (pure function of (dim, out_dim))."""
+        import numpy as np
+        import pandas as pd
+
+        from web_graph_ray.stages.ann import jl_project, jl_signs
+
+        rng = np.random.default_rng(5)
+        n, d, k = 200, 64, 16
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+        )
+
+        got1 = (
+            jl_project(ray.data.from_pandas(df).repartition(1),
+                       out_dim=k, round_to=None)
+            .to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+        )
+        got8 = (
+            jl_project(ray.data.from_pandas(df).repartition(8),
+                       out_dim=k, round_to=None)
+            .to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got1, got8)
+
+        Y = got1["value"].to_numpy().reshape(n, k)
+        pairs = rng.integers(0, n, size=(300, 2))
+        pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+        dx = np.linalg.norm(X[pairs[:, 0]].astype(np.float64)
+                            - X[pairs[:, 1]].astype(np.float64), axis=1)
+        dy = np.linalg.norm(Y[pairs[:, 0]] - Y[pairs[:, 1]], axis=1)
+        ratio = (dy / dx) ** 2
+        # E[ratio]=1; spread shrinks with k — loose sanity band
+        assert 0.85 < ratio.mean() < 1.15
+        assert (ratio > 0.2).all() and (ratio < 3.0).all()
+
+        s = jl_signs(d, k)
+        assert s.shape == (d, k) and set(np.unique(s)) == {-1, 1}
+        assert (jl_signs(d, k) == s).all()  # stable regeneration
+        assert abs(s.mean()) < 0.15  # balanced ±1

@@ -478,3 +478,72 @@ def kmeans(
         )
 
     return cents, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _murmur_fmix64(x: np.ndarray) -> np.ndarray:
+    """The murmur3 64-bit finalizer over a uint64 array — the SAME
+    arithmetic the SQL twins stage through their mx1→mx2→hx CTEs
+    (__ray_entry__._sql_mix_ctes), so hash-derived values agree
+    bit-for-bit across engine and oracle."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def jl_signs(dim: int, out_dim: int) -> np.ndarray:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix (dim ×
+    out_dim): cell (i, j) takes the parity of murmur-fmix64(i·out_dim +
+    j + 1).  Seed-free and process-stable — the same grid regenerates
+    on every worker and in the SQL twin."""
+    idx = np.arange(1, dim * out_dim + 1, dtype=np.uint64)
+    h = _murmur_fmix64(idx)
+    return (1 - 2 * (h & np.uint64(1)).astype(np.int64)).reshape(dim, out_dim)
+
+
+def jl_project(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    quant: int = 1_000_000,
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): y = (x · S) / sqrt(out_dim) — the cheap
+    distance-preserving projection that shrinks embeddings before ANN /
+    clustering at 10^9-vector scale.  Returns LONG form (id_col, dim,
+    value); a wide layout is one pivot away.
+
+    Determinism across engines: inputs quantize to integers
+    (round-half-away(x·quant)) so the projection sum is EXACT integer
+    arithmetic — no float accumulation order anywhere — and the single
+    final division by (quant·sqrt(out_dim)) rounds identically in
+    numpy and SQL.  Embarrassingly parallel: one zero-copy matrix
+    matmul per batch, zero shuffles, the sign grid is regenerated
+    per worker (dim·out_dim ints, never shipped)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, vec_col)
+        s = jl_signs(m.shape[1] if m.size else 0, out_dim)
+        q = round_half_away(m * quant, 0).astype(np.int64)
+        y = (q @ s).astype(np.float64) / (quant * np.sqrt(float(out_dim)))
+        if round_to is not None:
+            y = round_half_away(y, round_to)
+        n = len(m)
+        ids = np.repeat(
+            np.asarray(batch[id_col].to_pylist(), dtype=np.int64), out_dim
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+                "value": pa.array(y.reshape(-1), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
