@@ -71,3 +71,35 @@ def test_rows_only(name, ray_session):
 def test_entry(ray_session):
     res = entrymod.entry()
     assert to_df(res).shape[0] > 0
+
+
+def test_no_duplicate_registry_keys():
+    """A repeated dict key in queries()/oracle_sql() silently shadows
+    the earlier entry (this bit once in round 4: ledger said 300
+    entries, live dict had 298).  Parse the AST and assert every dict
+    literal inside the two registry functions has unique string keys."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(entrymod)
+    tree = ast.parse(src)
+    for fn in ast.walk(tree):
+        if not (isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql")):
+            continue
+        for node in ast.walk(fn):
+            if not isinstance(node, ast.Dict):
+                continue
+            keys = [
+                k.value for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate keys in {fn.name}(): {sorted(dupes)}"
+
+
+def test_queries_and_oracle_keys_consistent():
+    """Every oracle_sql key must name a queries() entry (a twin with no
+    pipeline is dead SQL the driver never checks)."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"oracle-only keys: {sorted(o - q)}"
