@@ -1117,3 +1117,4 @@ def naive_bayes_scores(
         return out
 
     return bucketed_group_map(joined, [id_col], finish, num_buckets=num_buckets)
+
