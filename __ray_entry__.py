@@ -11727,6 +11727,66 @@ def contam_frac_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def logreg_weekend_events(sf_dir: str):
+    """Distributed logistic regression (Newton–Raphson / IRLS):
+    P(weekend | value) = σ(β0 + β1·value) trained over all events —
+    the classifier-TRAINING shape at scale.  Each of 4 Newton steps is
+    ONE map pass folding the 5 sufficient statistics (gradient g0, g1;
+    Hessian h00, h01, h11) as per-batch partials; the driver holds two
+    floats and does the closed-form 2×2 solve.  The twin unrolls the
+    same 4 steps as chained CTEs with the identical expression tree —
+    agreement to 6 dp (float-sum error ~1e-12 relative, same as the
+    ols2 precedent).  Weekend uses the epoch-day formula shared with
+    ttest/odds-ratio, not a dialect dayofweek."""
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pa.table(
+            {
+                "y": pa.array(((dow == 0) | (dow == 6)).astype("float64")),
+                "x": t["value"].combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    pts = ds.map_batches(proj, batch_format="pyarrow").materialize()
+
+    b0 = b1 = 0.0
+    for _ in range(4):
+
+        def partial(t: pa.Table, b0=b0, b1=b1) -> pd.DataFrame:
+            y = t["y"].to_numpy(zero_copy_only=False)
+            x = t["x"].to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            return pd.DataFrame(
+                {
+                    "g0": [float(np.sum(y - p))],
+                    "g1": [float(np.sum((y - p) * x))],
+                    "h00": [float(np.sum(w))],
+                    "h01": [float(np.sum(w * x))],
+                    "h11": [float(np.sum(w * x * x))],
+                }
+            )
+
+        s = pts.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+        det = s.h00 * s.h11 - s.h01 * s.h01
+        b0 += (s.h11 * s.g0 - s.h01 * s.g1) / det
+        b1 += (-s.h01 * s.g0 + s.h00 * s.g1) / det
+
+    from web_graph_ray.functions.numeric import round_half_away
+
+    return pd.DataFrame(
+        {
+            "b0": round_half_away(np.array([b0]), 6),
+            "b1": round_half_away(np.array([b1]), 6),
+            "iters": [np.int64(4)],
+        }
+    )
+
+
 def jl_project_embeddings(sf_dir: str):
     """Johnson–Lindenstrauss ±1 sign projection 64→8 dims
     (stages/ann.py::jl_project): integer-quantized inputs make the
@@ -12148,6 +12208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contam_frac_documents": contam_frac_documents,
         "ccnet_bucket_documents": ccnet_bucket_documents,
         "jl_project_embeddings": jl_project_embeddings,
+        "logreg_weekend_events": logreg_weekend_events,
     }
 
 
@@ -16330,5 +16391,64 @@ def oracle_sql() -> dict[str, str]:
             from q join s using(i)
             group by q.vec_id, s.j
             order by vec_id, dim
+        """,
+        "logreg_weekend_events": """
+            with ev as (select
+                (((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                 in (0, 6))::int::double y,
+                value::double x
+              from events),
+            a0 as (select 0.0::double b0, 0.0::double b1),
+            s1 as (select
+                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
+                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
+                any_value(b0) b0, any_value(b1) b1
+              from ev, a0),
+            a1 as (select
+                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
+              from s1),
+            s2 as (select
+                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
+                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
+                any_value(b0) b0, any_value(b1) b1
+              from ev, a1),
+            a2 as (select
+                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
+              from s2),
+            s3 as (select
+                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
+                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
+                any_value(b0) b0, any_value(b1) b1
+              from ev, a2),
+            a3 as (select
+                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
+              from s3),
+            s4 as (select
+                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
+                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
+                any_value(b0) b0, any_value(b1) b1
+              from ev, a3),
+            a4 as (select
+                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
+              from s4)
+            select round(b0, 6) as b0, round(b1, 6) as b1,
+                   4::bigint as iters
+            from a4
         """,
     }
