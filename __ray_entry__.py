@@ -16315,11 +16315,16 @@ def oracle_sql() -> dict[str, str]:
             sc as (select g.doc_id, g.lab,
                           round(coalesce(seen.s, 0.0)
                                 + ln(g.nd::double / n.n)
-                                - g.n_d * ln(tl.tl + v.v), 6) as nb_score
+                                - g.n_d * ln(coalesce(tl.tl, 0) + v.v), 6)
+                            as nb_score
                    from grid g
                    left join seen on seen.doc_id = g.doc_id
                                  and seen.lab = g.lab
-                   join tl on tl.lab = g.lab, v, n),
+                   -- LEFT join: a label whose docs all tokenize empty
+                   -- has no tl row but must still score (T_l = 0),
+                   -- matching the engine's t_l.get(l, 0)
+                   left join tl on tl.lab = g.lab
+                   cross join v cross join n),
             r as (select doc_id, lab, nb_score,
                          row_number() over (partition by doc_id
                                             order by nb_score desc, lab) rn

@@ -476,3 +476,27 @@ class TestJlProject:
         assert s.shape == (d, k) and set(np.unique(s)) == {-1, 1}
         assert (jl_signs(d, k) == s).all()  # stable regeneration
         assert abs(s.mean()) < 0.15  # balanced ±1
+
+
+def test_jl_project_empty_block(ray_session):
+    """A filter-drained block must not crash the projection (an empty
+    variable-list column flattens to shape (0,), which would matmul
+    into phantom values)."""
+    import numpy as np
+    import pandas as pd
+
+    from web_graph_ray.stages.ann import jl_project
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": list(rng.normal(size=(6, 16)).astype(np.float32)),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(6).filter(
+        lambda r: r["vec_id"] % 3 == 0
+    )
+    out = jl_project(ds, out_dim=4).to_pandas()
+    assert sorted(out["vec_id"].unique()) == [0, 3]
+    assert len(out) == 2 * 4

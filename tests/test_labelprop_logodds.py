@@ -309,3 +309,30 @@ def test_naive_bayes_rejects_other_alpha(ray_session):
     df = pd.DataFrame({"doc_id": [0], "lang": ["en"], "text": ["a b"]})
     with pytest.raises(ValueError, match="alpha=1"):
         naive_bayes_scores(ray.data.from_pandas(df), alpha=0.5)
+
+
+def test_tokenless_blocks_keep_schema(ray_session):
+    """A block whose docs are all punctuation (zero WORD_RE tokens)
+    must not poison the bucketed exchange with a float64-typed empty
+    schema — dsir, NB and contamination_fraction all explode typed."""
+    from web_graph_ray.stages.dedup import contamination_fraction
+    from web_graph_ray.stages.text import dsir_logweights, naive_bayes_scores
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma delta epsilon", "!!! ??? ...",
+                     "alpha beta gamma delta zeta", "###"],
+            "lang": ["en", "en", "de", "de"],
+            "is_target": [1, 0, 0, 0],
+            "is_bench": [1, 0, 0, 0],
+        }
+    )
+    # repartition(4): the punctuation docs land in their own blocks
+    ds = ray.data.from_pandas(df).repartition(4)
+    d = dsir_logweights(ds).to_pandas()
+    assert sorted(d["doc_id"]) == [0, 2]  # tokenless docs have no rows
+    n = naive_bayes_scores(ds).to_pandas()
+    assert sorted(n["doc_id"].unique()) == [0, 2]
+    c = contamination_fraction(ds, n=3).to_pandas()
+    assert sorted(c["doc_id"]) == [0, 2]

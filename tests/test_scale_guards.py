@@ -550,12 +550,22 @@ class TestTtlCuckooGate:
         negative that silently re-enqueues a seen page.  The gate
         sidecar stamps its TTL; a mismatch rebuilds from window files.
 
-        Repro: 'dup' is a member of rounds 5 and 7 only.  ttl=3 gate
-        maintained through round 9 holds window [7,9] (one 'dup' copy,
-        from round 7).  Resume round 10 with ttl=5 ⇒ lo=6: 'dup'
-        (last member round 7 ≥ 6) must be SEEN.  The un-stamped
-        advance path would delete round-5 members — removing 'dup's
-        only copy — and emit it as novel."""
+        The exact path has the same hole ONE layer deeper: the
+        ttl_member sidecar (folded at the COMPACT_EVERY boundary)
+        pruned members below the OLD horizon, and the catch-up scan
+        starts at state_r+1 — so a member whose last round re-enters
+        the ENLARGED window is unrecoverable from the stale sidecar.
+        The sidecar therefore stamps its TTL too, and a mismatch
+        rebuilds from the full window ('dup2' below exercises it).
+
+        Repro: 'dup' is a member of rounds 5 and 7; 'dup2' of round 5
+        only.  ttl=3 state maintained through round 9 (the round-8
+        fold wrote a sidecar pruned at lo=6, so 'dup2' (last=5) was
+        dropped from it).  Resume round 10 with ttl=6 ⇒ lo=5: BOTH
+        must be SEEN.  The un-stamped gate-advance path would delete
+        never-inserted rounds (removing 'dup's only copy), and the
+        un-stamped sidecar path would trust the pruned map + scan only
+        rounds ≥ 9, emitting 'dup2' as novel."""
         import hashlib
 
         import web_graph_ray.pipelines.crawl as cr
@@ -596,6 +606,8 @@ class TestTtlCuckooGate:
 
         for r in range(10):
             members = [f"id{r}"] + (["dup"] if r in (5, 7) else [])
+            if r == 5:
+                members.append("dup2")
             write_frontier(r, members)
 
         # maintain the cuckoo TTL gate under ttl=3 through round 9
@@ -610,20 +622,39 @@ class TestTtlCuckooGate:
 
         g, gr, gttl = load_gate(work, bucket, name="ttl_gate", with_ttl=True)
         assert gr == 9 and gttl == 3
+        # the round-8 fold wrote a ttl=3-stamped sidecar pruned at
+        # lo=6 — 'dup2' (last round 5) is NOT in it
+        import os as _os
 
-        # resume round 10 with ttl=5: 'dup' (last member round 7, lo=6)
-        # must be filtered as seen, not emitted as novel
-        p10 = cr.make_prober(work, 10, seen_ttl_rounds=5,
+        side = [f for f in _os.listdir(_os.path.join(work, "ttl_member"))]
+        assert any("through=000008" in f for f in side), side
+
+        # resume round 10 with ttl=6 ⇒ lo=5: 'dup' (last round 7) AND
+        # 'dup2' (last round 5, pruned from the stale sidecar) must
+        # both be filtered as seen, not emitted as novel
+        p10 = cr.make_prober(work, 10, seen_ttl_rounds=6,
                              num_buckets=1, seen_gate="cuckoo")
         out = cr._probe_one(
-            p10, bucket, cand_dir(tmp_path / "c10", ["dup", "brandnew"])
+            p10, bucket,
+            cand_dir(tmp_path / "c10", ["dup", "dup2", "brandnew"]),
         )
         assert out["novel"] == 1, (
-            "TTL raise across resume produced a cuckoo false negative"
+            "TTL raise across resume produced a false negative"
         )
         # the rebuilt gate is stamped with the new TTL
         g2, gr2, gttl2 = load_gate(work, bucket, name="ttl_gate", with_ttl=True)
-        assert gr2 == 10 and gttl2 == 5
+        assert gr2 == 10 and gttl2 == 6
+
+        # the bloom TTL path hits the same sidecar hole: run it on a
+        # copy of the state (fresh gate family) and check equivalence
+        p10b = cr.make_prober(work, 10, seen_ttl_rounds=6, num_buckets=1)
+        f11 = bucket_file(frontier_dirs(work, 11)[0], bucket)
+        _os.remove(f11)  # drop the cuckoo run's novel output first
+        outb = cr._probe_one(
+            p10b, bucket,
+            cand_dir(tmp_path / "c10b", ["dup", "dup2", "brandnew"]),
+        )
+        assert outb["novel"] == 1
 
 
 class TestSessionizeManyKeys:

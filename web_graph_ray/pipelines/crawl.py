@@ -369,10 +369,31 @@ def make_prober(
                         _mcache[x] = sorted(ids)
                     return _mcache[x]
 
+                def _find_ttl_sidecar() -> tuple:
+                    """_find_through, validated against the CURRENT TTL:
+                    the sidecar prunes entries below its own horizon, so
+                    one maintained under a smaller TTL is missing members
+                    whose last round re-entered the enlarged window —
+                    trusting it would silently re-enqueue seen pages (and
+                    the catch-up scan starts at state_r+1, so they are
+                    never recovered).  A sidecar stamped with a different
+                    (or no) TTL is removed and rebuilt from window files."""
+                    state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                    if state_f is None:
+                        return None, -1
+                    meta = pq.read_schema(state_f).metadata or {}
+                    if meta.get(b"seen_ttl") != str(seen_ttl_rounds).encode():
+                        try:
+                            os.remove(state_f)
+                        except OSError:
+                            pass
+                        return None, -1
+                    return state_f, state_r
+
                 def _fold_sidecar() -> dict:
                     """Fold deltas into the sidecar, prune past-horizon
                     entries, persist through=rnd; returns the pruned map."""
-                    state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                    state_f, state_r = _find_ttl_sidecar()
                     last: dict = {}
                     if state_f is not None:
                         t = pq.read_table(state_f)
@@ -391,6 +412,10 @@ def make_prober(
                                     list(last.values()), type=pa.int64()
                                 ),
                             }
+                        ).replace_schema_metadata(
+                            # stamp the pruning horizon — _find_ttl_sidecar
+                            # rejects a sidecar folded under a different TTL
+                            {b"seen_ttl": str(seen_ttl_rounds).encode()}
                         ),
                         os.path.join(
                             ttl_dir, f"bucket={bucket:04d}.through={rnd:06d}.parquet"
@@ -450,7 +475,7 @@ def make_prober(
                     maybe = gate.contains_many(cand_ids)
                     need = {i for i, m in zip(cand_ids, maybe) if m}
                     seen: set = set()
-                    state_f, state_r = _find_through(ttl_dir, bucket, rnd)
+                    state_f, state_r = _find_ttl_sidecar()
                     if need and state_f is not None:
                         seen.update(
                             pq.read_table(

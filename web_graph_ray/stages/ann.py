@@ -529,7 +529,18 @@ def jl_project(
 
     def project(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, vec_col)
-        s = jl_signs(m.shape[1] if m.size else 0, out_dim)
+        if m.size == 0:
+            # a drained block: (0, d) @ (d, k) is fine but an empty
+            # variable-list column flattens to shape (0,), which would
+            # matmul into k phantom values — return the typed empty
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        s = jl_signs(m.shape[1], out_dim)
         q = round_half_away(m * quant, 0).astype(np.int64)
         y = (q @ s).astype(np.float64) / (quant * np.sqrt(float(out_dim)))
         if round_to is not None:

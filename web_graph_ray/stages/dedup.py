@@ -1199,7 +1199,16 @@ def contamination_fraction(
             .size()
             .rename(columns={"size": "c"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit types — a batch where every doc is shorter than n
+        # tokens must not emit a float64-typed schema into the exchange
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col], batch.schema.field(id_col).type),
+                "gram": pa.array(df["gram"], pa.string()),
+                "is_b": pa.array(df["is_b"], pa.int64()),
+                "c": pa.array(df["c"], pa.int64()),
+            }
+        )
 
     dg = bucketed_agg(
         docs.map_batches(explode, batch_format="pyarrow"),

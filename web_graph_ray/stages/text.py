@@ -855,7 +855,17 @@ def dsir_logweights(
             .size()
             .rename(columns={"size": "c"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit types: from_pandas on an EMPTY groupby result types
+        # every object column float64, and one all-punctuation batch
+        # would poison the bucketed exchange with a drifted schema
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col], batch.schema.field(id_col).type),
+                "tok": pa.array(df["tok"], pa.string()),
+                "is_t": pa.array(df["is_t"], pa.int64()),
+                "c": pa.array(df["c"], pa.int64()),
+            }
+        )
 
     # per-(doc, tok) counts — consumed by both count tables and the
     # score join, so pin the blocks (O(distinct (doc, tok)) rows)
@@ -995,7 +1005,18 @@ def naive_bayes_scores(
             .size()
             .rename(columns={"size": "c"})
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit types — an empty/all-punctuation batch must not emit
+        # a float64-typed schema into the bucketed exchange
+        return pa.table(
+            {
+                id_col: pa.array(df[id_col], batch.schema.field(id_col).type),
+                label_col: pa.array(
+                    df[label_col], batch.schema.field(label_col).type
+                ),
+                "tok": pa.array(df["tok"], pa.string()),
+                "c": pa.array(df["c"], pa.int64()),
+            }
+        )
 
     dt = bucketed_agg(
         docs.map_batches(explode, batch_format="pyarrow"),
@@ -1023,14 +1044,10 @@ def naive_bayes_scores(
         .sum()
     )
     t_l = dict(zip(lab_tot[label_col], lab_tot["clt"].astype("int64")))
-    v = (
-        lt.map_batches(
-            lambda df: pd.DataFrame({"tok": df["tok"].unique()}),
-            batch_format="pandas",
-        )
-        .to_pandas()["tok"]
-        .nunique()
-    )
+    # V = |distinct tokens|: one tok-keyed exchange over the (label,
+    # tok) table and a count — NEVER a driver collect of token strings
+    # (a web-scale vocabulary is 10^8+ entries)
+    v = bucketed_agg(lt, ["tok"], out_col="_vc", num_buckets=num_buckets).count()
     # priors: document counts per label — O(labels) driver rows
     pri = (
         docs.map_batches(
