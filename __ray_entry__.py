@@ -11126,8 +11126,14 @@ def embedding_covariance_exact(sf_dir: str):
     from web_graph_ray.functions.numeric import round_half_away
 
     def partial(t: pa.Table) -> pd.DataFrame:
-        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-        x6 = np.rint(x * 1_000_000.0).astype("int64")
+        # float64 BEFORE the 1e6 multiply and half-AWAY rounding: the
+        # oracle quantizes round(v::double * 1e6), so a float32 product
+        # or banker's rint would land a different integer near .5
+        # boundaries (the jl_project precedent)
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            "float64"
+        )
+        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
         p = x6.T @ x6
         s = x6.sum(axis=0)
         d = x6.shape[1]
@@ -11865,6 +11871,236 @@ def ccnet_bucket_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def auc_weekend_events(sf_dir: str):
+    """Exact ROC AUC of `value` as a weekend-vs-weekday classifier
+    score (stages/eval.py::roc_auc — Mann-Whitney U with average-rank
+    ties, no global sort of raw rows): per-score (pos, neg) counts off
+    one bucketed exchange, exclusive prefix sum of negatives in score
+    order (TeraSort shape), scalar fold.  The model-EVAL companion to
+    logreg_weekend_events' model-TRAINING shape; weekend uses the
+    shared epoch-day formula."""
+    from web_graph_ray.stages.eval import roc_auc
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                "score": t["value"].to_numpy(),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    return roc_auc(ds.map_batches(proj, batch_format="pyarrow"), "score", "y")
+
+
+def markov_transitions_events(sf_dir: str):
+    """First-order Markov transition matrix over each user's event-type
+    sequence (ts, event_id ordering): keyed_lag provides the previous
+    type per row (one key-bucketed exchange), transition counts fold
+    through bucketed_agg, and the row-conditional probabilities divide
+    the O(types²) final table on the driver.  The sequence-mining
+    summary beside seq_pattern_support_users."""
+    from web_graph_ray.stages.relational import bucketed_agg, keyed_lag
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    lagged = keyed_lag(ds, "user_id", ["ts", "event_id"], ["event_type"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type_prev"].notna()
+        return pd.DataFrame(
+            {
+                "from_type": df.loc[keep, "event_type_prev"],
+                "to_type": df.loc[keep, "event_type"],
+            }
+        )
+
+    c = bucketed_agg(
+        lagged.map_batches(pairs, batch_format="pandas"),
+        ["from_type", "to_type"],
+        out_col="n",
+    ).to_pandas()
+    tot = c.groupby("from_type")["n"].transform("sum")
+    c["prob"] = c["n"].astype("float64") / tot.astype("float64")
+    c["n"] = c["n"].astype("int64")
+    c = _round_cols(c, {"prob": 6})
+    return (
+        c.sort_values(["from_type", "to_type"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def ewma_daily_events(sf_dir: str):
+    """Per-type EWMA (α=0.3) of the daily event-count series — the
+    smoothed-trend view beside holt_forecast/cusum: bucketed daily
+    counts, then relational.keyed_ewma (one key-bucketed exchange, the
+    s = α·v + (1−α)·s recursion in pandas' ewm kernel).  The twin runs
+    the IDENTICAL recursion as a recursive CTE — both sides derive 1−α
+    by subtraction, so agreement is bit-level before the 6 dp round.
+    Gap days are absent on both sides (densify_events_hourly is the
+    calendar-filling complement)."""
+    from web_graph_ray.stages.relational import bucketed_agg, keyed_ewma
+
+    day_us = 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "day": us // day_us}
+        )
+
+    daily = bucketed_agg(
+        _t(sf_dir, "events", ["event_type", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["event_type", "day"],
+        out_col="n",
+    )
+    out = keyed_ewma(
+        daily, "event_type", ["day"], "n", alpha=0.3, out_col="ewma"
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = _round_cols(out, {"ewma": 6})
+    return (
+        out.sort_values(["event_type", "day"], kind="mergesort")
+        .reset_index(drop=True)[["event_type", "day", "n", "ewma"]]
+    )
+
+
+def churn_weekly_events(sf_dir: str):
+    """Weekly churn: of the users active in epoch-week w, the fraction
+    with no event in week w+1.  Distinct (user, week) memberships fold
+    through one bucketed exchange; the churn flag is key-LOCAL per user
+    (each user's own week set answers "active in w+1?"), so the second
+    exchange ships one row per (user, week) and the final per-week
+    rates are O(weeks).  The trailing week necessarily churns 100 % on
+    both sides (no following week exists) — kept, not special-cased."""
+    from web_graph_ray.stages.relational import bucketed_agg, bucketed_group_map
+
+    week_us = 7 * 86_400 * _US_PER_S
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame(
+            {"user_id": t["user_id"].to_pandas(), "week": us // week_us}
+        ).drop_duplicates()
+
+    uw = bucketed_agg(
+        _t(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            proj, batch_format="pyarrow"
+        ),
+        ["user_id", "week"],
+        out_col="_c",
+    )
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        nxt = pd.MultiIndex.from_frame(df[["user_id", "week"]])
+        cur = pd.MultiIndex.from_arrays([df["user_id"], df["week"] + 1])
+        return pd.DataFrame(
+            {
+                "week": df["week"],
+                "ch": (~cur.isin(nxt)).astype("int64"),
+            }
+        )
+
+    def week_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("week", as_index=False).agg(
+            active=("ch", "size"), churned=("ch", "sum")
+        )
+
+    def week_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("week", as_index=False)[["active", "churned"]].sum()
+
+    wk = bucketed_group_map(
+        bucketed_group_map(uw, ["user_id"], flags),
+        ["week"],
+        week_final,
+        batch_partial=week_partial,
+    ).to_pandas()
+    wk["active"] = wk["active"].astype("int64")
+    wk["churned"] = wk["churned"].astype("int64")
+    wk["churn_rate"] = wk["churned"].astype("float64") / wk["active"].astype(
+        "float64"
+    )
+    wk = _round_cols(wk, {"churn_rate": 6})
+    return wk.sort_values("week", kind="mergesort").reset_index(drop=True)
+
+
+def pca_top_embeddings(sf_dir: str):
+    """Top principal component of the embedding matrix: the distributed
+    half reuses embedding_covariance_exact's exact-integer Gram/sum
+    combiner (one matrix-valued fold, bit-identical covariance on both
+    engines), then 12 power-iteration steps v ← Cv/|Cv| from the
+    uniform unit start run on the driver's O(d²) state.  The twin
+    unrolls the SAME 12 steps as chained CTEs over its covariance CTE
+    (the logreg unrolled-Newton precedent); per-step float drift is
+    sum-order-only (~1e-15) and contracts under the normalization, so
+    6 dp agreement holds.  Sign convention: the largest-|loading|
+    coordinate (smallest dim on ties) is made positive."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        # float64 upcast + half-away rounding mirror the oracle's
+        # round(v::double * 1e6) exactly — float32 products / banker's
+        # rint differ by one quantization unit near .5, which the
+        # near-degenerate spectrum amplifies into the 6th decimal of
+        # the loadings (gap λ2/λ1 ≈ 0.99 on the synthetic table)
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            "float64"
+        )
+        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
+        p = x6.T @ x6
+        s = x6.sum(axis=0)
+        d = x6.shape[1]
+        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        rows = pd.DataFrame(
+            {"i": i.ravel(), "j": j.ravel(), "sxy": p.ravel(), "si": 0}
+        )
+        sums = pd.DataFrame({"i": np.arange(d), "j": -1, "sxy": 0, "si": s})
+        out = pd.concat([rows, sums], ignore_index=True)
+        out["n"] = len(x6)
+        return out
+
+    parts = (
+        _t(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts.loc[(parts["i"] == 0) & (parts["j"] == -1), "n"].sum())
+    si = parts[parts["j"] == -1].groupby("i")["si"].sum()
+    gram = (
+        parts[parts["j"] >= 0]
+        .groupby(["i", "j"], as_index=False)["sxy"]
+        .sum()
+        .sort_values(["i", "j"], kind="mergesort")
+    )
+    d = int(si.index.max()) + 1
+    cov = np.empty((d, d), dtype="float64")
+    for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
+        num = n * int(sxy) - int(si[i_]) * int(si[j_])
+        cov[i_, j_] = float(num) / (float(n * n) * 1e12)
+
+    v = np.full(d, 1.0 / np.sqrt(float(d)))
+    for _ in range(12):
+        p = cov @ v
+        v = p / np.sqrt(np.sum(p * p))
+    p = cov @ v
+    eig = float(np.sum(v * p))
+    # sign: largest |loading| positive, smallest dim on ties
+    lead = int(np.lexsort((np.arange(d), -np.abs(v)))[0])
+    if v[lead] < 0:
+        v = -v
+    return pd.DataFrame(
+        {
+            "dim": np.arange(d, dtype="int64"),
+            "loading": round_half_away(v, 6),
+            "eigval": round_half_away(np.full(d, eig), 6),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12209,6 +12445,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_bucket_documents": ccnet_bucket_documents,
         "jl_project_embeddings": jl_project_embeddings,
         "logreg_weekend_events": logreg_weekend_events,
+        "auc_weekend_events": auc_weekend_events,
+        "markov_transitions_events": markov_transitions_events,
+        "ewma_daily_events": ewma_daily_events,
+        "churn_weekly_events": churn_weekly_events,
+        "pca_top_embeddings": pca_top_embeddings,
     }
 
 
@@ -12558,6 +12799,57 @@ _FNV_EVENT_ID = """list_reduce(
                       c -> ascii(c)::bigint)),
                   (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
                              * 1099511628211) %% 18446744073709551616)""".replace('%%', '%')
+
+
+def _pca_power_sql(d: int = 64, iters: int = 12) -> str:
+    """pca_top_embeddings twin: the exact-integer covariance CTE (the
+    embedding_covariance_exact shape) followed by ``iters`` unrolled
+    power-iteration steps v ← Cv/|Cv| — the same chained-CTE unrolling
+    the logreg twin uses for its Newton steps."""
+    head = f"""
+            with u as materialized (
+              select vec_id, (t.i - 1)::bigint i,
+                     round(list_extract(embedding, t.i)::double
+                           * 1000000)::bigint v
+              from embeddings, generate_series(1, {d}) t(i)),
+            n as (select count(*)::bigint c from embeddings),
+            s as materialized (select i, sum(v) si from u group by 1),
+            p as (select a.i i, b.i j, sum(a.v * b.v) sxy
+                  from u a join u b using (vec_id) group by 1, 2),
+            cov as materialized (select p.i, p.j,
+                           (c::hugeint * sxy
+                            - sa.si::hugeint * sb.si)::double
+                           / ((c * c)::double * 1e12) cv
+                    from p join s sa on sa.i = p.i
+                    join s sb on sb.i = p.j cross join n),
+            v0 as (select i, 1.0 / sqrt({d}::double) vv from s)"""
+    steps = []
+    for k in range(1, iters + 1):
+        # every step CTE is MATERIALIZED: v_k reads p_k twice (norm
+        # subquery + projection), so inlining would double the plan per
+        # iteration — 2^12 copies of the base scan by the last step
+        steps.append(f"""
+            p{k} as materialized (
+                     select cov.i i, sum(cov.cv * v{k - 1}.vv) pv
+                     from cov join v{k - 1} on v{k - 1}.i = cov.j
+                     group by cov.i),
+            v{k} as materialized (
+                     select i,
+                            pv / (select sqrt(sum(pv * pv)) from p{k}) vv
+                     from p{k})""")
+    tail = f"""
+            pf as (select cov.i i, sum(cov.cv * v{iters}.vv) pv
+                   from cov join v{iters} on v{iters}.i = cov.j
+                   group by cov.i),
+            eig as (select sum(pf.pv * v{iters}.vv) e
+                    from pf join v{iters} using (i)),
+            sgn as (select case when (select vv from v{iters}
+                                      order by abs(vv) desc, i limit 1) < 0
+                                then -1.0 else 1.0 end sg)
+            select v{iters}.i as dim, round(v{iters}.vv * sg, 6) as loading,
+                   round(e, 6) as eigval
+            from v{iters}, eig, sgn order by dim"""
+    return head + "," + ",".join(steps) + "," + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16072,7 +16364,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance_exact": """
             with u as (
               select vec_id, (t.i - 1)::bigint i,
-                     round(list_extract(embedding, t.i) * 1000000)::bigint v
+                     round(list_extract(embedding, t.i)::double
+                           * 1000000)::bigint v
               from embeddings, generate_series(1, 64) t(i)),
             n as (select count(*)::bigint c from embeddings),
             s as (select i, sum(v) si from u group by 1),
@@ -16456,4 +16749,76 @@ def oracle_sql() -> dict[str, str]:
                    4::bigint as iters
             from a4
         """,
+        "auc_weekend_events": """
+            with d as (
+              select value s,
+                     case when ((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                               in (0, 6)
+                          then 1 else 0 end y
+              from events),
+            c as (select s, sum(y)::bigint pos,
+                         (count(*) - sum(y))::bigint neg
+                  from d group by s),
+            p as (select pos, neg,
+                         coalesce(sum(neg) over (order by s
+                                  rows between unbounded preceding
+                                  and 1 preceding), 0) cumneg
+                  from c),
+            t as (select sum(pos)::bigint np, sum(neg)::bigint nn from c),
+            agg as (select sum(pos * cumneg) u, sum(pos * neg) tt from p)
+            select round((u + 0.5 * tt) / (np::double * nn::double), 6)
+                     as auc,
+                   np as n_pos, nn as n_neg
+            from agg, t
+        """,
+        "markov_transitions_events": """
+            with s as (select user_id, event_type,
+                              lead(event_type) over (partition by user_id
+                                                     order by ts, event_id)
+                                nxt
+                       from events),
+            c as (select event_type as from_type, nxt as to_type,
+                         count(*)::bigint n
+                  from s where nxt is not null group by 1, 2),
+            t as (select from_type, sum(n) tot from c group by 1)
+            select c.from_type, c.to_type, c.n,
+                   round(c.n::double / t.tot::double, 6) as prob
+            from c join t using (from_type)
+            order by from_type, to_type
+        """,
+        "ewma_daily_events": """
+            with recursive daily as (
+              select event_type, (floor(epoch(ts))::bigint // 86400) d,
+                     count(*)::bigint n
+              from events group by 1, 2),
+            r as (select event_type, d, n,
+                         row_number() over (partition by event_type
+                                            order by d) rn
+                  from daily),
+            rec as (
+              select event_type, d, rn, n, n::double ewma
+              from r where rn = 1
+              union all
+              select r.event_type, r.d, r.rn, r.n,
+                     0.3 * r.n + (1 - 0.3) * rec.ewma
+              from r join rec on r.event_type = rec.event_type
+                             and r.rn = rec.rn + 1)
+            select event_type, d as day, n, round(ewma, 6) as ewma
+            from rec order by event_type, day
+        """,
+        "churn_weekly_events": """
+            with uw as (select distinct user_id,
+                               (floor(epoch(ts))::bigint // 86400) // 7 wk
+                        from events),
+            f as (select a.wk, case when b.user_id is null then 1 else 0 end
+                           ch
+                  from uw a left join uw b
+                    on b.user_id = a.user_id and b.wk = a.wk + 1)
+            select wk as week, count(*)::bigint as active,
+                   sum(ch)::bigint as churned,
+                   round(sum(ch)::double / count(*)::double, 6)
+                     as churn_rate
+            from f group by wk order by wk
+        """,
+        "pca_top_embeddings": _pca_power_sql(),
     }

@@ -1,0 +1,93 @@
+"""Model-evaluation metrics as distributed Ray Data compositions.
+
+The reference engine (jamesjarvis/web-graph) has no model-evaluation
+surface; these back the training-data-pipeline extensions (SURVEY.md
+§2.7) — once a classifier (e.g. the distributed logistic regression in
+``__ray_entry__.logreg_weekend_events``) scores a corpus, its quality
+has to be judged at the same scale the scoring ran at.
+
+- ``roc_auc``: exact ROC AUC via the Mann-Whitney U statistic with
+  average-rank tie handling, computed WITHOUT a global sort of the raw
+  rows: per-score (pos, neg) counts off one bucketed exchange, an
+  exclusive prefix sum of the negative counts in score order
+  (:func:`..stages.relational.global_prefix_sum`, TeraSort shape), and
+  a scalar fold.  Every stage is O(distinct scores) rows — never the
+  raw row count — and the driver holds five numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+__all__ = ["roc_auc"]
+
+
+def roc_auc(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Exact ROC AUC of ``score_col`` against binary ``label_col``
+    (1 = positive).  Returns a one-row frame ``(auc, n_pos, n_neg)``.
+
+    Mann-Whitney identity with ties:
+    ``AUC · n_pos · n_neg = Σ_s pos_s · (negatives strictly below s)
+    + ½ Σ_s pos_s · neg_s`` — both sums fold as per-batch partials over
+    the per-distinct-score count table, so the exchange volume is
+    O(distinct scores) and the only driver state is the five scalars.
+    The division is one float op over exact-integer-valued terms; at
+    petabyte counts the float partial sums carry ~1e-15 relative error
+    (same envelope as the ols2/logreg precedents)."""
+    from .relational import bucketed_group_map, global_prefix_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(score_col, as_index=False).agg(
+            pos=(label_col, "sum"), n=(label_col, "size")
+        )
+        g["pos"] = g["pos"].astype("int64")
+        g["neg"] = (g["n"] - g["pos"]).astype("int64")
+        return g.drop(columns=["n"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(score_col, as_index=False)[["pos", "neg"]].sum()
+
+    counts = bucketed_group_map(
+        ds,
+        [score_col],
+        final,
+        num_buckets=num_buckets,
+        batch_partial=partial,
+    ).materialize()  # consumed by the prefix sum's two passes + the fold
+
+    with_cum = global_prefix_sum(
+        counts, score_col, "neg", out_col="cumneg", num_buckets=num_buckets
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df["pos"].to_numpy(dtype="float64")
+        return pd.DataFrame(
+            {
+                "u": [float(np.sum(pos * df["cumneg"].to_numpy(dtype="float64")))],
+                "t": [float(np.sum(pos * df["neg"].to_numpy(dtype="float64")))],
+                "np": [int(df["pos"].sum())],
+                "nn": [int(df["neg"].sum())],
+            }
+        )
+
+    s = with_cum.map_batches(fold, batch_format="pandas").to_pandas().sum()
+    from ..functions.numeric import round_half_away
+
+    return pd.DataFrame(
+        {
+            "auc": round_half_away(
+                np.array([(s.u + 0.5 * s.t) / (float(s.np) * float(s.nn))]), 6
+            ),
+            "n_pos": [np.int64(s.np)],
+            "n_neg": [np.int64(s.nn)],
+        }
+    )

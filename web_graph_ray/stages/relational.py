@@ -86,8 +86,15 @@ def bucketed_group_map(
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         if batch_partial is not None:
             df = batch_partial(df)
-        h = pd.util.hash_pandas_object(df[key_cols], index=False).values
         out = df.copy()
+        for c in key_cols:
+            if out[c].dtype.kind == "f":
+                # -0.0 == +0.0 as a group key (pandas and SQL both
+                # merge them), but hash_pandas_object hashes the BIT
+                # PATTERN, so the two spellings would land in different
+                # buckets and silently split the key; +0.0 normalizes
+                out[c] = out[c] + 0.0
+        h = pd.util.hash_pandas_object(out[key_cols], index=False).values
         out["_bucket"] = (h % num_buckets).astype("int64")
         return out
 
@@ -492,6 +499,41 @@ def keyed_running(
         g = df.groupby(key_col, sort=False)
         df["running_sum"] = g[value_col].cumsum()
         df["rn"] = (g.cumcount() + 1).astype("int64")
+        return df
+
+    return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
+
+
+def keyed_ewma(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key exponentially-weighted moving average under (key,
+    order_cols) ordering — the smoothing recursion ``s_t = α·v_t +
+    (1−α)·s_{t−1}`` seeded ``s_0 = v_0`` (pandas ``ewm(adjust=False)``
+    semantics).  Appends ``out_col``.
+
+    Same one-exchange bucket shape as :func:`keyed_running`; the
+    recursion itself runs in pandas' Cython ewm kernel per key.  The
+    kernel computes ``(1−α)·s + α·v`` with ``1−α`` derived exactly as
+    an oracle writing ``(1 - α)`` does, so a SQL recursive-CTE twin
+    using the literal expression ``α·v + (1 - α)·s`` agrees bit-for-bit
+    (IEEE addition is commutative).
+
+    The recursion is inherently sequential per key; rows of one key
+    must therefore fit one bucket task — the same partitioning
+    assumption every keyed_* window here documents."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, *order_cols], kind="mergesort")
+        df[out_col] = df.groupby(key_col, sort=False)[value_col].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        )
         return df
 
     return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
