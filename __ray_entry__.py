@@ -11733,18 +11733,11 @@ def contam_frac_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def logreg_weekend_events(sf_dir: str):
-    """Distributed logistic regression (Newton–Raphson / IRLS):
-    P(weekend | value) = σ(β0 + β1·value) trained over all events —
-    the classifier-TRAINING shape at scale.  Each of 4 Newton steps is
-    ONE map pass folding the 5 sufficient statistics (gradient g0, g1;
-    Hessian h00, h01, h11) as per-batch partials; the driver holds two
-    floats and does the closed-form 2×2 solve.  The twin unrolls the
-    same 4 steps as chained CTEs with the identical expression tree —
-    agreement to 6 dp (float-sum error ~1e-12 relative, same as the
-    ols2 precedent).  Weekend uses the epoch-day formula shared with
-    ttest/odds-ratio, not a dialect dayofweek."""
-
+def _train_logreg_weekend(sf_dir: str):
+    """Shared trainer behind logreg_weekend_events and
+    calibration_bins_events: 4 Newton steps over the (y, x) projection
+    of events, each step ONE map pass folding the 5 sufficient
+    statistics; returns (pts Dataset, b0, b1)."""
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pa.Table:
@@ -11781,6 +11774,22 @@ def logreg_weekend_events(sf_dir: str):
         det = s.h00 * s.h11 - s.h01 * s.h01
         b0 += (s.h11 * s.g0 - s.h01 * s.g1) / det
         b1 += (-s.h01 * s.g0 + s.h00 * s.g1) / det
+    return pts, b0, b1
+
+
+def logreg_weekend_events(sf_dir: str):
+    """Distributed logistic regression (Newton–Raphson / IRLS):
+    P(weekend | value) = σ(β0 + β1·value) trained over all events —
+    the classifier-TRAINING shape at scale.  Each of 4 Newton steps is
+    ONE map pass folding the 5 sufficient statistics (gradient g0, g1;
+    Hessian h00, h01, h11) as per-batch partials; the driver holds two
+    floats and does the closed-form 2×2 solve.  The twin unrolls the
+    same 4 steps as chained CTEs with the identical expression tree —
+    agreement to 6 dp (float-sum error ~1e-12 relative, same as the
+    ols2 precedent).  Weekend uses the epoch-day formula shared with
+    ttest/odds-ratio, not a dialect dayofweek."""
+
+    pts, b0, b1 = _train_logreg_weekend(sf_dir)
 
     from web_graph_ray.functions.numeric import round_half_away
 
@@ -12099,6 +12108,220 @@ def pca_top_embeddings(sf_dir: str):
             "eigval": round_half_away(np.full(d, eig), 6),
         }
     )
+
+
+def calibration_bins_events(sf_dir: str):
+    """Reliability diagram + per-bin Brier score for the weekend
+    logistic classifier: retrain via the shared 4-Newton-step fold,
+    round β to 6 dp (pinning bin membership to values the twin
+    reproduces exactly), then ONE map pass bins σ(β0+β1·x) into ten
+    fixed [0.1) probability bands folding (n, Σp, Σy, Σ(p−y)²) —
+    per-batch partials, O(10) driver rows.  The twin re-derives β
+    through the logreg CTE chain and bins with the identical
+    least(floor(p·10), 9) expression."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    pts, b0, b1 = _train_logreg_weekend(sf_dir)
+    b0r = float(round_half_away(np.array([b0]), 6)[0])
+    b1r = float(round_half_away(np.array([b1]), 6)[0])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        y = t["y"].to_numpy(zero_copy_only=False)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        p = 1.0 / (1.0 + np.exp(-(b0r + b1r * x)))
+        b = np.minimum(np.floor(p * 10.0), 9.0).astype("int64")
+        df = pd.DataFrame(
+            {"bin": b, "n": 1, "sp": p, "sy": y, "sq": (p - y) * (p - y)}
+        )
+        return df.groupby("bin", as_index=False).sum()
+
+    s = (
+        pts.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("bin", as_index=False)
+        .sum()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "bin": s["bin"].astype("int64"),
+            "n": s["n"].astype("int64"),
+            "mean_pred": s["sp"] / s["n"],
+            "emp_rate": s["sy"] / s["n"],
+            "brier": s["sq"] / s["n"],
+        }
+    )
+    return _round_cols(out, {"mean_pred": 6, "emp_rate": 6, "brier": 6})
+
+
+def auc_by_type_events(sf_dir: str):
+    """Per-event-type tie-aware ROC AUC (value vs weekend): per-(type,
+    score) counts off one bucketed exchange, then each type's AUC fold
+    runs key-locally in its bucket task (sort by score + exclusive
+    cumsum over O(distinct scores per type) rows — for a single
+    petabyte-scale key, stages/eval.roc_auc's TeraSort prefix sum is
+    the fallback).  The grouped companion to auc_weekend_events."""
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "s": t["value"].to_numpy(),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "s"], as_index=False).agg(
+            pos=("y", "sum"), n=("y", "size")
+        )
+        g["pos"] = g["pos"].astype("int64")
+        g["neg"] = (g["n"] - g["pos"]).astype("int64")
+        return g.drop(columns=["n"])
+
+    def per_type(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["event_type", "s"], as_index=False)[["pos", "neg"]]
+            .sum()
+            .sort_values(["event_type", "s"], kind="mergesort")
+        )
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            pos = g["pos"].to_numpy(dtype="float64")
+            neg = g["neg"].to_numpy(dtype="float64")
+            cumneg = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
+            npos, nneg = float(pos.sum()), float(neg.sum())
+            u = float(np.sum(pos * cumneg)) + 0.5 * float(np.sum(pos * neg))
+            rows.append(
+                (et, u / (npos * nneg), np.int64(npos), np.int64(nneg))
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "auc", "n_pos", "n_neg"]
+        )
+
+    out = bucketed_group_map(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["event_type"],
+        per_type,
+        batch_partial=partial,
+    ).to_pandas()
+    out = _round_cols(out, {"auc": 6})
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+def mannwhitney_weekend_events(sf_dir: str):
+    """Mann-Whitney U test of `value`, weekend vs weekday: the U
+    statistic (tie half-credit) from the same per-score fold as
+    auc_weekend_events, plus the tie-corrected normal-approximation
+    z-score (no continuity correction) — σ² = n₁n₂/12·((N+1) −
+    Σ(t³−t)/(N(N−1))).  The tie-size cubes fold as float64 on both
+    engines (SQL power() is double), everything else exact-integer."""
+    from web_graph_ray.stages.eval import roc_auc
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                "score": t["value"].to_numpy(),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    return roc_auc(
+        ds.map_batches(proj, batch_format="pyarrow"), "score", "y", stats=True
+    )
+
+
+def cov_by_label_embeddings(sf_dir: str):
+    """Per-label d×d covariance of the embedding matrix — the grouped
+    form of embedding_covariance_exact: each batch folds one exact
+    int64 Gram matrix + column sums PER LABEL in the batch, partials
+    fold through a (label, i, j)-bucketed exchange (not a driver
+    reduce — O(labels·d²) rows land on the driver only once, final),
+    and cov = (n·Sxy − Si·Sj)/(n²·10¹²) divides exact integers."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            "float64"
+        )
+        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
+        d = x6.shape[1]
+        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        frames = []
+        for lv in np.unique(lab):
+            m = x6[lab == lv]
+            p = m.T @ m
+            s = m.sum(axis=0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int64(lv),
+                        "i": i.ravel(),
+                        "j": j.ravel(),
+                        "sxy": p.ravel(),
+                        "si": 0,
+                        "n": 0,
+                    }
+                )
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "label": np.int64(lv),
+                        "i": np.arange(d),
+                        "j": -1,
+                        "sxy": 0,
+                        "si": s,
+                        "n": np.where(np.arange(d) == 0, len(m), 0),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["label", "i", "j"], as_index=False)[
+            ["sxy", "si", "n"]
+        ].sum()
+
+    parts = bucketed_group_map(
+        _t(sf_dir, "embeddings", ["embedding", "label"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["label", "i", "j"],
+        final,
+        batch_partial=final,
+    ).to_pandas()
+
+    rows = []
+    for lv, g in parts.groupby("label", sort=True):
+        side = g[g["j"] == -1].set_index("i")
+        n = int(side["n"].sum())
+        si = side["si"].astype("int64")
+        gram = g[g["j"] >= 0].sort_values(["i", "j"], kind="mergesort")
+        for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
+            num = n * int(sxy) - int(si[i_]) * int(si[j_])
+            rows.append(
+                (
+                    np.int64(lv),
+                    np.int64(i_),
+                    np.int64(j_),
+                    float(num) / (float(n * n) * 1e12),
+                )
+            )
+    out = pd.DataFrame(rows, columns=["label", "i", "j", "cov"])
+    return _round_cols(out, {"cov": 6})
 
 
 # ---------------------------------------------------------------------------
@@ -12450,6 +12673,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_events": ewma_daily_events,
         "churn_weekly_events": churn_weekly_events,
         "pca_top_embeddings": pca_top_embeddings,
+        "calibration_bins_events": calibration_bins_events,
+        "auc_by_type_events": auc_by_type_events,
+        "mannwhitney_weekend_events": mannwhitney_weekend_events,
+        "cov_by_label_embeddings": cov_by_label_embeddings,
     }
 
 
@@ -12799,6 +13026,34 @@ _FNV_EVENT_ID = """list_reduce(
                       c -> ascii(c)::bigint)),
                   (h, b) -> ((h - h %% 256 + xor((h %% 256)::bigint, b)::hugeint)
                              * 1099511628211) %% 18446744073709551616)""".replace('%%', '%')
+
+
+def _logreg_chain_sql(iters: int = 4) -> str:
+    """The logreg twin's unrolled Newton chain (ev, a0, s1/a1 … s4/a4)
+    as a reusable prefix — calibration_bins_events re-derives β through
+    the identical expression tree before binning."""
+    out = """
+            with ev as (select
+                (((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                 in (0, 6))::int::double y,
+                value::double x
+              from events),
+            a0 as (select 0.0::double b0, 0.0::double b1)"""
+    for k in range(1, iters + 1):
+        out += f""",
+            s{k} as (select
+                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
+                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
+                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
+                any_value(b0) b0, any_value(b1) b1
+              from ev, a{k - 1}),
+            a{k} as (select
+                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
+                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
+              from s{k})"""
+    return out
 
 
 def _pca_power_sql(d: int = 64, iters: int = 12) -> str:
@@ -16821,4 +17076,96 @@ def oracle_sql() -> dict[str, str]:
             from f group by wk order by wk
         """,
         "pca_top_embeddings": _pca_power_sql(),
+        "calibration_bins_events": _logreg_chain_sql() + """,
+            b as (select round(b0, 6) b0r, round(b1, 6) b1r from a4),
+            pr as (select y, 1/(1+exp(-(b0r + b1r*x))) p from ev, b),
+            bi as (select least(floor(p * 10)::bigint, 9) bin,
+                          count(*)::bigint n, sum(p) sp, sum(y) sy,
+                          sum((p - y) * (p - y)) sq
+                   from pr group by 1)
+            select bin, n, round(sp / n, 6) as mean_pred,
+                   round(sy / n, 6) as emp_rate,
+                   round(sq / n, 6) as brier
+            from bi order by bin
+        """,
+        "auc_by_type_events": """
+            with d as (
+              select event_type, value s,
+                     case when ((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                               in (0, 6) then 1 else 0 end y
+              from events),
+            c as (select event_type, s, sum(y)::bigint pos,
+                         (count(*) - sum(y))::bigint neg
+                  from d group by 1, 2),
+            p as (select event_type, pos, neg,
+                         coalesce(sum(neg) over (partition by event_type
+                                  order by s rows between unbounded preceding
+                                  and 1 preceding), 0) cumneg
+                  from c),
+            t as (select event_type, sum(pos)::bigint np,
+                         sum(neg)::bigint nn from c group by 1),
+            a as (select event_type, sum(pos * cumneg) u0,
+                         sum(pos * neg) tt from p group by 1)
+            select a.event_type,
+                   round((u0::double + 0.5 * tt::double)
+                         / (np::double * nn::double), 6) as auc,
+                   np as n_pos, nn as n_neg
+            from a join t using (event_type)
+            order by event_type
+        """,
+        "mannwhitney_weekend_events": """
+            with d as (
+              select value s,
+                     case when ((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                               in (0, 6) then 1 else 0 end y
+              from events),
+            c as (select s, sum(y)::bigint pos,
+                         (count(*) - sum(y))::bigint neg
+                  from d group by s),
+            p as (select pos, neg,
+                         coalesce(sum(neg) over (order by s
+                                  rows between unbounded preceding
+                                  and 1 preceding), 0) cumneg
+                  from c),
+            t as (select sum(pos)::bigint np, sum(neg)::bigint nn,
+                         sum(pos + neg)::bigint nt,
+                         sum((pos + neg)::double * (pos + neg)
+                             * (pos + neg) - (pos + neg)) tc
+                  from c),
+            agg as (select sum(pos * cumneg) u0, sum(pos * neg) tt from p)
+            select round((u0::double + 0.5 * tt::double)
+                         / (np::double * nn::double), 6) as auc,
+                   np as n_pos, nn as n_neg,
+                   round(u0::double + 0.5 * tt::double, 6) as u_stat,
+                   round(((u0::double + 0.5 * tt::double)
+                          - np::double * nn::double / 2)
+                         / sqrt(np::double * nn::double / 12
+                                * ((nt + 1)::double
+                                   - tc / (nt::double
+                                           * (nt - 1)::double))), 6) as z
+            from agg, t
+        """,
+        "cov_by_label_embeddings": """
+            with u as materialized (
+              select vec_id, label, (t.i - 1)::bigint i,
+                     round(list_extract(embedding, t.i)::double
+                           * 1000000)::bigint v
+              from embeddings, generate_series(1, 64) t(i)),
+            n as (select label, count(*)::bigint c
+                  from embeddings group by 1),
+            s as materialized (select label, i, sum(v) si
+                               from u group by 1, 2),
+            p as (select a.label, a.i i, b.i j, sum(a.v * b.v) sxy
+                  from u a join u b on a.vec_id = b.vec_id
+                  group by 1, 2, 3)
+            select p.label::bigint as label, p.i, p.j,
+                   round((c::hugeint * sxy
+                          - sa.si::hugeint * sb.si)::double
+                         / ((c * c)::double * 1e12), 6) as cov
+            from p
+            join s sa on sa.label = p.label and sa.i = p.i
+            join s sb on sb.label = p.label and sb.i = p.j
+            join n on n.label = p.label
+            order by p.label, p.i, p.j
+        """,
     }

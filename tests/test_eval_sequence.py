@@ -140,6 +140,107 @@ class TestKeyedEwma:
         pd.testing.assert_frame_equal(out, out1)
 
 
+SF = "/root/testdata/sf0.001"
+
+
+def _weekend_xy(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts", "value", "event_type"])
+    us = t["ts"].cast("int64").to_numpy()
+    dow = (us // 1_000_000 // 86400 + 4) % 7
+    return (
+        t["value"].to_numpy(),
+        ((dow == 0) | (dow == 6)).astype("int64"),
+        t["event_type"].to_pandas().to_numpy(),
+    )
+
+
+class TestEvalEntriesVsLocalReference:
+    def test_mannwhitney_z_literal(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, _ = _weekend_xy(SF)
+        out = entrymod.mannwhitney_weekend_events(SF)
+        auc = _auc_reference(s, y)
+        n1, n2 = int(y.sum()), int(len(y) - y.sum())
+        u = auc * n1 * n2
+        nt = n1 + n2
+        _, t_sizes = np.unique(s, return_counts=True)
+        tc = float(np.sum(t_sizes.astype("float64") ** 3 - t_sizes))
+        var = n1 * n2 / 12.0 * ((nt + 1) - tc / (nt * (nt - 1.0)))
+        z = (u - n1 * n2 / 2.0) / np.sqrt(var)
+        assert int(out["n_pos"][0]) == n1 and int(out["n_neg"][0]) == n2
+        assert out["u_stat"][0] == pytest.approx(u, rel=1e-9)
+        assert out["z"][0] == pytest.approx(z, abs=1e-5)
+
+    def test_auc_by_type_matches_per_type_reference(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, et = _weekend_xy(SF)
+        out = entrymod.auc_by_type_events(SF)
+        assert sorted(out["event_type"]) == sorted(np.unique(et))
+        for _, r in out.iterrows():
+            m = et == r["event_type"]
+            assert r["auc"] == pytest.approx(
+                _auc_reference(s[m], y[m]), abs=5e-7
+            ), r["event_type"]
+
+    def test_calibration_bins_literal(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, _ = _weekend_xy(SF)
+        x = s.astype("float64")
+        yf = y.astype("float64")
+        b0 = b1 = 0.0
+        for _ in range(4):
+            p = 1.0 / (1.0 + np.exp(-(b0 + b1 * x)))
+            w = p * (1.0 - p)
+            g0, g1 = np.sum(yf - p), np.sum((yf - p) * x)
+            h00, h01, h11 = np.sum(w), np.sum(w * x), np.sum(w * x * x)
+            det = h00 * h11 - h01 * h01
+            b0 += (h11 * g0 - h01 * g1) / det
+            b1 += (-h01 * g0 + h00 * g1) / det
+        from web_graph_ray.functions.numeric import round_half_away
+
+        b0r, b1r = round_half_away(np.array([b0, b1]), 6)
+        p = 1.0 / (1.0 + np.exp(-(b0r + b1r * x)))
+        bins = np.minimum(np.floor(p * 10), 9).astype("int64")
+        out = entrymod.calibration_bins_events(SF)
+        assert int(out["n"].sum()) == len(x)
+        for _, r in out.iterrows():
+            m = bins == r["bin"]
+            assert int(r["n"]) == int(m.sum())
+            assert r["mean_pred"] == pytest.approx(p[m].mean(), abs=1e-6)
+            assert r["emp_rate"] == pytest.approx(yf[m].mean(), abs=1e-6)
+            assert r["brier"] == pytest.approx(
+                np.mean((p[m] - yf[m]) ** 2), abs=1e-6
+            )
+
+    def test_cov_by_label_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+        from web_graph_ray.functions.numeric import round_half_away
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding", "label"])
+        lab = t["label"].to_numpy()
+        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype("float64")
+        x6 = round_half_away(x * 1e6, 0) / 1e6
+        out = entrymod.cov_by_label_embeddings(SF)
+        d = x.shape[1]
+        assert len(out) == len(np.unique(lab)) * d * d
+        for lv in np.unique(lab):
+            ref = np.cov(x6[lab == lv], rowvar=False, bias=True)
+            got = (
+                out[out["label"] == lv]
+                .sort_values(["i", "j"])["cov"]
+                .to_numpy()
+                .reshape(d, d)
+            )
+            assert np.abs(got - ref).max() < 2e-6
+
+
 class TestPcaPowerIteration:
     def test_recovers_planted_component(self, ray_session, tmp_path):
         """On embeddings with one strongly dominant direction, 12 power

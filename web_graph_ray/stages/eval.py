@@ -31,6 +31,7 @@ def roc_auc(
     score_col: str,
     label_col: str,
     num_buckets: int = 64,
+    stats: bool = False,
 ) -> pd.DataFrame:
     """Exact ROC AUC of ``score_col`` against binary ``label_col``
     (1 = positive).  Returns a one-row frame ``(auc, n_pos, n_neg)``.
@@ -69,25 +70,45 @@ def roc_auc(
     )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
-        pos = df["pos"].to_numpy(dtype="float64")
+        # EXACT integer partials via object dtype (python ints on the
+        # driver sum): the U statistic must round identically to an
+        # oracle summing in hugeint, and a float64 fold of O(N²)-sized
+        # products carries ~1e-6 absolute error — right on the 6 dp
+        # grid.  This fold is O(distinct scores), never O(rows).
+        pos = df["pos"].to_numpy().astype(object)
+        neg = df["neg"].to_numpy().astype(object)
+        tot = (df["pos"] + df["neg"]).to_numpy(dtype="float64")
         return pd.DataFrame(
             {
-                "u": [float(np.sum(pos * df["cumneg"].to_numpy(dtype="float64")))],
-                "t": [float(np.sum(pos * df["neg"].to_numpy(dtype="float64")))],
+                "u": [int(np.sum(pos * df["cumneg"].to_numpy().astype(object)))],
+                "t": [int(np.sum(pos * neg))],
                 "np": [int(df["pos"].sum())],
                 "nn": [int(df["neg"].sum())],
+                # tie cubes fold in float64 — SQL power() is double too
+                "tc": [float(np.sum(tot * tot * tot - tot))],
             }
         )
 
     s = with_cum.map_batches(fold, batch_format="pandas").to_pandas().sum()
     from ..functions.numeric import round_half_away
 
-    return pd.DataFrame(
-        {
-            "auc": round_half_away(
-                np.array([(s.u + 0.5 * s.t) / (float(s.np) * float(s.nn))]), 6
-            ),
-            "n_pos": [np.int64(s.np)],
-            "n_neg": [np.int64(s.nn)],
-        }
-    )
+    u = float(s.u) + 0.5 * float(s.t)
+    out = {
+        "auc": round_half_away(
+            np.array([u / (float(s.np) * float(s.nn))]), 6
+        ),
+        "n_pos": [np.int64(s.np)],
+        "n_neg": [np.int64(s.nn)],
+    }
+    if stats:
+        nt = s.np + s.nn
+        mu = float(s.np) * float(s.nn) / 2.0
+        var = (
+            float(s.np)
+            * float(s.nn)
+            / 12.0
+            * (float(nt + 1) - float(s.tc) / (float(nt) * float(nt - 1)))
+        )
+        out["u_stat"] = round_half_away(np.array([u]), 6)
+        out["z"] = round_half_away(np.array([(u - mu) / np.sqrt(var)]), 6)
+    return pd.DataFrame(out)
