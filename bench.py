@@ -127,6 +127,11 @@ def bench_queries() -> dict:
         "pack_examples_documents",
         "q3_shipping_priority",
         "bloom_semi_join_orders",
+        # r4 tail additions: the raw-score exchange + TeraSort prefix
+        # sum (auc) and the keyed_lag pair fold (markov) are the two
+        # heaviest new shapes
+        "auc_weekend_events",
+        "markov_transitions_events",
     ]
     out = {}
     qs = entrymod.queries()
