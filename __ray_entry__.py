@@ -12324,6 +12324,210 @@ def cov_by_label_embeddings(sf_dir: str):
     return _round_cols(out, {"cov": 6})
 
 
+def heaps_law_documents(sf_dir: str):
+    """Heaps-law vocabulary-growth fit V(N) ≈ K·N^β over the corpus in
+    doc_id order — the tokenizer-budget growth model beside
+    vocab_coverage's static knee and zipf_fit's frequency-rank law.
+    Per-doc token totals are batch-local (one row per doc); first
+    occurrences fold through one tok-keyed exchange (min doc_id);
+    new-vocab counts and totals union into one doc-keyed exchange; two
+    chained global_prefix_sums (TeraSort shape) give inclusive (N, V)
+    running pairs; the log-log OLS folds as five per-batch partials.
+    β and K divide float sums whose ~1e-14 drift sits far inside the
+    6 dp round (ols2 precedent)."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import WORD_RE
+    from web_graph_ray.stages.relational import (
+        bucketed_agg,
+        bucketed_group_map,
+        global_prefix_sum,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            ts = WORD_RE.findall(t.lower())
+            ids.extend([i] * len(ts))
+            toks.extend(ts)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "tok": pa.array(toks, pa.string())}
+        )
+
+    tok_rows = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # (a) per-doc token totals — batch-local (documents is one row per
+    # doc, so a doc never spans batches); emitted as (doc_id, nt, 0)
+    def nt_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "nt": g["size"].astype("int64"), "nv": 0}
+        )
+
+    # (b) first occurrence of each token → new-vocab count per doc
+    fo = bucketed_agg(
+        tok_rows, ["tok"], value_col="doc_id", how="min", out_col="d0"
+    )
+    nv = bucketed_agg(
+        fo.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["d0"]}), batch_format="pandas"
+        ),
+        ["doc_id"],
+        out_col="nvc",
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"], "nt": 0, "nv": df["nvc"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    def merge_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)[["nt", "nv"]].sum()
+
+    perdoc = bucketed_group_map(
+        tok_rows.map_batches(nt_rows, batch_format="pandas").union(nv),
+        ["doc_id"],
+        merge_doc,
+        batch_partial=merge_doc,
+    ).materialize()
+
+    # pin between the chained scans: global_prefix_sum consumes its
+    # input three times (min/max, bucket sums, scan), which would
+    # re-execute the first exchange on every pass
+    cum = global_prefix_sum(perdoc, "doc_id", "nt", out_col="cnx").materialize()
+    cum = global_prefix_sum(cum, "doc_id", "nv", out_col="cvx")
+
+    def ols_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cn = (df["cnx"] + df["nt"]).to_numpy(dtype="float64")
+        cv = (df["cvx"] + df["nv"]).to_numpy(dtype="float64")
+        keep = (cn > 0) & (cv > 0)
+        x, y = np.log(cn[keep]), np.log(cv[keep])
+        return pd.DataFrame(
+            {
+                "n": [int(keep.sum())],
+                "sx": [float(np.sum(x))],
+                "sy": [float(np.sum(y))],
+                "sxy": [float(np.sum(x * y))],
+                "sxx": [float(np.sum(x * x))],
+            }
+        )
+
+    s = cum.map_batches(ols_partial, batch_format="pandas").to_pandas().sum()
+    nf = float(s.n)
+    beta = (nf * s.sxy - s.sx * s.sy) / (nf * s.sxx - s.sx * s.sx)
+    k = float(np.exp((s.sy - beta * s.sx) / nf))
+    return pd.DataFrame(
+        {
+            "beta": round_half_away(np.array([beta]), 6),
+            "k": round_half_away(np.array([k]), 6),
+            "n_docs": [np.int64(s.n)],
+        }
+    )
+
+
+def stump_weekend_events(sf_dir: str):
+    """Exact greedy decision-stump split on `value` for the weekend
+    label — the XGBoost/LightGBM inner loop (exact split finding over
+    ALL candidate thresholds) at corpus scale: per-score (pos, neg)
+    counts off one bucketed exchange, two chained global_prefix_sums
+    give inclusive left-side class counts per candidate, and the Gini
+    gain scan folds per batch to one (gain, threshold) champion —
+    ties at 6 dp-rounded gain break to the smallest threshold, the
+    same total order the twin's ORDER BY uses."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import (
+        bucketed_group_map,
+        global_prefix_sum,
+    )
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                "s": t["value"].to_numpy(),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", as_index=False).agg(pos=("y", "sum"), n=("y", "size"))
+        g["pos"] = g["pos"].astype("int64")
+        g["neg"] = (g["n"] - g["pos"]).astype("int64")
+        return g.drop(columns=["n"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s", as_index=False)[["pos", "neg"]].sum()
+
+    counts = bucketed_group_map(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["s"],
+        final,
+        batch_partial=partial,
+    ).materialize()
+    p_tot = int(counts.sum("pos"))
+    n_tot = int(counts.sum("neg"))
+
+    # pin between the chained scans (same three-consumer rationale as
+    # heaps_law_documents)
+    cum = global_prefix_sum(counts, "s", "pos", out_col="cpx").materialize()
+    cum = global_prefix_sum(cum, "s", "neg", out_col="cnx")
+
+    pf, nf = float(p_tot), float(n_tot)
+    tt = pf + nf
+    gp = 1.0 - (pf * pf + nf * nf) / (tt * tt)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        cp = (df["cpx"] + df["pos"]).to_numpy(dtype="int64")
+        cn = (df["cnx"] + df["neg"]).to_numpy(dtype="int64")
+        keep = (cp + cn) < (p_tot + n_tot)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "threshold": pd.Series([], dtype="float64"),
+                    "gain": pd.Series([], dtype="float64"),
+                    "n_left": pd.Series([], dtype="int64"),
+                    "n_right": pd.Series([], dtype="int64"),
+                }
+            )
+        s_ = df["s"].to_numpy(dtype="float64")[keep]
+        cpf = cp[keep].astype("float64")
+        cnf = cn[keep].astype("float64")
+        ll = cpf + cnf
+        rr = tt - ll
+        gl = 1.0 - (cpf * cpf + cnf * cnf) / (ll * ll)
+        gr = 1.0 - (
+            (pf - cpf) * (pf - cpf) + (nf - cnf) * (nf - cnf)
+        ) / (rr * rr)
+        gain = round_half_away(gp - ((ll / tt) * gl + (rr / tt) * gr), 6)
+        out = pd.DataFrame(
+            {
+                "threshold": s_,
+                "gain": gain,
+                "n_left": (cp[keep] + cn[keep]).astype("int64"),
+                "n_right": (p_tot + n_tot) - (cp[keep] + cn[keep]),
+            }
+        )
+        return out.sort_values(
+            ["gain", "threshold"], ascending=[False, True], kind="mergesort"
+        ).head(1)
+
+    cand = cum.map_batches(best, batch_format="pandas").to_pandas()
+    top = (
+        cand.sort_values(
+            ["gain", "threshold"], ascending=[False, True], kind="mergesort"
+        )
+        .head(1)
+        .reset_index(drop=True)
+    )
+    top["threshold"] = round_half_away(top["threshold"].to_numpy(), 6)
+    top["n_right"] = top["n_right"].astype("int64")
+    return top
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12677,6 +12881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_by_type_events": auc_by_type_events,
         "mannwhitney_weekend_events": mannwhitney_weekend_events,
         "cov_by_label_embeddings": cov_by_label_embeddings,
+        "heaps_law_documents": heaps_law_documents,
+        "stump_weekend_events": stump_weekend_events,
     }
 
 
@@ -17167,5 +17373,70 @@ def oracle_sql() -> dict[str, str]:
             join s sb on sb.label = p.label and sb.i = p.j
             join n on n.label = p.label
             order by p.label, p.i, p.j
+        """,
+        "heaps_law_documents": """
+            with tk as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) tok
+              from documents),
+            nt as (select doc_id, count(*)::bigint nt from tk group by 1),
+            fo as (select tok, min(doc_id) d0 from tk group by tok),
+            nv as (select d0 doc_id, count(*)::bigint nv from fo group by 1),
+            pd as (select nt.doc_id, nt.nt, coalesce(nv.nv, 0) nv
+                   from nt left join nv using (doc_id)),
+            cm as (select doc_id,
+                          sum(nt) over (order by doc_id
+                                        rows unbounded preceding) cn,
+                          sum(nv) over (order by doc_id
+                                        rows unbounded preceding) cv
+                   from pd),
+            pt as (select ln(cn::double) x, ln(cv::double) y
+                   from cm where cn > 0 and cv > 0),
+            s as (select count(*)::bigint n, sum(x) sx, sum(y) sy,
+                         sum(x * y) sxy, sum(x * x) sxx from pt)
+            select round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     as beta,
+                   round(exp((sy - (n * sxy - sx * sy)
+                                   / (n * sxx - sx * sx) * sx) / n), 6)
+                     as k,
+                   n as n_docs
+            from s
+        """,
+        "stump_weekend_events": """
+            with d as (
+              select value s,
+                     case when ((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                               in (0, 6) then 1 else 0 end y
+              from events),
+            c as (select s, sum(y)::bigint pos,
+                         (count(*) - sum(y))::bigint neg
+                  from d group by s),
+            t as (select sum(pos)::bigint p, sum(neg)::bigint n from c),
+            w as (select s,
+                         sum(pos) over (order by s
+                                        rows unbounded preceding) cp,
+                         sum(neg) over (order by s
+                                        rows unbounded preceding) cn
+                  from c),
+            e as (select s, cp, cn,
+                         (p + n)::double tt, (cp + cn)::double ll,
+                         (p + n - cp - cn)::double rr,
+                         p::double pf, n::double nf
+                  from w, t where cp + cn < p + n),
+            g as (select s, cp, cn,
+                         round((1 - (pf * pf + nf * nf) / (tt * tt))
+                               - ((ll / tt)
+                                  * (1 - ((cp::double * cp
+                                           + cn::double * cn))
+                                         / (ll * ll))
+                                  + (rr / tt)
+                                  * (1 - (((pf - cp) * (pf - cp)
+                                           + (nf - cn) * (nf - cn)))
+                                         / (rr * rr))), 6) gain,
+                         (cp + cn) n_left,
+                         (select p + n from t) - cp - cn n_right
+                  from e)
+            select round(s, 6) as threshold, gain, n_left, n_right
+            from g order by gain desc, s limit 1
         """,
     }

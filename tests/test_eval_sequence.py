@@ -241,6 +241,67 @@ class TestEvalEntriesVsLocalReference:
             assert np.abs(got - ref).max() < 2e-6
 
 
+class TestHeapsAndStump:
+    def test_heaps_law_matches_literal(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entrymod
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        word = re.compile(r"[A-Za-z0-9]+")
+        seen, pts = set(), []
+        cn = cv = 0
+        for i, txt in sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())):
+            toks = word.findall(txt.lower())
+            cn += len(toks)
+            new = set(toks) - seen
+            cv += len(new)
+            seen |= new
+            if cn > 0 and cv > 0:
+                pts.append((np.log(cn), np.log(cv)))
+        x, y = np.array(pts).T
+        n = len(x)
+        beta = (n * np.sum(x * y) - x.sum() * y.sum()) / (
+            n * np.sum(x * x) - x.sum() ** 2
+        )
+        k = np.exp((y.sum() - beta * x.sum()) / n)
+        out = entrymod.heaps_law_documents(SF)
+        assert int(out["n_docs"][0]) == n
+        assert out["beta"][0] == pytest.approx(beta, abs=1e-5)
+        assert out["k"][0] == pytest.approx(k, rel=1e-4)
+        # natural corpora give β≈0.4-0.6; the synthetic table's tiny
+        # shared word pool saturates instantly, so only 0 ≤ β < 1 holds
+        assert 0.0 <= out["beta"][0] < 1.0
+
+    def test_stump_matches_bruteforce(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, _ = _weekend_xy(SF)
+        order = np.argsort(s, kind="mergesort")
+        su, idx = np.unique(s[order], return_index=True)
+        pos = np.add.reduceat(y[order], idx).astype("float64")
+        tot = np.add.reduceat(np.ones_like(y[order]), idx).astype("float64")
+        neg = tot - pos
+        cp, cn = np.cumsum(pos), np.cumsum(neg)
+        P, N = y.sum(), len(y) - y.sum()
+        T = float(P + N)
+        gp = 1 - (P * P + N * N) / (T * T)
+        ll, rr = cp + cn, T - (cp + cn)
+        keep = ll < T
+        gl = 1 - (cp**2 + cn**2) / ll**2
+        gr = 1 - ((P - cp) ** 2 + (N - cn) ** 2) / np.maximum(rr, 1) ** 2
+        gain = np.round(gp - ((ll / T) * gl + (rr / T) * gr), 6)[keep]
+        su, ll = su[keep], ll[keep]
+        best = np.lexsort((su, -gain))[0]
+        out = entrymod.stump_weekend_events(SF)
+        assert out["gain"][0] == pytest.approx(gain[best], abs=2e-6)
+        assert out["threshold"][0] == pytest.approx(su[best], abs=1e-6)
+        assert int(out["n_left"][0]) == int(ll[best])
+        assert int(out["n_left"][0]) + int(out["n_right"][0]) == len(y)
+
+
 class TestPcaPowerIteration:
     def test_recovers_planted_component(self, ray_session, tmp_path):
         """On embeddings with one strongly dominant direction, 12 power
