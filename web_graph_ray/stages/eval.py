@@ -80,8 +80,14 @@ def roc_auc(
         tot = (df["pos"] + df["neg"]).to_numpy(dtype="float64")
         return pd.DataFrame(
             {
-                "u": [int(np.sum(pos * df["cumneg"].to_numpy().astype(object)))],
-                "t": [int(np.sum(pos * neg))],
+                # dtype=object keeps python-int arithmetic through the
+                # block format and the driver sum — a bare [int] column
+                # infers int64 and would wrap silently past 2^63
+                "u": pd.Series(
+                    [int(np.sum(pos * df["cumneg"].to_numpy().astype(object)))],
+                    dtype="object",
+                ),
+                "t": pd.Series([int(np.sum(pos * neg))], dtype="object"),
                 "np": [int(df["pos"].sum())],
                 "nn": [int(df["neg"].sum())],
                 # tie cubes fold in float64 — SQL power() is double too
