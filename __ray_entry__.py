@@ -12528,6 +12528,166 @@ def stump_weekend_events(sf_dir: str):
     return top
 
 
+def gains_curve_events(sf_dir: str):
+    """Cumulative gains / CAP table of `value` as a weekend-classifier
+    score: global rank by (value desc, event_id) via the TeraSort
+    primitive, exact SQL NTILE(10) deciles from the rank
+    (relational.ntile_from_rank — front-loaded remainder, not the
+    floor approximation), per-decile (n, n_pos) fold, O(10) driver
+    rows for the cumulative capture and lift.  The ranking companion
+    to calibration_bins' probability-binned view."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import global_rank, ntile_from_rank
+
+    ds = _t(sf_dir, "events", ["ts", "value", "event_id"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                # rank asc on -value ≡ value desc (SQL order by)
+                "neg": -t["value"].to_numpy(),
+                "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    pts = ds.map_batches(proj, batch_format="pyarrow").materialize()
+    n_tot = pts.count()
+    ranked = global_rank(pts, "neg", ["event_id"])
+
+    def per_decile(df: pd.DataFrame) -> pd.DataFrame:
+        dec = ntile_from_rank(df["rank"].to_numpy(), n_tot, 10)
+        g = pd.DataFrame({"decile": dec, "y": df["y"]}).groupby(
+            "decile", as_index=False
+        ).agg(n=("y", "size"), n_pos=("y", "sum"))
+        return g
+
+    g = (
+        ranked.map_batches(per_decile, batch_format="pandas")
+        .to_pandas()
+        .groupby("decile", as_index=False)[["n", "n_pos"]]
+        .sum()
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    p_tot = int(g["n_pos"].sum())
+    cum = g["n_pos"].cumsum()
+    out = pd.DataFrame(
+        {
+            "decile": g["decile"].astype("int64"),
+            "n": g["n"].astype("int64"),
+            "n_pos": g["n_pos"].astype("int64"),
+            "capture": round_half_away(
+                cum.to_numpy(dtype="float64") / float(p_tot), 6
+            ),
+            "lift": round_half_away(
+                (g["n_pos"].to_numpy(dtype="float64") / g["n"].to_numpy(dtype="float64"))
+                / (float(p_tot) / float(n_tot)),
+                6,
+            ),
+        }
+    )
+    return out
+
+
+def isotonic_weekend_events(sf_dir: str):
+    """Isotonic regression (pool-adjacent-violators) of the weekend
+    rate against `value` — the non-parametric calibration companion to
+    calibration_bins' fixed decile bands: per-score (pos, n) counts
+    fold through one bucketed exchange (O(distinct scores) rows), then
+    the inherently-sequential PAV pooling runs in ONE Ray task over
+    the count table (documented limitation: the fitted step function
+    is O(distinct scores) state in that task — the raw rows never
+    leave their batches).  No SQL twin: PAV's data-dependent pooling
+    is not expressible in one query; the unit test pins a literal
+    local PAV."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.relational import bucketed_group_map
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+        dow = (us // 1_000_000 // 86400 + 4) % 7
+        return pd.DataFrame(
+            {
+                "s": t["value"].to_numpy(),
+                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", as_index=False).agg(pos=("y", "sum"), n=("y", "size"))
+        g["pos"] = g["pos"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s", as_index=False)[["pos", "n"]].sum()
+
+    counts = bucketed_group_map(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        ["s"],
+        final,
+        batch_partial=partial,
+    )
+
+    def pav(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("s", kind="mergesort").reset_index(drop=True)
+        # classic PAV: pool adjacent blocks while mean decreases
+        blocks: list[list[float]] = []  # [sum_pos, sum_n, first_idx]
+        for pos_, n_ in zip(
+            df["pos"].to_numpy(dtype="float64"), df["n"].to_numpy(dtype="float64")
+        ):
+            blocks.append([pos_, n_, 1.0])
+            while (
+                len(blocks) > 1
+                and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+            # pooling condition is exact (integer cross-multiply): merge
+            # while the left block's rate ≥ the right block's
+        rates = np.repeat(
+            [b[0] / b[1] for b in blocks], [int(b[2]) for b in blocks]
+        )
+        return pd.DataFrame(
+            {"s": df["s"], "iso_p": round_half_away(rates, 6)}
+        )
+
+    return (
+        counts.repartition(1)
+        .map_batches(pav, batch_size=None, batch_format="pandas")
+        .to_pandas()
+        .sort_values("s", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def ece_weekend_events(sf_dir: str):
+    """Expected calibration error of the weekend logistic classifier:
+    Σ_b n_b·|mean_pred_b − emp_rate_b| / N over calibration_bins'
+    fixed decile bands — both engines fold the |diff| of the
+    6 dp-ROUNDED bin stats, so the only float sum is 10 terms."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    bins = calibration_bins_events(sf_dir)
+    n = bins["n"].to_numpy(dtype="float64")
+    ece = float(
+        np.sum(n * np.abs(bins["mean_pred"].to_numpy() - bins["emp_rate"].to_numpy()))
+    ) / float(np.sum(n))
+    return pd.DataFrame(
+        {
+            "ece": round_half_away(np.array([ece]), 6),
+            "n_bins": [np.int64(len(bins))],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -12883,6 +13043,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cov_by_label_embeddings": cov_by_label_embeddings,
         "heaps_law_documents": heaps_law_documents,
         "stump_weekend_events": stump_weekend_events,
+        "gains_curve_events": gains_curve_events,
+        "isotonic_weekend_events": isotonic_weekend_events,
+        "ece_weekend_events": ece_weekend_events,
     }
 
 
@@ -17438,5 +17601,38 @@ def oracle_sql() -> dict[str, str]:
                   from e)
             select round(s, 6) as threshold, gain, n_left, n_right
             from g order by gain desc, s limit 1
+        """,
+        "gains_curve_events": """
+            with d as (
+              select event_id, value,
+                     case when ((floor(epoch(ts))::bigint // 86400 + 4) % 7)
+                               in (0, 6) then 1 else 0 end y
+              from events),
+            t as (select y,
+                         ntile(10) over (order by value desc, event_id) dc
+                  from d),
+            g as (select dc, count(*)::bigint n, sum(y)::bigint n_pos
+                  from t group by dc),
+            tot as (select count(*)::bigint c, sum(y)::bigint p from d),
+            o as (select dc, n, n_pos,
+                         sum(n_pos) over (order by dc
+                                          rows unbounded preceding) cum_pos
+                  from g)
+            select dc as decile, n, n_pos,
+                   round(cum_pos::double / p, 6) as capture,
+                   round((n_pos::double / n) / (p::double / c), 6) as lift
+            from o, tot order by decile
+        """,
+        "ece_weekend_events": _logreg_chain_sql() + """,
+            b as (select round(b0, 6) b0r, round(b1, 6) b1r from a4),
+            pr as (select y, 1/(1+exp(-(b0r + b1r*x))) p from ev, b),
+            bi as (select least(floor(p * 10)::bigint, 9) bin,
+                          count(*)::bigint n,
+                          round(sum(p) / count(*), 6) mp,
+                          round(sum(y) / count(*), 6) er
+                   from pr group by 1)
+            select round(sum(n * abs(mp - er)) / sum(n), 6) as ece,
+                   count(*)::bigint as n_bins
+            from bi
         """,
     }

@@ -302,6 +302,64 @@ class TestHeapsAndStump:
         assert int(out["n_left"][0]) + int(out["n_right"][0]) == len(y)
 
 
+class TestGainsIsotonicEce:
+    def test_isotonic_matches_literal_pav(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, _ = _weekend_xy(SF)
+        order = np.argsort(s, kind="mergesort")
+        su, idx = np.unique(s[order], return_index=True)
+        pos = np.add.reduceat(y[order], idx).astype("float64")
+        n = np.add.reduceat(np.ones_like(y[order]), idx).astype("float64")
+        # literal PAV (pool while left mean >= right mean)
+        blocks = []
+        for p_, n_ in zip(pos, n):
+            blocks.append([p_, n_, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        rates = np.repeat([b[0] / b[1] for b in blocks], [b[2] for b in blocks])
+        out = entrymod.isotonic_weekend_events(SF)
+        assert len(out) == len(su)
+        assert np.allclose(out["s"].to_numpy(), su)
+        assert np.abs(out["iso_p"].to_numpy() - rates).max() < 2e-6
+        # fitted function is non-decreasing in s
+        assert (np.diff(out["iso_p"].to_numpy()) >= 0).all()
+        # pooling preserves the total positive mass
+        assert np.sum(out["iso_p"].to_numpy() * n) == pytest.approx(
+            y.sum(), rel=1e-5
+        )
+
+    def test_gains_curve_invariants(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        s, y, _ = _weekend_xy(SF)
+        out = entrymod.gains_curve_events(SF)
+        assert list(out["decile"]) == list(range(1, 11))
+        assert int(out["n"].sum()) == len(y)
+        assert int(out["n_pos"].sum()) == int(y.sum())
+        assert out["capture"].iloc[-1] == pytest.approx(1.0, abs=1e-6)
+        assert (np.diff(out["capture"].to_numpy()) >= 0).all()
+        # NTILE front-loads the remainder
+        assert (out["n"].to_numpy()[:-1] >= out["n"].to_numpy()[1:]).all()
+
+    def test_ece_consistent_with_bins(self, ray_session):
+        import __ray_entry__ as entrymod
+
+        bins = entrymod.calibration_bins_events(SF)
+        out = entrymod.ece_weekend_events(SF)
+        n = bins["n"].to_numpy(dtype="float64")
+        ref = np.sum(
+            n * np.abs(bins["mean_pred"].to_numpy() - bins["emp_rate"].to_numpy())
+        ) / n.sum()
+        assert out["ece"][0] == pytest.approx(ref, abs=1e-6)
+        assert int(out["n_bins"][0]) == len(bins)
+
+
 class TestPcaPowerIteration:
     def test_recovers_planted_component(self, ray_session, tmp_path):
         """On embeddings with one strongly dominant direction, 12 power
