@@ -76,6 +76,38 @@ class TestRocAuc:
         assert out2["auc"][0] == 0.5
 
 
+class TestRocAucProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from([-2.0, -1.0, -0.5, -0.0, 0.0, 0.5, 1.0, 2.0]),
+                st.integers(0, 1),
+            ),
+            min_size=12,
+            max_size=120,
+        ).filter(
+            lambda rows: 0 < sum(y for _, y in rows) < len(rows)
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_random_tied_data_matches_reference(self, ray_session, rows):
+        """Heavy ties (a 6-value score alphabet incl. ±0.0) against the
+        rank-based reference, at parallelism 8."""
+        from web_graph_ray.stages.eval import roc_auc
+
+        score = np.array([s for s, _ in rows], dtype="float64")
+        y = np.array([l for _, l in rows], dtype="int64")
+        df = pd.DataFrame({"s": score, "y": y})
+        out = roc_auc(ray.data.from_pandas(df).repartition(8), "s", "y")
+        # ±0.0 must merge: n distinct reported == n distinct under ==
+        assert out["auc"][0] == pytest.approx(
+            _auc_reference(score + 0.0, y), abs=5e-7
+        )
+
+
 def test_bucketed_agg_merges_negative_zero_keys(ray_session):
     """-0.0 and +0.0 are one group key (pandas and SQL both merge
     them) but hash to different buckets by bit pattern — the split key
