@@ -43,6 +43,70 @@ def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     return df
 
 
+def _weekend_y(t: "pa.Table") -> "np.ndarray":
+    """Boolean weekend mask from the shared epoch-day formula — ONE
+    definition for every weekend-labelled entry (logreg, ttest, odds
+    ratio, the model-eval family); the SQL twins mirror it verbatim as
+    ((floor(epoch(ts))::bigint // 86400 + 4) % 7) in (0, 6)."""
+    us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
+    dow = (us // 1_000_000 // 86400 + 4) % 7
+    return (dow == 0) | (dow == 6)
+
+
+def _embed_quant(t: "pa.Table", col: str = "embedding") -> "np.ndarray":
+    """Embedding column → e-6-quantized int64 matrix, mirroring the
+    oracle's round(v::double * 1e6) exactly: float64 upcast BEFORE the
+    multiply (DuckDB computes float32 arithmetic in float32 without the
+    ::double cast) and half-AWAY rounding (np.rint is banker's)."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    x = np.stack(t[col].to_numpy(zero_copy_only=False)).astype("float64")
+    return round_half_away(x * 1_000_000.0, 0).astype("int64")
+
+
+def _gram_partial(t: "pa.Table") -> pd.DataFrame:
+    """Per-batch exact-integer Gram/sum combiner shared by
+    embedding_covariance_exact and pca_top_embeddings: one int64
+    matmul per batch (products ~1e12 per cell; a batch would need
+    ~9e6 rows per cell to wrap, far past any block size), plus column
+    sums and n as sentinel rows (j = -1, n on i = 0)."""
+    x6 = _embed_quant(t)
+    p = x6.T @ x6
+    s = x6.sum(axis=0)
+    d = x6.shape[1]
+    i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+    rows = pd.DataFrame(
+        {"i": i.ravel(), "j": j.ravel(), "sxy": p.ravel(), "si": 0}
+    )
+    sums = pd.DataFrame({"i": np.arange(d), "j": -1, "sxy": 0, "si": s})
+    out = pd.concat([rows, sums], ignore_index=True)
+    out["n"] = len(x6)
+    return out
+
+
+def _fold_gram(parts: pd.DataFrame):
+    """Driver fold of _gram_partial outputs in EXACT python-int
+    arithmetic (object dtype — an int64 groupby sum wraps silently at
+    ~9e6 input rows per Gram cell, while the hugeint oracle stays
+    exact).  Returns (n, si Series indexed by i, gram frame sorted by
+    (i, j) with python-int sxy)."""
+    n = int(parts.loc[(parts["i"] == 0) & (parts["j"] == -1), "n"].sum())
+    si = (
+        parts[parts["j"] == -1]
+        .assign(si=lambda df: df["si"].astype(object))
+        .groupby("i")["si"]
+        .sum()
+    )
+    gram = (
+        parts[parts["j"] >= 0]
+        .assign(sxy=lambda df: df["sxy"].astype(object))
+        .groupby(["i", "j"], as_index=False)["sxy"]
+        .sum()
+        .sort_values(["i", "j"], kind="mergesort")
+    )
+    return n, si, gram
+
+
 # ---------------------------------------------------------------------------
 # relational / aggregate queries (SQL-checked)
 # ---------------------------------------------------------------------------
@@ -11125,43 +11189,15 @@ def embedding_covariance_exact(sf_dir: str):
     at any parallelism or scale."""
     from web_graph_ray.functions.numeric import round_half_away
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        # float64 BEFORE the 1e6 multiply and half-AWAY rounding: the
-        # oracle quantizes round(v::double * 1e6), so a float32 product
-        # or banker's rint would land a different integer near .5
-        # boundaries (the jl_project precedent)
-        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            "float64"
-        )
-        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
-        p = x6.T @ x6
-        s = x6.sum(axis=0)
-        d = x6.shape[1]
-        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        rows = pd.DataFrame(
-            {"i": i.ravel(), "j": j.ravel(), "sxy": p.ravel(), "si": 0}
-        )
-        sums = pd.DataFrame(
-            {"i": np.arange(d), "j": -1, "sxy": 0, "si": s}
-        )
-        out = pd.concat([rows, sums], ignore_index=True)
-        out["n"] = len(x6)
-        return out
-
     parts = (
         _t(sf_dir, "embeddings", ["embedding"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_gram_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    n = int(parts.loc[(parts["i"] == 0) & (parts["j"] == -1), "n"].sum())
-    sums = parts[parts["j"] == -1].groupby("i")["si"].sum()
-    gram = parts[parts["j"] >= 0].groupby(["i", "j"], as_index=False)[
-        "sxy"
-    ].sum()
-    si = {int(k): int(v) for k, v in sums.items()}
+    n, si, gram = _fold_gram(parts)
     cov = []
     for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
-        num = n * int(sxy) - si[int(i_)] * si[int(j_)]
+        num = n * int(sxy) - int(si[i_]) * int(si[j_])
         cov.append(float(num) / (float(n) * n * 1e12))
     out = pd.DataFrame(
         {
@@ -11741,11 +11777,9 @@ def _train_logreg_weekend(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pa.Table:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pa.table(
             {
-                "y": pa.array(((dow == 0) | (dow == 6)).astype("float64")),
+                "y": pa.array(_weekend_y(t).astype("float64")),
                 "x": t["value"].combine_chunks().cast(pa.float64()),
             }
         )
@@ -11893,12 +11927,10 @@ def auc_weekend_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 "score": t["value"].to_numpy(),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12050,41 +12082,12 @@ def pca_top_embeddings(sf_dir: str):
     coordinate (smallest dim on ties) is made positive."""
     from web_graph_ray.functions.numeric import round_half_away
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        # float64 upcast + half-away rounding mirror the oracle's
-        # round(v::double * 1e6) exactly — float32 products / banker's
-        # rint differ by one quantization unit near .5, which the
-        # near-degenerate spectrum amplifies into the 6th decimal of
-        # the loadings (gap λ2/λ1 ≈ 0.99 on the synthetic table)
-        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            "float64"
-        )
-        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
-        p = x6.T @ x6
-        s = x6.sum(axis=0)
-        d = x6.shape[1]
-        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        rows = pd.DataFrame(
-            {"i": i.ravel(), "j": j.ravel(), "sxy": p.ravel(), "si": 0}
-        )
-        sums = pd.DataFrame({"i": np.arange(d), "j": -1, "sxy": 0, "si": s})
-        out = pd.concat([rows, sums], ignore_index=True)
-        out["n"] = len(x6)
-        return out
-
     parts = (
         _t(sf_dir, "embeddings", ["embedding"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_gram_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    n = int(parts.loc[(parts["i"] == 0) & (parts["j"] == -1), "n"].sum())
-    si = parts[parts["j"] == -1].groupby("i")["si"].sum()
-    gram = (
-        parts[parts["j"] >= 0]
-        .groupby(["i", "j"], as_index=False)["sxy"]
-        .sum()
-        .sort_values(["i", "j"], kind="mergesort")
-    )
+    n, si, gram = _fold_gram(parts)
     d = int(si.index.max()) + 1
     cov = np.empty((d, d), dtype="float64")
     for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
@@ -12167,13 +12170,11 @@ def auc_by_type_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 "event_type": t["event_type"].to_pandas(),
                 "s": t["value"].to_numpy(),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12193,14 +12194,22 @@ def auc_by_type_events(sf_dir: str):
         )
         rows = []
         for et, g in df.groupby("event_type", sort=False):
-            pos = g["pos"].to_numpy(dtype="float64")
-            neg = g["neg"].to_numpy(dtype="float64")
-            cumneg = np.concatenate(([0.0], np.cumsum(neg)[:-1]))
-            npos, nneg = float(pos.sum()), float(neg.sum())
-            u = float(np.sum(pos * cumneg)) + 0.5 * float(np.sum(pos * neg))
-            rows.append(
-                (et, u / (npos * nneg), np.int64(npos), np.int64(nneg))
-            )
+            pos = g["pos"].to_numpy()
+            neg = g["neg"].to_numpy()
+            cumneg = np.concatenate(([0], np.cumsum(neg)[:-1]))
+            npos, nneg = int(pos.sum()), int(neg.sum())
+            if npos == 0 or nneg == 0:
+                # single-class type: AUC undefined — dropped, and the
+                # twin filters the same way (np > 0 and nn > 0)
+                continue
+            po = pos.astype(object)
+            # exact python-int U numerator (float64 loses exactness
+            # past 2^53 — the roc_auc object-fold precedent), then the
+            # same hugeint→double division tree as the twin
+            u = int(np.sum(po * cumneg.astype(object)))
+            tt = int(np.sum(po * neg.astype(object)))
+            auc = (float(u) + 0.5 * float(tt)) / (float(npos) * float(nneg))
+            rows.append((et, auc, np.int64(npos), np.int64(nneg)))
         return pd.DataFrame(
             rows, columns=["event_type", "auc", "n_pos", "n_neg"]
         )
@@ -12227,12 +12236,10 @@ def mannwhitney_weekend_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 "score": t["value"].to_numpy(),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12253,10 +12260,7 @@ def cov_by_label_embeddings(sf_dir: str):
 
     def partial(t: pa.Table) -> pd.DataFrame:
         lab = t["label"].to_numpy(zero_copy_only=False)
-        x = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
-            "float64"
-        )
-        x6 = round_half_away(x * 1_000_000.0, 0).astype("int64")
+        x6 = _embed_quant(t)
         d = x6.shape[1]
         i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
         frames = []
@@ -12291,6 +12295,13 @@ def cov_by_label_embeddings(sf_dir: str):
         return pd.concat(frames, ignore_index=True)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        # object dtype = python-int sums: an int64 fold across batches
+        # wraps silently at ~9e6 input rows per Gram cell (the same
+        # silent-wrap class roc_auc's U fold guards against); the
+        # per-batch matmul itself is int64-safe at any block size
+        df = df.assign(
+            sxy=df["sxy"].astype(object), si=df["si"].astype(object)
+        )
         return df.groupby(["label", "i", "j"], as_index=False)[
             ["sxy", "si", "n"]
         ].sum()
@@ -12308,7 +12319,7 @@ def cov_by_label_embeddings(sf_dir: str):
     for lv, g in parts.groupby("label", sort=True):
         side = g[g["j"] == -1].set_index("i")
         n = int(side["n"].sum())
-        si = side["si"].astype("int64")
+        si = side["si"]  # python ints (object dtype) — no int64 round-trip
         gram = g[g["j"] >= 0].sort_values(["i", "j"], kind="mergesort")
         for i_, j_, sxy in zip(gram["i"], gram["j"], gram["sxy"]):
             num = n * int(sxy) - int(si[i_]) * int(si[j_])
@@ -12444,12 +12455,10 @@ def stump_weekend_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 "s": t["value"].to_numpy(),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12542,14 +12551,12 @@ def gains_curve_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value", "event_id"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 # rank asc on -value ≡ value desc (SQL order by)
                 "neg": -t["value"].to_numpy(),
                 "event_id": t["event_id"].to_numpy(zero_copy_only=False),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12609,12 +12616,10 @@ def isotonic_weekend_events(sf_dir: str):
     ds = _t(sf_dir, "events", ["ts", "value"])
 
     def proj(t: pa.Table) -> pd.DataFrame:
-        us = t["ts"].to_numpy(zero_copy_only=False).astype("int64")
-        dow = (us // 1_000_000 // 86400 + 4) % 7
         return pd.DataFrame(
             {
                 "s": t["value"].to_numpy(),
-                "y": ((dow == 0) | (dow == 6)).astype("int64"),
+                "y": _weekend_y(t).astype("int64"),
             }
         )
 
@@ -12636,12 +12641,12 @@ def isotonic_weekend_events(sf_dir: str):
 
     def pav(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("s", kind="mergesort").reset_index(drop=True)
-        # classic PAV: pool adjacent blocks while mean decreases
-        blocks: list[list[float]] = []  # [sum_pos, sum_n, first_idx]
-        for pos_, n_ in zip(
-            df["pos"].to_numpy(dtype="float64"), df["n"].to_numpy(dtype="float64")
-        ):
-            blocks.append([pos_, n_, 1.0])
+        # classic PAV: pool adjacent blocks while mean decreases.  The
+        # pooling condition is an EXACT python-int cross-multiply (a
+        # float64 compare could flip a near-equal-rate pool past 2^53)
+        blocks: list[list[int]] = []  # [sum_pos, sum_n, width]
+        for pos_, n_ in zip(df["pos"].to_numpy(), df["n"].to_numpy()):
+            blocks.append([int(pos_), int(n_), 1])
             while (
                 len(blocks) > 1
                 and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
@@ -12650,10 +12655,8 @@ def isotonic_weekend_events(sf_dir: str):
                 blocks[-1][0] += b[0]
                 blocks[-1][1] += b[1]
                 blocks[-1][2] += b[2]
-            # pooling condition is exact (integer cross-multiply): merge
-            # while the left block's rate ≥ the right block's
         rates = np.repeat(
-            [b[0] / b[1] for b in blocks], [int(b[2]) for b in blocks]
+            [b[0] / b[1] for b in blocks], [b[2] for b in blocks]
         )
         return pd.DataFrame(
             {"s": df["s"], "iso_p": round_half_away(rates, 6)}
@@ -17314,61 +17317,7 @@ def oracle_sql() -> dict[str, str]:
             group by q.vec_id, s.j
             order by vec_id, dim
         """,
-        "logreg_weekend_events": """
-            with ev as (select
-                (((floor(epoch(ts))::bigint // 86400 + 4) % 7)
-                 in (0, 6))::int::double y,
-                value::double x
-              from events),
-            a0 as (select 0.0::double b0, 0.0::double b1),
-            s1 as (select
-                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
-                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
-                any_value(b0) b0, any_value(b1) b1
-              from ev, a0),
-            a1 as (select
-                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
-                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
-              from s1),
-            s2 as (select
-                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
-                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
-                any_value(b0) b0, any_value(b1) b1
-              from ev, a1),
-            a2 as (select
-                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
-                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
-              from s2),
-            s3 as (select
-                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
-                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
-                any_value(b0) b0, any_value(b1) b1
-              from ev, a2),
-            a3 as (select
-                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
-                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
-              from s3),
-            s4 as (select
-                sum(y - 1/(1+exp(-(b0 + b1*x)))) g0,
-                sum((y - 1/(1+exp(-(b0 + b1*x)))) * x) g1,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x))))) h00,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x) h01,
-                sum((1/(1+exp(-(b0 + b1*x)))) * (1 - 1/(1+exp(-(b0 + b1*x)))) * x * x) h11,
-                any_value(b0) b0, any_value(b1) b1
-              from ev, a3),
-            a4 as (select
-                b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) b0,
-                b1 + (-h01*g0 + h00*g1)/(h00*h11 - h01*h01) b1
-              from s4)
+        "logreg_weekend_events": _logreg_chain_sql() + """
             select round(b0, 6) as b0, round(b1, 6) as b1,
                    4::bigint as iters
             from a4
@@ -17480,6 +17429,7 @@ def oracle_sql() -> dict[str, str]:
                          / (np::double * nn::double), 6) as auc,
                    np as n_pos, nn as n_neg
             from a join t using (event_type)
+            where np > 0 and nn > 0
             order by event_type
         """,
         "mannwhitney_weekend_events": """

@@ -61,6 +61,18 @@ class TestRocAuc:
         b = roc_auc(ray.data.from_pandas(df).repartition(8), "s", "y")
         assert a["auc"][0] == b["auc"][0]
 
+    def test_single_class_returns_nan_not_crash(self, ray_session):
+        """All-positive (or all-negative) input: AUC is undefined —
+        NaN with honest counts, never a ZeroDivisionError."""
+        from web_graph_ray.stages.eval import roc_auc
+
+        df = pd.DataFrame({"s": [1.0, 2.0, 3.0, 4.0], "y": [1, 1, 1, 1]})
+        out = roc_auc(
+            ray.data.from_pandas(df).repartition(2), "s", "y", stats=True
+        )
+        assert np.isnan(out["auc"][0]) and np.isnan(out["z"][0])
+        assert int(out["n_pos"][0]) == 4 and int(out["n_neg"][0]) == 0
+
     def test_perfect_and_random_separation(self, ray_session):
         from web_graph_ray.stages.eval import roc_auc
 

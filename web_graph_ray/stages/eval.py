@@ -99,6 +99,17 @@ def roc_auc(
     from ..functions.numeric import round_half_away
 
     u = float(s.u) + 0.5 * float(s.t)
+    if s.np == 0 or s.nn == 0:
+        # single-class input: AUC is undefined — NaN, not a crash
+        out = {
+            "auc": [float("nan")],
+            "n_pos": [np.int64(s.np)],
+            "n_neg": [np.int64(s.nn)],
+        }
+        if stats:
+            out["u_stat"] = [float("nan")]
+            out["z"] = [float("nan")]
+        return pd.DataFrame(out)
     out = {
         "auc": round_half_away(
             np.array([u / (float(s.np) * float(s.nn))]), 6

@@ -531,9 +531,15 @@ def keyed_ewma(
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, *order_cols], kind="mergesort")
-        df[out_col] = df.groupby(key_col, sort=False)[value_col].transform(
-            lambda s: s.ewm(alpha=alpha, adjust=False).mean()
+        # groupby.ewm runs the whole bucket in one Cython kernel — a
+        # transform(lambda ...) would dispatch Python once per key,
+        # the 10^5+-key pathology this module's other keyed_* ops avoid
+        ew = (
+            df.groupby(key_col, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
         )
+        df[out_col] = ew.droplevel(0).to_numpy()
         return df
 
     return bucketed_group_map(ds, [key_col], per_bucket, num_buckets=num_buckets)
