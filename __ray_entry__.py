@@ -12691,6 +12691,57 @@ def ece_weekend_events(sf_dir: str):
     )
 
 
+def jaro_pairs_documents(sf_dir: str):
+    """Record-linkage near-dup pairs by Jaro-Winkler similarity ≥ 0.9
+    over 24-char prefixes, candidates blocked on the first-4-char key
+    (dedup.prefix_blocked_pairs — the textbook blocking strategy,
+    complementing editdist's length bands).  The scorer
+    (functions.text.jaro_winkler_bytes) is fuzz-verified bit-exact
+    against DuckDB's jaro_winkler_similarity over 30k random pairs
+    incl. multibyte — including the C++ integer-truncated
+    transposition count — so the twin is the literal blocked
+    self-join; both sides threshold the 6 dp-ROUNDED score."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.functions.text import jaro_winkler_bytes
+    from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+    def score(a: bytes, b: bytes) -> float:
+        return float(round_half_away(np.array([jaro_winkler_bytes(a, b)]), 6)[0])
+
+    out = prefix_blocked_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        score_fn=score,
+        keep_fn=lambda s: s >= 0.9,
+        prefix_len=24,
+        block_chars=4,
+        score_name="jw",
+    ).to_pandas()
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
+def damerau_pairs_documents(sf_dir: str):
+    """Near-dup pairs by exact UNRESTRICTED Damerau-Levenshtein ≤ 3
+    over 24-char prefixes with the same first-4-char blocking key —
+    the transposition-aware companion to editdist_pairs' plain
+    Levenshtein (functions.text.damerau_levenshtein_bytes is the
+    Lowrance-Wagner DP, fuzz-verified equal to DuckDB's
+    damerau_levenshtein which is the unrestricted variant:
+    'CA'→'ABC' = 2)."""
+    from web_graph_ray.functions.text import damerau_levenshtein_bytes
+    from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+    out = prefix_blocked_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        score_fn=damerau_levenshtein_bytes,
+        keep_fn=lambda d: d <= 3,
+        prefix_len=24,
+        block_chars=4,
+        score_name="dist",
+        score_dtype="int64",
+    ).to_pandas()
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -13049,6 +13100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gains_curve_events": gains_curve_events,
         "isotonic_weekend_events": isotonic_weekend_events,
         "ece_weekend_events": ece_weekend_events,
+        "jaro_pairs_documents": jaro_pairs_documents,
+        "damerau_pairs_documents": damerau_pairs_documents,
     }
 
 
@@ -17584,5 +17637,27 @@ def oracle_sql() -> dict[str, str]:
             select round(sum(n * abs(mp - er)) / sum(n), 6) as ece,
                    count(*)::bigint as n_bins
             from bi
+        """,
+        "jaro_pairs_documents": """
+            with d as (select doc_id, substr(text, 1, 24) p
+                       from documents)
+            select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                   round(jaro_winkler_similarity(a.p, b.p), 6) as jw
+            from d a join d b
+              on substr(a.p, 1, 4) = substr(b.p, 1, 4)
+             and a.doc_id < b.doc_id
+            where round(jaro_winkler_similarity(a.p, b.p), 6) >= 0.9
+            order by 1, 2
+        """,
+        "damerau_pairs_documents": """
+            with d as (select doc_id, substr(text, 1, 24) p
+                       from documents)
+            select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                   damerau_levenshtein(a.p, b.p)::bigint as dist
+            from d a join d b
+              on substr(a.p, 1, 4) = substr(b.p, 1, 4)
+             and a.doc_id < b.doc_id
+            where damerau_levenshtein(a.p, b.p) <= 3
+            order by 1, 2
         """,
     }

@@ -187,3 +187,109 @@ def test_edit_distance_pairs_band_guard(ray_session):
     ds = ray.data.from_pandas(df)
     with pytest.raises(Exception, match="max_band_rows"):
         edit_distance_pairs(ds, max_dist=3, max_band_rows=10).to_pandas()
+
+
+class TestBlockedSimilarityPairs:
+    """prefix_blocked_pairs + the DuckDB-exact JW / Damerau scorers."""
+
+    def test_metrics_match_duckdb_fuzz(self):
+        import random
+
+        import duckdb
+
+        from web_graph_ray.functions.text import (
+            damerau_levenshtein_bytes,
+            jaro_winkler_bytes,
+        )
+
+        con = duckdb.connect()
+        rng = random.Random(3)
+        for _ in range(400):
+            s1 = "".join(
+                rng.choice("abcdeé💡 xyz") for _ in range(rng.randint(0, 12))
+            )
+            s2 = "".join(
+                rng.choice("abcdeé💡 xyz") for _ in range(rng.randint(0, 12))
+            )
+            wd, wj = con.execute(
+                "select damerau_levenshtein(?, ?),"
+                " jaro_winkler_similarity(?, ?)",
+                [s1, s2, s1, s2],
+            ).fetchone()
+            assert damerau_levenshtein_bytes(s1.encode(), s2.encode()) == wd
+            assert jaro_winkler_bytes(s1.encode(), s2.encode()) == wj
+
+    def test_textbook_vectors(self):
+        import pytest
+
+        from web_graph_ray.functions.text import (
+            damerau_levenshtein_bytes as dl,
+            jaro_winkler_bytes as jw,
+        )
+
+        assert dl(b"CA", b"ABC") == 2  # unrestricted, not OSA's 3
+        assert dl(b"ab", b"ba") == 1
+        assert jw(b"DWAYNE", b"DUANE") == pytest.approx(0.84)
+        assert jw(b"DIXON", b"DICKSONX") == pytest.approx(0.8133333333333332)
+        # the C++ integer-truncated transposition count (raw 3 -> 1)
+        assert jw(b"cba", b"acbaab") == pytest.approx(0.7222222222222222)
+        assert jw(b"", b"") == 0.0 and jw(b"", b"abc") == 0.0
+
+    def test_blocked_pairs_parallelism_invariance(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        import ray.data
+        from web_graph_ray.functions.text import jaro_winkler_bytes
+        from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype="int64"),
+                "text": [
+                    f"prefix{i % 5} common tail {i}" for i in range(40)
+                ],
+            }
+        )
+
+        def run(parts):
+            return (
+                prefix_blocked_pairs(
+                    ray.data.from_pandas(docs).repartition(parts),
+                    score_fn=jaro_winkler_bytes,
+                    keep_fn=lambda s: s >= 0.8,
+                    prefix_len=24,
+                    block_chars=4,
+                    score_name="jw",
+                )
+                .to_pandas()
+                .sort_values(["doc_id_a", "doc_id_b"])
+                .reset_index(drop=True)
+            )
+
+        a, b = run(1), run(8)
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_blocked_pairs_hot_block_guard(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        import pytest
+        import ray.data
+        from web_graph_ray.functions.text import jaro_winkler_bytes
+        from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(30, dtype="int64"),
+                "text": ["same prefix everywhere"] * 30,
+            }
+        )
+        with pytest.raises(Exception, match="max_block_rows"):
+            prefix_blocked_pairs(
+                ray.data.from_pandas(docs),
+                score_fn=jaro_winkler_bytes,
+                keep_fn=lambda s: s >= 0.9,
+                max_block_rows=10,
+            ).to_pandas()

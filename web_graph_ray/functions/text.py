@@ -382,3 +382,95 @@ def levenshtein_bytes(a: bytes, b: bytes, max_dist: int | None = None) -> int:
             return big
         prev = cur
     return prev[lb] if prev[lb] <= max_dist else big
+
+
+def damerau_levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Exact UNRESTRICTED Damerau-Levenshtein over UTF-8 bytes —
+    insert/delete/substitute/transpose, where a transposed pair may be
+    edited again (DuckDB's ``damerau_levenshtein('CA','ABC')`` is 2,
+    not OSA's 3; byte semantics shared with :func:`levenshtein_bytes`).
+    The classic alphabet-indexed DP (Lowrance-Wagner), O(|a|·|b|)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    da = [0] * 256
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            k = da[b[j - 1]]
+            l = db
+            if ai == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[ai] = i
+    return d[la + 1][lb + 1]
+
+
+def jaro_winkler_bytes(a: bytes, b: bytes) -> float:
+    """Jaro-Winkler similarity over UTF-8 bytes, matching DuckDB's
+    ``jaro_winkler_similarity`` exactly: match window
+    max(|a|,|b|)//2 − 1, half-transposition count, ≤4-byte common
+    prefix at scale 0.1, and the Winkler boost applied only when the
+    Jaro base exceeds 0.7; either side empty scores 0.0 (including
+    both-empty — verified against DuckDB 1.x)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        ai = a[i]
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ai:
+                ma[i] = True
+                mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    # C++-faithful transposition count: DuckDB (rapidfuzz) divides the
+    # raw mismatch count by 2 in INTEGER arithmetic, so an odd count
+    # truncates — (m - t//2)/m, not the textbook (m - t/2)/m
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro > 0.7:
+        prefix = 0
+        for i in range(min(4, la, lb)):
+            if a[i] != b[i]:
+                break
+            prefix += 1
+        jaro += prefix * 0.1 * (1.0 - jaro)
+    return jaro
