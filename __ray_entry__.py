@@ -12742,6 +12742,37 @@ def damerau_pairs_documents(sf_dir: str):
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
+def jaccard_char_pairs_documents(sf_dir: str):
+    """Byte-SET Jaccard pairs ≥ 0.8 over 24-char prefixes with the
+    shared first-4-char blocking key — the character-profile member of
+    the record-linkage family (DuckDB's ``jaccard()`` compares byte
+    sets: 'aab' vs 'ab' scores 1.0, 'café' vs 'cafe' 0.5 on the UTF-8
+    bytes).  Empty prefixes are filtered on BOTH sides first — the
+    oracle function raises on empty input."""
+    from web_graph_ray.functions.numeric import round_half_away
+    from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+    def score(a: bytes, b: bytes) -> float:
+        sa, sb = set(a), set(b)
+        return float(
+            round_half_away(np.array([len(sa & sb) / len(sa | sb)]), 6)[0]
+        )
+
+    pre = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df[df["text"].fillna("").str.len() > 0],
+        batch_format="pandas",
+    )
+    out = prefix_blocked_pairs(
+        pre,
+        score_fn=score,
+        keep_fn=lambda s: s >= 0.8,
+        prefix_len=24,
+        block_chars=4,
+        score_name="jac",
+    ).to_pandas()
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -13102,6 +13133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ece_weekend_events": ece_weekend_events,
         "jaro_pairs_documents": jaro_pairs_documents,
         "damerau_pairs_documents": damerau_pairs_documents,
+        "jaccard_char_pairs_documents": jaccard_char_pairs_documents,
     }
 
 
@@ -17658,6 +17690,18 @@ def oracle_sql() -> dict[str, str]:
               on substr(a.p, 1, 4) = substr(b.p, 1, 4)
              and a.doc_id < b.doc_id
             where damerau_levenshtein(a.p, b.p) <= 3
+            order by 1, 2
+        """,
+        "jaccard_char_pairs_documents": """
+            with d as (select doc_id, substr(text, 1, 24) p
+                       from documents
+                       where substr(text, 1, 24) <> '')
+            select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+                   round(jaccard(a.p, b.p), 6) as jac
+            from d a join d b
+              on substr(a.p, 1, 4) = substr(b.p, 1, 4)
+             and a.doc_id < b.doc_id
+            where round(jaccard(a.p, b.p), 6) >= 0.8
             order by 1, 2
         """,
     }
