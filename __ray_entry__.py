@@ -12773,6 +12773,58 @@ def jaccard_char_pairs_documents(sf_dir: str):
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
 
 
+def tukey_hsd_events(sf_dir: str):
+    """Tukey-HSD post-hoc pairwise statistics after anova_events: for
+    every event-type pair, the studentized-range statistic
+    q = |m_a − m_b| / √(MSW/2 · (1/n_a + 1/n_b)) and the raw mean
+    difference, from the SAME one-pass (n, Σy, Σy²) moment combiner
+    the ANOVA uses — O(types) driver state, O(types²) output rows.
+    Raw statistics only (the q-distribution CDF is not
+    SQL-expressible, so significance lookup stays with the caller)."""
+    from web_graph_ray.functions.numeric import round_half_away
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        y = t["value"].to_numpy()
+        g = pd.DataFrame(
+            {"event_type": t["event_type"].to_pandas(), "sy": y, "syy": y * y}
+        ).groupby("event_type", as_index=False).agg(
+            n=("sy", "size"), sy=("sy", "sum"), syy=("syy", "sum")
+        )
+        return g
+
+    s = (
+        _t(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n", "sy", "syy"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    nn = int(s["n"].sum())
+    k = len(s)
+    ssw = float(
+        np.sum(
+            s["syy"].to_numpy()
+            - s["sy"].to_numpy() * s["sy"].to_numpy() / s["n"].to_numpy(dtype="float64")
+        )
+    )
+    msw = ssw / (nn - k)
+    rows = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            na, nb = float(s["n"][a]), float(s["n"][b])
+            ma, mb = s["sy"][a] / na, s["sy"][b] / nb
+            q = abs(ma - mb) / np.sqrt(msw / 2 * (1.0 / na + 1.0 / nb))
+            rows.append(
+                (s["event_type"][a], s["event_type"][b], q, ma - mb)
+            )
+    out = pd.DataFrame(
+        rows, columns=["type_a", "type_b", "q_stat", "mean_diff"]
+    )
+    return _round_cols(out, {"q_stat": 6, "mean_diff": 6})
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -13134,6 +13186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaro_pairs_documents": jaro_pairs_documents,
         "damerau_pairs_documents": damerau_pairs_documents,
         "jaccard_char_pairs_documents": jaccard_char_pairs_documents,
+        "tukey_hsd_events": tukey_hsd_events,
     }
 
 
@@ -17703,5 +17756,22 @@ def oracle_sql() -> dict[str, str]:
              and a.doc_id < b.doc_id
             where round(jaccard(a.p, b.p), 6) >= 0.8
             order by 1, 2
+        """,
+        "tukey_hsd_events": """
+            with s as (select event_type, count(*)::bigint n,
+                              sum(value) sy, sum(value * value) syy
+                       from events group by 1),
+            t as (select sum(n)::bigint nn, count(*)::bigint k,
+                         sum(syy - sy * sy / n) ssw
+                  from s),
+            m as (select a.event_type ta, b.event_type tb,
+                         a.sy / a.n ma, b.sy / b.n mb, a.n na, b.n nb
+                  from s a join s b on a.event_type < b.event_type)
+            select ta as type_a, tb as type_b,
+                   round(abs(ma - mb)
+                         / sqrt((ssw / (nn - k)) / 2
+                                * (1.0 / na + 1.0 / nb)), 6) as q_stat,
+                   round(ma - mb, 6) as mean_diff
+            from m, t order by 1, 2
         """,
     }
