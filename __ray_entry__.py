@@ -12837,20 +12837,80 @@ def entry() -> Any:
     return eng.pages()
 
 
+# Round-5 graded window: 50 SQL-twinned entries that have NEVER had a driver
+# correctness row (218 such entries existed at the start of round 5; this is
+# the first 50 of them in round-4 registry order).  Rows-only (no-oracle)
+# entries are permanently excluded from the graded prefix — their evidence is
+# the conformance suite, not the driver hash — per VERDICT r4 "What's wrong #2".
+_R5_WINDOW = [
+    "redact_pii_documents",
+    "chunk_documents_windows",
+    "pack_examples_documents",
+    "intersect_purchasers_clickers",
+    "except_viewers_purchasers",
+    "hash_split_documents",
+    "bigram_topk_documents",
+    "inverted_index_documents",
+    "jsonl_roundtrip_documents",
+    "csv_roundtrip_lineitem",
+    "canonical_docs_documents",
+    "user_entropy_events",
+    "chi2_events_weekday",
+    "per_group_sample_events",
+    "source_quality_gate_documents",
+    "trend_events",
+    "partitioned_sink_documents",
+    "pareto_orders",
+    "editdist_pairs_documents",
+    "ttest_events_weekend",
+    "densify_events_hourly",
+    "cumulative_new_users_events",
+    "json_extract_events",
+    "cooccur_event_types",
+    "collapse_bursts_events",
+    "winsorize_lineitem",
+    "embedding_covariance",
+    "twohop_lineitem_graph",
+    "label_centroids_embeddings",
+    "cusum_events_daily",
+    "mad_lineitem",
+    "gini_user_value_events",
+    "top_priorities_monthly",
+    "char_entropy_documents",
+    "q3_shipping_priority",
+    "q5_region_supplier_volume",
+    "q10_returned_revenue",
+    "bloom_semi_join_orders",
+    "argmax_order_per_customer",
+    "max_concurrency_events",
+    "revenue_decile_customers",
+    "time_weighted_avg_events",
+    "semdedup_embeddings",
+    "clustering_coeff_lineitem_graph",
+    "interp_quantiles_lineitem",
+    "token_freq_spectrum_documents",
+    "ship_latency_orders",
+    "table_fingerprint_events",
+    "grouped_interp_p90_events",
+    "longest_streak_users",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Driver registry.
 
     ORDER MATTERS: the correctness driver grades a fixed-size prefix of this
-    dict (round 3 recorded exactly the first 50 entries).  The registry is
-    therefore ROTATED each round so every entry accumulates a driver-green
-    row across rounds — see SURVEY.md §2.8 for the rotation ledger.
+    dict (rounds 3 and 4 recorded exactly the first 50 entries).  The registry
+    is therefore ROTATED each round so every entry accumulates a driver-green
+    row across rounds — see SURVEY.md §2.8b for the rotation ledger.
 
-    Round-4 order: (a) the 30 entries with no driver row in any round,
-    (b) 20 entries last checked in round 2 (code touched since), then
-    (c) 5 rows-only r2-green entries deferred to round 5, and (d) the 50
-    entries already green in CORRECTNESS_r03.json.
+    Round-5 order: ``_R5_WINDOW`` (50 SQL-twinned, never-driver-checked
+    entries) first, then every other entry in round-4 literal order.  All 20
+    rows-only entries sit behind position 50 permanently.  Registry growth is
+    FROZEN this round (except bug fixes) until the never-checked backlog
+    (168 entries after this window) fits inside two driver windows.
     """
-    return {
+    reg = {
         # --- (a) never driver-checked (round-3 additions) -------------------
         "profile_lineitem": profile_lineitem,
         "weighted_mean_lineitem": weighted_mean_lineitem,
@@ -13188,6 +13248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_char_pairs_documents": jaccard_char_pairs_documents,
         "tukey_hsd_events": tukey_hsd_events,
     }
+    ordered = {k: reg[k] for k in _R5_WINDOW}
+    ordered.update((k, v) for k, v in reg.items() if k not in ordered)
+    return ordered
 
 
 
