@@ -17657,12 +17657,17 @@ def oracle_sql() -> dict[str, str]:
                          / (np::double * nn::double), 6) as auc,
                    np as n_pos, nn as n_neg,
                    round(u0::double + 0.5 * tt::double, 6) as u_stat,
-                   round(((u0::double + 0.5 * tt::double)
-                          - np::double * nn::double / 2)
-                         / sqrt(np::double * nn::double / 12
-                                * ((nt + 1)::double
-                                   - tc / (nt::double
-                                           * (nt - 1)::double))), 6) as z
+                   round(case when np::double * nn::double / 12
+                                   * ((nt + 1)::double
+                                      - tc / (nt::double
+                                              * (nt - 1)::double)) > 0
+                              then ((u0::double + 0.5 * tt::double)
+                                    - np::double * nn::double / 2)
+                                   / sqrt(np::double * nn::double / 12
+                                          * ((nt + 1)::double
+                                             - tc / (nt::double
+                                                     * (nt - 1)::double)))
+                              else null end, 6) as z
             from agg, t
         """,
         "cov_by_label_embeddings": """

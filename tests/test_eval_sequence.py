@@ -73,6 +73,25 @@ class TestRocAuc:
         assert np.isnan(out["auc"][0]) and np.isnan(out["z"][0])
         assert int(out["n_pos"][0]) == 4 and int(out["n_neg"][0]) == 0
 
+    def test_single_distinct_score_z_is_nan(self, ray_session):
+        """One tied score covering both classes: the tie-corrected
+        variance is 0, so z is undefined — a defined NaN (mirrored in
+        the mannwhitney twin via a var>0 CASE), not inf/nan from a
+        sqrt(0) division with a runtime warning (ADVICE r4)."""
+        import warnings
+
+        from web_graph_ray.stages.eval import roc_auc
+
+        df = pd.DataFrame({"s": [2.0] * 6, "y": [1, 0, 1, 0, 1, 0]})
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any RuntimeWarning fails
+            out = roc_auc(
+                ray.data.from_pandas(df).repartition(2), "s", "y", stats=True
+            )
+        assert out["auc"][0] == pytest.approx(0.5)
+        assert np.isnan(out["z"][0])
+        assert out["u_stat"][0] == pytest.approx(4.5)
+
     def test_perfect_and_random_separation(self, ray_session):
         from web_graph_ray.stages.eval import roc_auc
 

@@ -407,6 +407,63 @@ class TestTtlRollingSidecar:
         out6b = cr._probe_one(probe6b, bucket, cand_dir(6))
         assert out6b["novel"] == out6["novel"]
 
+    def test_pruned_round_dir_fails_loud_on_rebuild(self, tmp_path):
+        """ADVICE r4: the TTL sidecar rebuild scans frontier window
+        files back to round 0 (after a TTL change invalidates the
+        sidecar's stamp) — if a round dir was GC'd, the rebuild must
+        raise, not silently lose seen state and re-enqueue pages."""
+        import os as _os
+        import shutil
+
+        import pytest as _pytest
+
+        import web_graph_ray.pipelines.crawl as cr
+        from web_graph_ray.state.checkpoint import (
+            atomic_write_parquet,
+            bucket_file,
+            frontier_dirs,
+            round_dir,
+        )
+
+        work = str(tmp_path / "w")
+        bucket = 0
+
+        def write_frontier(rnd, ids):
+            tbl = pa.Table.from_pydict({"page_id": pa.array(ids, type=pa.string())})
+            atomic_write_parquet(tbl, bucket_file(frontier_dirs(work, rnd)[0], bucket))
+
+        for r in range(6):
+            write_frontier(r, [f"id{r}", "idX"])
+
+        def cand_dir(rnd):
+            d = str(tmp_path / f"cand{rnd}")
+            atomic_write_parquet(
+                pa.Table.from_pydict(
+                    {
+                        "page_id": pa.array(["parent"]),
+                        "to_page_id": pa.array(["id0"]),
+                        "to_url": pa.array(["u"]),
+                        "to_hostname": pa.array(["h"]),
+                        "to_host": pa.array(["h"]),
+                        "to_path": pa.array(["/"]),
+                        "candidate_seq": pa.array(["0.1"]),
+                        "priority": pa.array([0], type=pa.int64()),
+                    }
+                ),
+                d + "/part.parquet",
+            )
+            return d
+
+        # build a sidecar under ttl=3, then prune round 2 and change the
+        # TTL: the stamped sidecar is invalidated, forcing a full-window
+        # rebuild that must hit the missing round loudly
+        probe5 = cr.make_prober(work, 5, seen_ttl_rounds=3, num_buckets=1)
+        cr._probe_one(probe5, bucket, cand_dir(5))
+        shutil.rmtree(round_dir(work, 2))
+        probe6 = cr.make_prober(work, 6, seen_ttl_rounds=4, num_buckets=1)
+        with _pytest.raises(RuntimeError, match="never be pruned"):
+            cr._probe_one(probe6, bucket, cand_dir(6))
+
 
 class TestTtlCuckooGate:
     """TTL + cuckoo: the gate holds one fingerprint copy per (id,

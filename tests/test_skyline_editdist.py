@@ -271,6 +271,42 @@ class TestBlockedSimilarityPairs:
         assert len(a) > 0
         pd.testing.assert_frame_equal(a, b)
 
+    def test_blocked_pairs_drop_null_text(self, ray_session):
+        """NULL-text docs must never pair: the SQL twins' substr join
+        predicate is NULL-strict, so two null-text docs sharing the ""
+        block would diverge from the oracle (ADVICE r4). Null rows are
+        dropped before blocking; identical non-null rows still pair."""
+        import pandas as pd
+
+        import pyarrow as pa
+        import ray.data
+        from web_graph_ray.functions.text import jaro_winkler_bytes
+        from web_graph_ray.stages.dedup import prefix_blocked_pairs
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "text": pa.array(
+                    [None, None, "alpha beta gamma", "alpha beta gamma"],
+                    type=pa.string(),
+                ),
+            }
+        )
+        out = (
+            prefix_blocked_pairs(
+                ray.data.from_arrow(tbl),
+                score_fn=jaro_winkler_bytes,
+                keep_fn=lambda s: s >= 0.8,
+                score_name="jw",
+            )
+            .to_pandas()
+            .sort_values(["doc_id_a", "doc_id_b"])
+            .reset_index(drop=True)
+        )
+        # only the non-null identical pair survives; no (1,2) null pair
+        assert out["doc_id_a"].tolist() == [3]
+        assert out["doc_id_b"].tolist() == [4]
+
     def test_blocked_pairs_hot_block_guard(self, ray_session):
         import numpy as np
         import pandas as pd

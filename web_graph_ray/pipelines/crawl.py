@@ -264,7 +264,14 @@ def make_prober(
     Scale note: the enqueued union is re-read from the bucket's delta
     files each round; the deltas are id-only columns and per-bucket
     (10^10 ids / buckets ≈ manageable per task); compaction of old
-    deltas is a follow-up optimization, not a correctness need."""
+    deltas is a follow-up optimization, not a correctness need.
+
+    RETENTION INVARIANT: these per-round frontier files are also the
+    rebuild source for seen-TTL sidecars (``_member_ids`` in the TTL
+    path re-scans every round back to the sidecar's ``through`` stamp,
+    or round 0 after a TTL change).  They must never be pruned while a
+    TTL sidecar may be rebuilt; the rebuild raises loudly if a round
+    dir is missing rather than silently losing seen state."""
     novel_out = frontier_dirs(work, rnd + 1)[0]
 
     def _emit_novel(novel, bucket: int, res: dict, link_rows: int) -> None:
@@ -356,8 +363,24 @@ def make_prober(
 
                 def _member_ids(x: int) -> list:
                     """Sorted distinct member ids (novel ∪ deferred) of
-                    round x for this bucket."""
+                    round x for this bucket.
+
+                    INVARIANT: rebuilding a TTL sidecar reads frontier
+                    window files back to round ``state_r + 1`` (round 0
+                    when no sidecar survives), so every committed round
+                    dir must remain on disk — nothing may GC
+                    ``rounds/round=*/frontier`` while TTL sidecars can be
+                    rebuilt.  A pruned round would silently drop seen
+                    state, so a missing round dir is a loud error here,
+                    not an empty member set."""
                     if x not in _mcache:
+                        if not os.path.isdir(round_dir(work, x)):
+                            raise RuntimeError(
+                                f"TTL sidecar rebuild needs frontier files of "
+                                f"round {x}, but {round_dir(work, x)} is gone; "
+                                "frontier round dirs must never be pruned "
+                                "while seen-TTL sidecars may be rebuilt"
+                            )
                         ids: set = set()
                         for d in frontier_dirs(work, x):
                             for bid in cand_files:

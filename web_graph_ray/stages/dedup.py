@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -1287,6 +1288,10 @@ def prefix_blocked_pairs(
     def to_rows(t: pa.Table) -> pd.DataFrame:
         import pandas as pd
 
+        # Drop NULL-text rows before blocking: the SQL twins' substr join
+        # predicate never matches NULL, so two null-text docs must not meet
+        # in the shared "" block (latent divergence flagged in ADVICE r4).
+        t = t.filter(pc.is_valid(t[text_col]))
         keys = [(txt or "")[:prefix_len] for txt in t[text_col].to_pylist()]
         return pd.DataFrame(
             {

@@ -127,5 +127,9 @@ def roc_auc(
             * (float(nt + 1) - float(s.tc) / (float(nt) * float(nt - 1)))
         )
         out["u_stat"] = round_half_away(np.array([u]), 6)
-        out["z"] = round_half_away(np.array([(u - mu) / np.sqrt(var)]), 6)
+        # One distinct score covering both classes makes the tie-corrected
+        # variance 0 (all mass is ties): z is undefined — NaN, mirroring the
+        # single-class branch, not an inf/NaN-with-warning division.
+        z = (u - mu) / np.sqrt(var) if var > 0.0 else float("nan")
+        out["z"] = round_half_away(np.array([z]), 6)
     return pd.DataFrame(out)
