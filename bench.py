@@ -176,23 +176,52 @@ def run_once(crawl_only: bool = False) -> dict:
     }
     ray.shutdown()
     if not crawl_only and os.environ.get("WG_BENCH_AB", "1") != "0":
-        # one same-session alternation vs the previous round's code: this
-        # process's numbers are the HEAD sample; one fresh child process
-        # runs the previous round-boundary commit on the same warm corpus
-        # (BENCH_r{N}.json then carries {prev, head} pairs per pipeline —
-        # the drift-free signal VERDICT r3 asked for).
+        # same-session A/B vs the previous round's code, evidence-grade
+        # (VERDICT r4 "What's wrong #3": ONE alternation cannot separate a
+        # 10-20% code regression from this VM's ±25% co-tenant drift):
+        # >=3 interleaved {head, prev} fresh-process runs per side — this
+        # process's numbers are head sample 1 — with per-pipeline MEDIANS
+        # recorded alongside every raw sample, so BENCH_r{N}.json carries
+        # a drift-robust per-pipeline ratio.
         ref = os.environ.get("WG_AB_REF") or _prev_round_ref()
         if ref is not None:
             try:
                 wt = _ab_worktree(ref)
-                prev = _run_child(NUM_CPUS, cwd=wt)
-                common = sorted(set(result["queries"]) & set(prev["queries"]))
+                reps = max(1, int(os.environ.get("WG_BENCH_AB_PAIRS", "3")))
+                head_runs, prev_runs = [result], []
+                while len(prev_runs) < reps:  # interleave: H p h p h p
+                    prev_runs.append(_run_child(NUM_CPUS, cwd=wt))
+                    if len(head_runs) < reps:
+                        head_runs.append(_run_child(NUM_CPUS))
+                common = sorted(
+                    set.intersection(
+                        *(set(r["queries"]) for r in head_runs + prev_runs)
+                    )
+                )
+
+                def med(vals):
+                    return sorted(vals)[len(vals) // 2]
+
+                pairs = {}
+                ratios = []
+                for k in common:
+                    h = [r["queries"][k] for r in head_runs]
+                    p = [r["queries"][k] for r in prev_runs]
+                    pairs[k] = {
+                        "head": med(h),
+                        "prev": med(p),
+                        "head_raw": [round(v, 3) for v in h],
+                        "prev_raw": [round(v, 3) for v in p],
+                        "ratio": round(med(h) / med(p), 3) if med(p) else None,
+                    }
+                    if med(p):
+                        ratios.append(med(h) / med(p))
                 result["ab"] = {
                     "prev_ref": ref,
-                    "pairs": {
-                        k: {"prev": prev["queries"][k], "head": result["queries"][k]}
-                        for k in common
-                    },
+                    "n_pairs": reps,
+                    "protocol": "interleaved fresh processes, median per side",
+                    "pairs": pairs,
+                    "median_ratio": round(med(ratios), 3) if ratios else None,
                 }
             except Exception as exc:  # A/B is advisory — never fail the bench
                 result["ab"] = {"error": f"{type(exc).__name__}: {exc}"}

@@ -150,6 +150,115 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_pieces", pa.array(pieces, type=pa.int64()))
 
 
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32  # A-Z -> a-z; non-ASCII bytes untouched
+
+
+def word_tokens(col) -> tuple[pa.Array, np.ndarray]:
+    """Every ``WORD_RE.findall(text.lower())`` token occurrence of a
+    string column, vectorized: one lowercase-LUT + alnum-run pass over
+    the flat UTF-8 buffer, one range-gather into a new Arrow string
+    array.  Returns ``(tokens, row_idx)`` — ``tokens[i]`` is the i-th
+    token occurrence, ``row_idx[i]`` its source row; pairs are sorted
+    by (row, position-in-row), so within-row token ORDER is preserved
+    (n-gram consumers rely on it).
+
+    Byte-level lowering equals ``str.lower()`` for ASCII; rows with any
+    non-ASCII byte take the reference-regex fallback (Unicode lowering
+    can mint ASCII letters — 'K' U+212A lowers to 'k'), appended and
+    stably re-sorted by row so per-row order still holds.  Token
+    IDENTITY downstream comes from ``pc.dictionary_encode`` on the
+    returned array — exact (C++ hash table), never a numeric hash."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import WORD_RE
+
+    buf, offs, n = _flat_utf8(col)
+    empty_tokens = pa.array([], type=pa.string())
+    if n == 0 or len(buf) == 0:
+        return empty_tokens, np.zeros(0, dtype=np.int64)
+
+    non_ascii = pc.invert(pc.string_is_ascii(col))
+    any_fallback = pc.any(non_ascii).as_py()
+    low = _LOWER_LUT[buf]
+    alnum = _ALPHA_LUT[low] | _DIGIT_LUT[low]
+    if any_fallback:
+        # blank out non-ASCII rows from the vectorized pass; their
+        # tokens come from the per-row reference regex below
+        na_mask = non_ascii.to_numpy(zero_copy_only=False)
+        for r in np.flatnonzero(na_mask):
+            alnum[offs[r] : offs[r + 1]] = False
+
+    starts_m = _run_starts(alnum, offs)
+    ends_m = alnum.copy()
+    ends_m[:-1] &= ~alnum[1:]
+    tails = offs[1:] - 1
+    tails = tails[tails >= offs[:-1]]  # last byte of each non-empty row
+    ends_m[tails] = alnum[tails]
+
+    starts = np.flatnonzero(starts_m)
+    ends = np.flatnonzero(ends_m) + 1
+    lengths = ends - starts
+    row_idx = np.searchsorted(offs, starts, side="right") - 1
+    total = int(lengths.sum())
+    if total >= 2**31:
+        raise ValueError(
+            "word_tokens: batch token bytes exceed int32 string offsets; "
+            "reduce batch size"
+        )
+    tok_offs = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=tok_offs[1:])
+    if len(starts):
+        flat = np.repeat(starts - tok_offs[:-1], lengths) + np.arange(
+            total, dtype=np.int64
+        )
+        data = low[flat]
+    else:
+        data = np.zeros(0, dtype=np.uint8)
+    tokens = pa.Array.from_buffers(
+        pa.string(),
+        len(starts),
+        [None, pa.py_buffer(tok_offs.astype(np.int32)), pa.py_buffer(data)],
+    )
+
+    if any_fallback:
+        fb_toks: list[str] = []
+        fb_rows: list[int] = []
+        texts = col.to_pylist()
+        for r in np.flatnonzero(na_mask):
+            ts = WORD_RE.findall(texts[r].lower())
+            fb_toks.extend(ts)
+            fb_rows.extend([int(r)] * len(ts))
+        if fb_toks:
+            tokens = pa.concat_arrays(
+                [tokens, pa.array(fb_toks, type=pa.string())]
+            )
+            row_idx = np.concatenate(
+                [row_idx, np.asarray(fb_rows, dtype=np.int64)]
+            )
+            order = np.argsort(row_idx, kind="stable")
+            row_idx = row_idx[order]
+            tokens = tokens.take(pa.array(order))
+    return tokens, row_idx
+
+
+def _token_codes(tokens: pa.Array) -> tuple[np.ndarray, pa.Array, int]:
+    """Exact integer identity for a token-occurrence array:
+    ``(codes, dictionary, K)`` with ``dictionary[codes[i]] ==
+    tokens[i]`` and ``K = len(dictionary)``."""
+    enc = pa.chunked_array([tokens]).dictionary_encode().combine_chunks()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = (
+            enc.chunk(0)
+            if enc.num_chunks
+            else pa.DictionaryArray.from_arrays(
+                pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+            )
+        )
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return codes, enc.dictionary, len(enc.dictionary)
+
+
 def add_quality_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality counters, fully vectorized — identical float64 results to
     functions/text.quality_metrics: counts are exact small ints, the
@@ -195,19 +304,117 @@ def add_simhash(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Table
     )
 
 
-def add_repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    from ..functions.text import repetition_metrics
+def _group_counts(doc: np.ndarray, key: np.ndarray):
+    """Run-length stats of (doc, key) pairs: ``(gdoc, gcount, gfirst)``
+    — one row per distinct pair with its occurrence count and the index
+    of its first occurrence in the ORIGINAL arrays.  Pairs are grouped
+    by a stable lexsort, so results are exact (keys are dictionary
+    codes, never numeric hashes)."""
+    if len(doc) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    order = np.lexsort((key, doc))
+    d, k = doc[order], key[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+    starts = np.flatnonzero(new)
+    gcount = np.diff(np.append(starts, len(d)))
+    return d[starts], gcount, order[starts]
 
-    rows = [repetition_metrics(t) for t in batch[text_col].to_pylist()]
-    for name in (
-        "dup_line_frac",
-        "dup_line_char_frac",
-        "top_bigram_frac",
-        "top_trigram_frac",
+
+def _per_doc_max(gdoc: np.ndarray, gcount: np.ndarray, n: int) -> np.ndarray:
+    """Per-doc max of group counts (``gdoc`` nondecreasing), via
+    ``np.maximum.reduceat`` over the doc boundaries — O(groups)."""
+    out = np.zeros(n, dtype=np.int64)
+    if len(gdoc) == 0:
+        return out
+    heads = np.ones(len(gdoc), dtype=bool)
+    heads[1:] = gdoc[1:] != gdoc[:-1]
+    hidx = np.flatnonzero(heads)
+    out[gdoc[hidx]] = np.maximum.reduceat(gcount, hidx)
+    return out
+
+
+def add_repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized twin of functions/text.repetition_metrics for the
+    whole batch (VERDICT r4 item 3 — this was the last per-doc Python
+    loop in the quality-gate hot path): lines via one Arrow
+    ``split_pattern`` + ``dictionary_encode`` (exact identity), token
+    n-grams via the shared :func:`word_tokens` pass + dictionary codes;
+    all per-doc folds are numpy run-length stats.  Divisions are the
+    same float64-of-small-ints as the reference, so results are
+    bit-identical (pinned by a fuzz test against the per-doc loop)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    n = len(col)
+    if n == 0:
+        for name in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_bigram_frac",
+            "top_trigram_frac",
+        ):
+            batch = batch.append_column(name, pa.array([], type=pa.float64()))
+        return batch
+
+    # --- duplicate-line fractions ------------------------------------
+    lines = pc.split_pattern(col, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    per_doc = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    line_doc = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    flat = pc.list_flatten(lines)
+    enc = pa.chunked_array([flat]).dictionary_encode().combine_chunks()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.chunk(0)
+    line_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    line_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    gdoc, gcount, gfirst = _group_counts(line_doc, line_code)
+    n_lines = per_doc.astype(np.int64)  # >= 1 always: "".split -> [""]
+    distinct = np.bincount(gdoc, minlength=n)
+    dup_lines = n_lines - distinct
+    glen = line_len[gfirst]
+    total_chars = np.bincount(gdoc, weights=glen * gcount, minlength=n)
+    dup_chars = np.bincount(gdoc, weights=glen * (gcount - 1), minlength=n)
+    dup_line_frac = dup_lines / n_lines
+    dup_line_char_frac = np.where(
+        total_chars > 0, dup_chars / np.maximum(total_chars, 1), 0.0
+    )
+
+    # --- top n-gram fractions ----------------------------------------
+    toks, trow = word_tokens(col)
+    codes, _dict, K = _token_codes(toks)
+    nt = np.bincount(trow, minlength=n).astype(np.int64)
+
+    def top_frac(gram: int) -> np.ndarray:
+        total = nt - (gram - 1)
+        if len(codes) < gram:
+            return np.zeros(n, dtype=np.float64)
+        valid = trow[: len(trow) - gram + 1] == trow[gram - 1 :]
+        if gram == 2:
+            key = codes[:-1] * K + codes[1:]
+        else:  # gram == 3: compress the leading pair to avoid K**3
+            pair = codes[:-2] * K + codes[1:-1]
+            _, r12 = np.unique(pair[valid], return_inverse=True)
+            key = r12 * K + codes[2:][valid]
+        kdoc = trow[: len(trow) - gram + 1]
+        if gram == 2:
+            key, kdoc = key[valid], kdoc[valid]
+        else:
+            kdoc = kdoc[valid]
+        gd, gc, _ = _group_counts(kdoc, key)
+        mx = _per_doc_max(gd, gc, n)
+        return np.where(total > 0, mx / np.maximum(total, 1), 0.0)
+
+    for name, arr in (
+        ("dup_line_frac", dup_line_frac),
+        ("dup_line_char_frac", dup_line_char_frac),
+        ("top_bigram_frac", top_frac(2)),
+        ("top_trigram_frac", top_frac(3)),
     ):
-        batch = batch.append_column(
-            name, pa.array([r[name] for r in rows], type=pa.float64())
-        )
+        batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
     return batch
 
 
@@ -278,28 +485,38 @@ def tfidf_topk(
     ``docs.count()`` (Parquet metadata, no scan)."""
     import pandas as pd
 
-    from ..functions.text import WORD_RE
     from .relational import bucket_hash_join, bucketed_agg, grouped_topk
 
     n_docs = docs.count()
 
     def explode_tf(batch: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            ts = WORD_RE.findall(t.lower())
-            ids.extend([i] * len(ts))
-            toks.extend(ts)
-        df = (
-            pd.DataFrame({id_col: ids, "tok": toks})
-            .groupby([id_col, "tok"], as_index=False)
-            .size()
-            .rename(columns={"size": "tf"})
-        )
-        return pa.Table.from_pydict(
+        # vectorized per-(doc, tok) tf combiner: one word_tokens pass +
+        # dictionary codes, one np.unique over (row, code) keys
+        import pyarrow.compute as pc
+
+        toks, rows = word_tokens(batch[text_col])
+        codes, vocab, K = _token_codes(toks)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "tok": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        ukey, cnt = np.unique(rows * K + codes, return_counts=True)
+        idc = batch[id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        return pa.table(
             {
-                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
-                "tok": pa.array(df["tok"], pa.string()),
-                "tf": pa.array(df["tf"].to_numpy().astype("int64")),
+                id_col: pc.take(
+                    idc, pa.array(ukey // K, type=pa.int64())
+                ).cast(pa.int64()),
+                "tok": pc.take(
+                    vocab, pa.Array.from_pandas(ukey % K).cast(pa.int32())
+                ),
+                "tf": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -553,20 +770,35 @@ def bigram_topk(
     ≤ k·num_buckets-row driver merge.  Ties break (count desc,
     bigram asc) to match an ORDER BY oracle exactly."""
     import pandas as pd
-    from collections import Counter
+    import pyarrow.compute as pc
 
-    from ..functions.text import WORD_RE
     from .relational import bucketed_agg
 
     def partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t[text_col].to_pylist():
-            ts = WORD_RE.findall(txt.lower())
-            c.update(zip(ts, ts[1:]))
+        # vectorized combiner: one word_tokens pass, dictionary codes,
+        # within-doc adjacent-pair keys, one np.unique count — only the
+        # DISTINCT bigrams of the block ever materialize as strings
+        toks, rows = word_tokens(t[text_col])
+        codes, vocab, K = _token_codes(toks)
+        if len(codes) < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        valid = rows[:-1] == rows[1:]
+        key = (codes[:-1] * K + codes[1:])[valid]
+        ukey, cnt = np.unique(key, return_counts=True)
+        a = pa.Array.from_pandas(ukey // K).cast(pa.int32())
+        b = pa.Array.from_pandas(ukey % K).cast(pa.int32())
+        bigram = pc.binary_join_element_wise(
+            pc.take(vocab, a), pc.take(vocab, b), " "
+        )
         return pa.table(
             {
-                "bigram": pa.array([f"{a} {b}" for a, b in c], pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "bigram": bigram,
+                "n": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -615,20 +847,28 @@ def inverted_index(
     tokens never materialize a giant row.  Per-bucket head(limit)
     partials then a ≤ limit·num_buckets-row driver merge."""
     import pandas as pd
+    import pyarrow.compute as pc
 
-    from ..functions.text import WORD_RE
     from .relational import bucketed_group_map
 
     def explode_distinct(t: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for tok in set(WORD_RE.findall(txt.lower())):
-                ids.append(i)
-                toks.append(tok)
+        # vectorized DISTINCT (token, id) combiner: word_tokens pass +
+        # dictionary codes, one np.unique over (row, code) keys
+        toks, rows = word_tokens(t[text_col])
+        codes, vocab, K = _token_codes(toks)
+        ukey = np.unique(rows * K + codes) if len(codes) else rows[:0]
+        ids = pc.take(
+            t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray)
+            else t[id_col],
+            pa.array(ukey // max(K, 1), type=pa.int64()),
+        )
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                id_col: pa.array(ids, pa.int64()),
+                "token": pc.take(
+                    vocab, pa.Array.from_pandas(ukey % max(K, 1)).cast(pa.int32())
+                ),
+                id_col: ids.cast(pa.int64()),
             }
         )
 
@@ -722,26 +962,40 @@ def logodds_terms(
     import pandas as pd
 
     from ..functions.numeric import round_half_away
-    from ..functions.text import WORD_RE
     from .relational import bucket_hash_join, bucketed_agg, grouped_topk
 
     def explode(batch: pa.Table) -> pa.Table:
-        gs, toks = [], []
-        for g, t in zip(batch[group_col].to_pylist(), batch[text_col].to_pylist()):
-            ts = WORD_RE.findall(t.lower())
-            gs.extend([g] * len(ts))
-            toks.extend(ts)
-        df = (
-            pd.DataFrame({group_col: gs, "tok": toks})
-            .groupby([group_col, "tok"], as_index=False)
-            .size()
-            .rename(columns={"size": "y"})
-        )
-        return pa.Table.from_pydict(
+        # vectorized (group, tok) count combiner: one word_tokens pass,
+        # dictionary codes, one np.unique over (row-group, code) keys
+        import pyarrow.compute as pc
+
+        toks, rows = word_tokens(batch[text_col])
+        codes, vocab, K = _token_codes(toks)
+        gcol = batch[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        genc = gcol.dictionary_encode()
+        gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "y": pa.array([], pa.int64()),
+                }
+            )
+        key = gcodes[rows] * K + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table(
             {
-                group_col: pa.array(df[group_col], pa.string()),
-                "tok": pa.array(df["tok"], pa.string()),
-                "y": pa.array(df["y"].to_numpy().astype("int64")),
+                group_col: pc.take(
+                    genc.dictionary,
+                    pa.Array.from_pandas(ukey // K).cast(pa.int32()),
+                ).cast(pa.string()),
+                "tok": pc.take(
+                    vocab, pa.Array.from_pandas(ukey % K).cast(pa.int32())
+                ),
+                "y": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -831,7 +1085,6 @@ def dsir_logweights(
     doc-keyed bucketed group map.  No stage holds more than a block."""
     import pandas as pd
 
-    from ..functions.text import WORD_RE
     from .relational import (
         bucket_hash_join,
         bucketed_agg,
@@ -839,31 +1092,41 @@ def dsir_logweights(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, toks, tgt = [], [], []
-        for i, t, m in zip(
-            batch[id_col].to_pylist(),
-            batch[text_col].to_pylist(),
-            batch[target_col].to_pylist(),
-        ):
-            ts = WORD_RE.findall(t.lower())
-            ids.extend([i] * len(ts))
-            toks.extend(ts)
-            tgt.extend([int(m)] * len(ts))
-        df = (
-            pd.DataFrame({id_col: ids, "tok": toks, "is_t": tgt})
-            .groupby([id_col, "tok", "is_t"], as_index=False)
-            .size()
-            .rename(columns={"size": "c"})
+        # vectorized per-(doc, tok) count combiner: one word_tokens
+        # pass + dictionary codes, one np.unique over (row, code) keys
+        # (is_t is a per-row attribute, so it rides along by row idx);
+        # explicit types keep an all-punctuation batch from poisoning
+        # the bucketed exchange with a drifted schema
+        import pyarrow.compute as pc
+
+        toks, rows = word_tokens(batch[text_col])
+        codes, vocab, K = _token_codes(toks)
+        idc = batch[id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "tok": pa.array([], pa.string()),
+                    "is_t": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        key = rows * K + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        urow = pa.array(ukey // K, type=pa.int64())
+        is_t = pc.cast(
+            pc.take(batch[target_col], urow), pa.int64()
         )
-        # explicit types: from_pandas on an EMPTY groupby result types
-        # every object column float64, and one all-punctuation batch
-        # would poison the bucketed exchange with a drifted schema
         return pa.table(
             {
-                id_col: pa.array(df[id_col], batch.schema.field(id_col).type),
-                "tok": pa.array(df["tok"], pa.string()),
-                "is_t": pa.array(df["is_t"], pa.int64()),
-                "c": pa.array(df["c"], pa.int64()),
+                id_col: pc.take(idc, urow),
+                "tok": pc.take(
+                    vocab, pa.Array.from_pandas(ukey % K).cast(pa.int32())
+                ),
+                "is_t": is_t,
+                "c": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -978,7 +1241,6 @@ def naive_bayes_scores(
     doc-keyed bucketed aggregation.  No broadcast at any vocabulary."""
     import pandas as pd
 
-    from ..functions.text import WORD_RE
     from .relational import bucket_hash_join, bucketed_agg, bucketed_group_map
 
     if alpha != 1.0:
@@ -989,32 +1251,39 @@ def naive_bayes_scores(
         )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, labs, toks = [], [], []
-        for i, l, t in zip(
-            batch[id_col].to_pylist(),
-            batch[label_col].to_pylist(),
-            batch[text_col].to_pylist(),
-        ):
-            ts = WORD_RE.findall(t.lower())
-            ids.extend([i] * len(ts))
-            labs.extend([l] * len(ts))
-            toks.extend(ts)
-        df = (
-            pd.DataFrame({id_col: ids, label_col: labs, "tok": toks})
-            .groupby([id_col, label_col, "tok"], as_index=False)
-            .size()
-            .rename(columns={"size": "c"})
-        )
-        # explicit types — an empty/all-punctuation batch must not emit
-        # a float64-typed schema into the bucketed exchange
+        # vectorized per-(doc, tok) count combiner (label rides along
+        # by row idx); explicit types — an empty/all-punctuation batch
+        # must not emit a float64-typed schema into the exchange
+        import pyarrow.compute as pc
+
+        toks, rows = word_tokens(batch[text_col])
+        codes, vocab, K = _token_codes(toks)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    label_col: pa.array([], batch.schema.field(label_col).type),
+                    "tok": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        key = rows * K + codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        urow = pa.array(ukey // K, type=pa.int64())
+        idc = batch[id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        labc = batch[label_col]
+        if isinstance(labc, pa.ChunkedArray):
+            labc = labc.combine_chunks()
         return pa.table(
             {
-                id_col: pa.array(df[id_col], batch.schema.field(id_col).type),
-                label_col: pa.array(
-                    df[label_col], batch.schema.field(label_col).type
+                id_col: pc.take(idc, urow),
+                label_col: pc.take(labc, urow),
+                "tok": pc.take(
+                    vocab, pa.Array.from_pandas(ukey % K).cast(pa.int32())
                 ),
-                "tok": pa.array(df["tok"], pa.string()),
-                "c": pa.array(df["c"], pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
             }
         )
 
