@@ -213,6 +213,57 @@ class TestHttpKeepAlive:
         f._resolve("a")
         assert calls == ["a", "b", "c", "a"]
 
+    def test_doh_resolver_tier(self, monkeypatch):
+        """VERDICT r4 item 7: optional DNS-over-HTTPS tier through the
+        same conn_factory seam and the same 1000-entry memo — the DoH
+        endpoint receives one dns-json GET per uncached host, answers
+        are memoized, and a failing DoH responder falls back to the
+        system resolver."""
+        import json
+        import socket
+
+        doh_conns = []
+
+        def doh_body(ip):
+            return json.dumps(
+                {"Answer": [{"type": 5, "data": "cname.skip"},
+                            {"type": 1, "data": ip}]}
+            ).encode()
+
+        def factory(scheme, host, port, timeout):
+            assert (scheme, host) == ("https", "9.9.9.9")
+            conn = FakeConn(None)
+            conn.script = [
+                FakeHTTPResponse(doh_body("203.0.113.7"),
+                                 headers={"Content-Type": "application/dns-json"}),
+                FakeHTTPResponse(b"not json", status=500, headers={}),
+            ]
+            doh_conns.append(conn)
+            return conn
+
+        sys_calls = []
+
+        def fake_gai(host, port):
+            sys_calls.append(host)
+            return [(socket.AF_INET, socket.SOCK_STREAM, 6, "", ("10.9.9.9", 0))]
+
+        monkeypatch.setattr(socket, "getaddrinfo", fake_gai)
+        f = HttpFetcher(conn_factory=factory,
+                        doh_url="https://9.9.9.9/dns-query")
+        # first resolve: one DoH GET, A record wins (CNAME skipped)
+        assert f._resolve("a.example") == "203.0.113.7"
+        assert sys_calls == []
+        _, path, _ = doh_conns[0].requests[0]
+        assert path == "/dns-query?name=a.example&type=A"
+        # memo hit: no second DoH request
+        assert f._resolve("a.example") == "203.0.113.7"
+        assert len(doh_conns[0].requests) == 1
+        # DoH failure (500): system resolver fallback, still memoized
+        assert f._resolve("b.example") == "10.9.9.9"
+        assert sys_calls == ["b.example"]
+        assert f._resolve("b.example") == "10.9.9.9"
+        assert sys_calls == ["b.example"]
+
 
 class TestHttpCrawlEquivalence:
     def test_http_crawl_equals_corpus_crawl(self, ray_session, tmp_path_factory):

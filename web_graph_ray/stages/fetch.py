@@ -217,6 +217,7 @@ class HttpFetcher:
         max_conns: int = 32,
         dns_cache_size: int = 1000,    # reference dns.MaxCacheEntries(1000)
         max_redirects: int = 5,
+        doh_url: str | None = None,    # e.g. "https://1.1.1.1/dns-query"
     ) -> None:
         from collections import OrderedDict
 
@@ -229,20 +230,51 @@ class HttpFetcher:
         self.max_conns = max_conns
         self.dns_cache_size = dns_cache_size
         self.max_redirects = max_redirects
+        self.doh_url = doh_url
         self._conns: "OrderedDict[tuple, object]" = OrderedDict()
         self._dns: "OrderedDict[str, str]" = OrderedDict()
 
     # -- transport ----------------------------------------------------------
 
+    def _resolve_doh(self, host: str) -> str | None:
+        """DNS-over-HTTPS resolve (transport parity with the reference's
+        ncruces/go-dns DoH resolver, linkprocessor.go:51-56): one
+        dns-json GET (``?name=<host>&type=A``) through the fetcher's own
+        ``_request`` path, so tests inject a DoH responder through the
+        same ``conn_factory``/``opener`` seam as page fetches and the
+        DoH connection itself is keep-alive pooled.  Returns the first
+        A-record, or None to fall back to the system resolver.  No
+        recursion: the DoH endpoint's own host is https (dialed by
+        name, SNI owns the resolve) or an IP literal."""
+        import json as _json
+        from urllib.parse import quote
+
+        try:
+            with self._request(
+                f"{self.doh_url}?name={quote(host)}&type=A"
+            ) as resp:
+                if not 200 <= resp.status < 300:
+                    return None
+                ans = _json.loads(resp.read(self.max_bytes)).get("Answer") or []
+            for rec in ans:
+                if rec.get("type") == 1 and rec.get("data"):
+                    return str(rec["data"])
+        except Exception:
+            return None
+        return None
+
     def _resolve(self, host: str) -> str:
         ip = self._dns.get(host)
         if ip is None:
-            import socket
+            if self.doh_url is not None:
+                ip = self._resolve_doh(host)
+            if ip is None:
+                import socket
 
-            try:
-                ip = socket.getaddrinfo(host, None)[0][4][0]
-            except OSError:
-                ip = host  # let the connect fail with its own error
+                try:
+                    ip = socket.getaddrinfo(host, None)[0][4][0]
+                except OSError:
+                    ip = host  # let the connect fail with its own error
             if len(self._dns) >= self.dns_cache_size:
                 self._dns.popitem(last=False)
             self._dns[host] = ip

@@ -209,9 +209,11 @@ def word_tokens(col) -> tuple[pa.Array, np.ndarray]:
     tok_offs = np.zeros(len(starts) + 1, dtype=np.int64)
     np.cumsum(lengths, out=tok_offs[1:])
     if len(starts):
-        flat = np.repeat(starts - tok_offs[:-1], lengths) + np.arange(
-            total, dtype=np.int64
-        )
+        # int32 gather indices: buf < 2**31 (checked above) and int32
+        # halves the memory traffic of the three O(total) passes
+        flat = np.repeat(
+            (starts - tok_offs[:-1]).astype(np.int32), lengths
+        ) + np.arange(total, dtype=np.int32)
         data = low[flat]
     else:
         data = np.zeros(0, dtype=np.uint8)
@@ -305,21 +307,38 @@ def add_simhash(batch: pa.Table, text_col: str = "text", k: int = 5) -> pa.Table
 
 
 def _group_counts(doc: np.ndarray, key: np.ndarray):
-    """Run-length stats of (doc, key) pairs: ``(gdoc, gcount, gfirst)``
-    — one row per distinct pair with its occurrence count and the index
-    of its first occurrence in the ORIGINAL arrays.  Pairs are grouped
-    by a stable lexsort, so results are exact (keys are dictionary
-    codes, never numeric hashes)."""
+    """Exact per-(doc, key) occurrence stats: ``(gdoc, gcount, gkey)``
+    — one row per distinct pair with its occurrence count and the pair's
+    key value.  ``gdoc`` is nondecreasing (callers reduceat over doc
+    boundaries).
+
+    One in-place ``np.sort`` over the composite int
+    ``doc·(max_key+1)+key`` (an exact bijection, not a hash) then a
+    run-length pass — the cheapest exact grouping for mostly-unique
+    pairs, where hash-table grouping (measured: pandas factorize at 3×
+    the cost) thrashes cache on table growth.  Overflowing composites
+    (never at sane batch sizes) fall back to a lexsort."""
     if len(doc) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
+    mk = int(key.max())
+    md = int(doc.max())
+    if md <= (2**62 - 1 - mk) // (mk + 1):  # md*(mk+1)+mk < 2**62
+        comp = doc * (mk + 1) + key
+        comp.sort()
+        new = np.ones(len(comp), dtype=bool)
+        new[1:] = comp[1:] != comp[:-1]
+        starts = np.flatnonzero(new)
+        gcount = np.diff(np.append(starts, len(comp)))
+        heads = comp[starts]
+        return heads // (mk + 1), gcount, heads % (mk + 1)
     order = np.lexsort((key, doc))
     d, k = doc[order], key[order]
     new = np.ones(len(d), dtype=bool)
     new[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
     starts = np.flatnonzero(new)
     gcount = np.diff(np.append(starts, len(d)))
-    return d[starts], gcount, order[starts]
+    return d[starts], gcount, k[starts]
 
 
 def _per_doc_max(gdoc: np.ndarray, gcount: np.ndarray, n: int) -> np.ndarray:
@@ -369,13 +388,17 @@ def add_repetition_metrics(batch: pa.Table, text_col: str = "text") -> pa.Table:
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.chunk(0)
     line_code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    line_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    # char length per DISTINCT line (dictionary values), not per occurrence
+    dict_len = (
+        pc.utf8_length(enc.dictionary).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
 
-    gdoc, gcount, gfirst = _group_counts(line_doc, line_code)
+    gdoc, gcount, gkey = _group_counts(line_doc, line_code)
     n_lines = per_doc.astype(np.int64)  # >= 1 always: "".split -> [""]
     distinct = np.bincount(gdoc, minlength=n)
     dup_lines = n_lines - distinct
-    glen = line_len[gfirst]
+    glen = dict_len[gkey]
     total_chars = np.bincount(gdoc, weights=glen * gcount, minlength=n)
     dup_chars = np.bincount(gdoc, weights=glen * (gcount - 1), minlength=n)
     dup_line_frac = dup_lines / n_lines
