@@ -21,6 +21,8 @@ import sys
 import threading
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _rss_sampler(stop, out):
     """1 Hz system-wide used-memory + driver-RSS sampler (peak)."""

@@ -103,3 +103,37 @@ def test_queries_and_oracle_keys_consistent():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
     assert o <= q, f"oracle-only keys: {sorted(o - q)}"
+
+
+def test_graded_window_invariants():
+    """The driver grades the first 50 queries() entries.  Round-5 rule
+    (SURVEY §2.8b / VERDICT r4): every graded slot must be SQL-twinned
+    (rows-only entries can never produce a hash row) and — while the
+    never-driver-checked backlog exists — never a re-check of an entry
+    that already has a driver correctness row."""
+    import glob
+    import json as _json
+
+    keys = list(entrymod.queries())
+    window = keys[:50]
+    twins = set(entrymod.oracle_sql())
+    missing = [k for k in window if k not in twins]
+    assert not missing, f"rows-only entries inside the graded window: {missing}"
+
+    checked: set = set()
+    for path in sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                               "CORRECTNESS_r0*.json"))
+    ):
+        with open(path) as f:
+            graded = set(_json.load(f))
+        if graded == set(window):
+            continue  # the round that graded THIS window is not a re-check
+        checked |= graded
+    backlog = [k for k in keys if k not in checked and k in twins]
+    if len(backlog) > 50:
+        rechecks = [k for k in window if k in checked]
+        assert not rechecks, (
+            f"graded slots wasted on already-checked entries while "
+            f"{len(backlog)} never-checked entries wait: {rechecks}"
+        )
