@@ -188,11 +188,17 @@ def run_once(crawl_only: bool = False) -> dict:
             try:
                 wt = _ab_worktree(ref)
                 reps = max(1, int(os.environ.get("WG_BENCH_AB_PAIRS", "3")))
+                # wall budget: never let the A/B starve the recorded bench
+                # of its one JSON line — degrade to fewer pairs instead
+                budget = float(os.environ.get("WG_BENCH_AB_BUDGET_SEC", "1800"))
+                t_ab = time.perf_counter()
                 head_runs, prev_runs = [result], []
                 while len(prev_runs) < reps:  # interleave: H p h p h p
                     prev_runs.append(_run_child(NUM_CPUS, cwd=wt))
                     if len(head_runs) < reps:
                         head_runs.append(_run_child(NUM_CPUS))
+                    if time.perf_counter() - t_ab > budget:
+                        break
                 common = sorted(
                     set.intersection(
                         *(set(r["queries"]) for r in head_runs + prev_runs)
@@ -218,7 +224,7 @@ def run_once(crawl_only: bool = False) -> dict:
                         ratios.append(med(h) / med(p))
                 result["ab"] = {
                     "prev_ref": ref,
-                    "n_pairs": reps,
+                    "n_pairs": len(prev_runs),
                     "protocol": "interleaved fresh processes, median per side",
                     "pairs": pairs,
                     "median_ratio": round(med(ratios), 3) if ratios else None,
