@@ -6451,7 +6451,11 @@ def mannwhitney_events(sf_dir: str):
             u1 = r1 - n1 * (n1 + 1) / 2.0
             mu = n1 * n2 / 2.0
             sig = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
-            rows.append((et, n1, n2, u1, (u1 - mu) / sig))
+            # one-class group (no weekend or no weekday events): sig=0
+            # and Python float 0/0 raises where DuckDB's /0 yields NULL
+            # (NaN in pandas) — mirror the twin with a defined NaN
+            z = (u1 - mu) / sig if sig > 0.0 else float("nan")
+            rows.append((et, n1, n2, u1, z))
         out = pd.DataFrame(rows, columns=["event_type", "n1", "n2", "u1", "z"])
         out["u1"] = round_half_away(out["u1"].to_numpy(), 6)
         out["z"] = round_half_away(out["z"].to_numpy(), 6)
