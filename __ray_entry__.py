@@ -35,6 +35,20 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Da
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _pd_cols(ds: "ray.data.Dataset", cols: dict[str, str]) -> pd.DataFrame:
+    """``to_pandas`` that survives the all-empty case: Ray drops block
+    schema when every block of a dataset is empty, so a filtered-to-
+    nothing side comes back as a zero-COLUMN frame — recreate the
+    expected columns empty with the given dtypes so downstream merges
+    and projections stay total (surfaced by the sf0.001 scale-down
+    sweep: q7/q16 broadcast sides empty at tiny scale)."""
+    df = ds.to_pandas()
+    for c, dt in cols.items():
+        if c not in df.columns:
+            df[c] = pd.Series([], dtype=dt)
+    return df[list(cols)]
+
+
 def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
     from web_graph_ray.functions.numeric import round_half_away
 
@@ -5496,7 +5510,10 @@ def kcore_lineitem_graph(sf_dir: str):
     convergence."""
     from web_graph_ray.stages.graph import kcore
 
-    out = kcore(_mix_graph(sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS).to_pandas()
+    out = _pd_cols(
+        kcore(_mix_graph(sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS),
+        {"node": "int64"},
+    )  # a graph that peels to nothing returns an empty (schema-less) Dataset
     out["node"] = out["node"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
 
@@ -6045,24 +6062,20 @@ def q7_volume_shipping(sf_dir: str):
     names = dict(zip(pair["n_nationkey"].astype(int), pair["n_name"]))
     keys = pa.array(sorted(names), pa.int32())
 
-    supp = (
-        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-        .map_batches(
+    supp = _pd_cols(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
             lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=keys)),
             batch_format="pyarrow",
-        )
-        .to_pandas()
-        .rename(columns={"s_suppkey": "l_suppkey"})
-    )
-    cust = (
-        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-        .map_batches(
+        ),
+        {"s_suppkey": "int64", "s_nationkey": "int32"},
+    ).rename(columns={"s_suppkey": "l_suppkey"})
+    cust = _pd_cols(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
             lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=keys)),
             batch_format="pyarrow",
-        )
-        .to_pandas()
-        .rename(columns={"c_custkey": "o_custkey"})
-    )
+        ),
+        {"c_custkey": "int64", "c_nationkey": "int32"},
+    ).rename(columns={"c_custkey": "o_custkey"})
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda t: pa.table(
@@ -6118,13 +6131,21 @@ def q7_volume_shipping(sf_dir: str):
         )
         return out
 
-    out = bucketed_agg(
-        j.map_batches(name_pair, batch_format="pandas"),
-        ["supp_nation", "cust_nation", "l_year"],
-        value_col="volume",
-        how="sum",
-        out_col="revenue",
-    ).to_pandas()
+    out = _pd_cols(
+        bucketed_agg(
+            j.map_batches(name_pair, batch_format="pandas"),
+            ["supp_nation", "cust_nation", "l_year"],
+            value_col="volume",
+            how="sum",
+            out_col="revenue",
+        ),
+        {
+            "supp_nation": "object",
+            "cust_nation": "object",
+            "l_year": "int64",
+            "revenue": "float64",
+        },
+    )
     out["revenue"] = round_half_away(out["revenue"].to_numpy(dtype="float64"), 2)
     return out.sort_values(
         ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
@@ -10079,17 +10100,15 @@ def q16_supplier_count(sf_dir: str):
         bucketed_group_map,
     )
 
-    bad = (
-        _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
-        .map_batches(
+    bad = _pd_cols(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
             lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(
                 ["s_suppkey"]
             ),
             batch_format="pyarrow",
-        )
-        .to_pandas()["s_suppkey"]
-        .to_numpy()
-    )
+        ),
+        {"s_suppkey": "int64"},
+    )["s_suppkey"].to_numpy()
     bad_ref = ray.put(pa.array(np.sort(bad)))
 
     def li_pairs(t: pa.Table) -> pd.DataFrame:

@@ -113,3 +113,55 @@ class TestVectorizedRepetition:
         )
         assert out.num_rows == 0
         assert "top_trigram_frac" in out.column_names
+
+
+class TestEmptySideJoins:
+    """Round-5 scale-down sweep finding: Ray drops block schema on
+    all-empty datasets, which crashed every join flavor when one side
+    filtered to nothing (q7/q16/kcore/full_join_classify at sf0.001).
+    A schema-less side now means 'no rows, no extra columns' and the
+    join stays total."""
+
+    def _sides(self, ray):
+        import pandas as pd
+        import ray.data
+
+        left = ray.data.from_pandas(
+            pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+        )
+        # filtered-to-empty through map_batches: schema is LOST
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"k": [9], "b": [99]})
+        ).map_batches(lambda df: df[df["k"] < 0], batch_format="pandas")
+        return left, empty
+
+    def test_full_join_empty_right(self, ray_session):
+        from web_graph_ray.stages.relational import bucket_full_join
+
+        left, empty = self._sides(ray_session)
+        out = bucket_full_join(left, empty, ["k"]).to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]
+        assert set(out["_matched"]) == {"left_only"}
+
+    def test_left_join_empty_right(self, ray_session):
+        from web_graph_ray.stages.relational import bucket_left_join
+
+        left, empty = self._sides(ray_session)
+        out = bucket_left_join(left, empty, ["k"]).to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]
+
+    def test_inner_join_empty_side(self, ray_session):
+        from web_graph_ray.stages.relational import bucket_hash_join
+
+        left, empty = self._sides(ray_session)
+        assert bucket_hash_join(left, empty, ["k"]).to_pandas().empty
+        assert bucket_hash_join(empty, left, ["k"]).to_pandas().empty
+
+    def test_set_op_empty_side(self, ray_session):
+        from web_graph_ray.stages.relational import set_op
+
+        left, _ = self._sides(ray_session)
+        lk = left.map_batches(lambda df: df[["k"]], batch_format="pandas")
+        ek = lk.map_batches(lambda df: df[df["k"] < 0], batch_format="pandas")
+        assert set_op(lk, ek, how="intersect").to_pandas().empty
+        assert sorted(set_op(lk, ek, how="except").to_pandas()["k"]) == [1, 2, 3]

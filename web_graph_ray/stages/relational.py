@@ -254,11 +254,12 @@ def bucket_hash_join(
     per-bucket pandas merge (arrow→pandas null padding upcasts ints)."""
     left = _as_arrow(left)
     right = _as_arrow(right)
-    ls, rs = left.schema(), right.schema()
-    lf = {n: t for n, t in zip(ls.names, ls.types)}
-    rf = {n: t for n, t in zip(rs.names, rs.types)}
-    l_extra = [n for n in ls.names if n not in on]
-    r_extra = [n for n in rs.names if n not in on]
+    l_names, lf = _names_types(left)
+    r_names, rf = _names_types(right)
+    if not l_names and not r_names:
+        return left  # both sides all-empty: the join is empty
+    l_extra = [n for n in l_names if n not in on]
+    r_extra = [n for n in r_names if n not in on]
     overlap = set(l_extra) & set(r_extra)
     if overlap:
         raise ValueError(
@@ -269,6 +270,15 @@ def bucket_hash_join(
 
     def pad(side: int, have: dict):
         def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                # an all-empty side can emit schema-less empty blocks
+                # (no columns) — emit the typed empty target instead of
+                # indexing columns that are not there
+                return pa.Table.from_arrays(
+                    [pa.array([], type=lf.get(c, rf.get(c))) for c in all_cols]
+                    + [pa.array([], type=pa.int8())],
+                    names=all_cols + ["_side"],
+                )
             arrays = []
             for c in all_cols:
                 typ = lf.get(c, rf.get(c))
@@ -1424,11 +1434,12 @@ def range_join(
     # interval mask applied after the merge
     left = _as_arrow(left)
     right = _as_arrow(right)
-    ls, rs = left.schema(), right.schema()
-    lf = {n: t for n, t in zip(ls.names, ls.types)}
-    rf = {n: t for n, t in zip(rs.names, rs.types)}
-    l_extra = [n for n in ls.names if n != on]
-    r_extra = [n for n in rs.names if n != on]
+    l_names, lf = _names_types(left)
+    r_names, rf = _names_types(right)
+    if not l_names and not r_names:
+        return left  # both sides all-empty: the join is empty
+    l_extra = [n for n in l_names if n != on]
+    r_extra = [n for n in r_names if n != on]
     overlap = set(l_extra) & set(r_extra)
     if overlap:
         raise ValueError(
@@ -1438,6 +1449,15 @@ def range_join(
 
     def pad(side: int, have: set):
         def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                # an all-empty side can emit schema-less empty blocks
+                # (no columns) — emit the typed empty target instead of
+                # indexing columns that are not there
+                return pa.Table.from_arrays(
+                    [pa.array([], type=lf.get(c, rf.get(c))) for c in all_cols]
+                    + [pa.array([], type=pa.int8())],
+                    names=all_cols + ["_side"],
+                )
             arrays = []
             for c in all_cols:
                 typ = lf.get(c, rf.get(c))
@@ -1795,6 +1815,19 @@ def cube_agg(
     )
 
 
+def _names_types(ds: "ray.data.Dataset") -> tuple[list, dict]:
+    """(names, {name: type}) of a Dataset, tolerating the all-empty
+    schema-loss case: Ray 2.49 drops pandas-block schema when every
+    block of a dataset is empty (``schema()`` → None / no names).  An
+    empty join side is semantically "no rows, and no knowable extra
+    columns" — callers treat ([], {}) as that, keeping outer joins and
+    set ops total instead of crashing on ``.names``."""
+    s = ds.schema()
+    if s is None or not s.names:
+        return [], {}
+    return list(s.names), dict(zip(s.names, s.types))
+
+
 def bucket_left_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -1808,11 +1841,12 @@ def bucket_left_join(
     when an integer type is required)."""
     left = _as_arrow(left)
     right = _as_arrow(right)
-    ls, rs = left.schema(), right.schema()
-    lf = {n: t for n, t in zip(ls.names, ls.types)}
-    rf = {n: t for n, t in zip(rs.names, rs.types)}
-    l_extra = [n for n in ls.names if n not in on]
-    r_extra = [n for n in rs.names if n not in on]
+    l_names, lf = _names_types(left)
+    r_names, rf = _names_types(right)
+    if not l_names and not r_names:
+        return left  # both sides all-empty: the join is empty
+    l_extra = [n for n in l_names if n not in on]
+    r_extra = [n for n in r_names if n not in on]
     overlap = set(l_extra) & set(r_extra)
     if overlap:
         raise ValueError(
@@ -1823,6 +1857,15 @@ def bucket_left_join(
 
     def pad(side: int, have: set):
         def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                # an all-empty side can emit schema-less empty blocks
+                # (no columns) — emit the typed empty target instead of
+                # indexing columns that are not there
+                return pa.Table.from_arrays(
+                    [pa.array([], type=lf.get(c, rf.get(c))) for c in all_cols]
+                    + [pa.array([], type=pa.int8())],
+                    names=all_cols + ["_side"],
+                )
             arrays = []
             for c in all_cols:
                 typ = lf.get(c, rf.get(c))
@@ -1868,11 +1911,12 @@ def bucket_full_join(
     full outer join."""
     left = _as_arrow(left)
     right = _as_arrow(right)
-    ls, rs = left.schema(), right.schema()
-    lf = {n: t for n, t in zip(ls.names, ls.types)}
-    rf = {n: t for n, t in zip(rs.names, rs.types)}
-    l_extra = [n for n in ls.names if n not in on]
-    r_extra = [n for n in rs.names if n not in on]
+    l_names, lf = _names_types(left)
+    r_names, rf = _names_types(right)
+    if not l_names and not r_names:
+        return left  # both sides all-empty: the join is empty
+    l_extra = [n for n in l_names if n not in on]
+    r_extra = [n for n in r_names if n not in on]
     overlap = set(l_extra) & set(r_extra)
     if overlap:
         raise ValueError(
@@ -1883,6 +1927,15 @@ def bucket_full_join(
 
     def pad(side: int, have: set):
         def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                # an all-empty side can emit schema-less empty blocks
+                # (no columns) — emit the typed empty target instead of
+                # indexing columns that are not there
+                return pa.Table.from_arrays(
+                    [pa.array([], type=lf.get(c, rf.get(c))) for c in all_cols]
+                    + [pa.array([], type=pa.int8())],
+                    names=all_cols + ["_side"],
+                )
             arrays = []
             for c in all_cols:
                 typ = lf.get(c, rf.get(c))
@@ -1913,7 +1966,11 @@ def bucket_full_join(
         lds.union(rds), on, per_bucket, num_buckets=num_buckets
     )
     return out.map_batches(
-        lambda df: df.assign(_matched=df["_matched"].astype(str)),
+        lambda df: (
+            df.assign(_matched=df["_matched"].astype(str))
+            if "_matched" in df.columns
+            else df  # schema-less empty block from an all-empty input
+        ),
         batch_format="pandas",
     )
 
@@ -1940,16 +1997,27 @@ def set_op(
         raise ValueError(f"set_op: how must be intersect|except, got {how!r}")
     left = _as_arrow(left)
     right = _as_arrow(right)
-    ls, rs = left.schema(), right.schema()
-    if list(ls.names) != list(rs.names):
+    l_names, lf_ = _names_types(left)
+    r_names, rf_ = _names_types(right)
+    if not l_names and not r_names:
+        return left  # both sides all-empty: intersect/except is empty
+    # an all-empty side contributes no rows; take the column contract
+    # from whichever side still carries a schema
+    if l_names and r_names and l_names != r_names:
         raise ValueError(
-            f"set_op: column names must match ({ls.names} vs {rs.names})"
+            f"set_op: column names must match ({l_names} vs {r_names})"
         )
-    cols = list(ls.names)
-    lf = {n: t for n, t in zip(ls.names, ls.types)}
+    cols = l_names or r_names
+    lf = lf_ if l_names else rf_
 
     def tag(side: int):
         def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], type=lf[c]) for c in cols]
+                    + [pa.array([], type=pa.int8())],
+                    names=cols + ["_side"],
+                )
             arrays = [t[c].combine_chunks().cast(lf[c]) for c in cols]
             arrays.append(pa.repeat(pa.scalar(side, type=pa.int8()), t.num_rows))
             return pa.Table.from_arrays(arrays, names=cols + ["_side"])
