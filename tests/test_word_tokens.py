@@ -165,3 +165,24 @@ class TestEmptySideJoins:
         ek = lk.map_batches(lambda df: df[df["k"] < 0], batch_format="pandas")
         assert set_op(lk, ek, how="intersect").to_pandas().empty
         assert sorted(set_op(lk, ek, how="except").to_pandas()["k"]) == [1, 2, 3]
+
+    def test_broadcast_join_columnless_empty_small_side(self, ray_session):
+        import pandas as pd
+
+        from web_graph_ray.stages.relational import broadcast_join
+
+        left, empty = self._sides(ray_session)
+        empty_df = empty.to_pandas()  # zero columns
+        assert list(empty_df.columns) == []
+        assert broadcast_join(left, empty_df, on="k").to_pandas().empty
+        out = broadcast_join(left, empty_df, on="k", how="left").to_pandas()
+        assert sorted(out["k"]) == [1, 2, 3]
+
+    def test_bloom_semi_join_empty_keys(self, ray_session):
+        from web_graph_ray.stages.relational import bloom_semi_join
+
+        left, _ = self._sides(ray_session)
+        ek = left.map_batches(
+            lambda df: df[df["k"] < 0][["k"]], batch_format="pandas"
+        )
+        assert bloom_semi_join(left, ek, ["k"]).to_pandas().empty

@@ -323,10 +323,19 @@ def broadcast_join(
     """Map-side join: the small side is put in the object store ONCE and
     merged into every batch — zero shuffle, the correct shape whenever
     one side fits in memory (dimension tables, seed lists, vocab)."""
-    ref = ray.put(small_df)
+    # a filtered-to-nothing to_pandas() loses its columns (Ray drops
+    # block schema on all-empty datasets) — ship a None marker and
+    # rebuild the key per batch with the PROBE side's dtype, so the
+    # merge stays total: inner → empty, left → all-left
+    ref = ray.put(
+        None if (small_df.empty and on not in small_df.columns) else small_df
+    )
 
     def join_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(ray.get(ref), on=on, how=how)
+        sm = ray.get(ref)
+        if sm is None:
+            sm = pd.DataFrame({on: pd.Series([], dtype=df[on].dtype)})
+        return df.merge(sm, on=on, how=how)
 
     return ds.map_batches(join_batch, batch_format="pandas")
 
@@ -2316,6 +2325,9 @@ def bloom_semi_join(
     silently drop every match)."""
     keys = _as_arrow(keys).materialize()
     ds = _as_arrow(ds)
+    k_names, _ = _names_types(keys)
+    if not k_names:  # all-empty (schema-less) key set: semi join is empty
+        return ds.limit(0)
     schema = ds.schema()
     probe_dtypes = {
         n: t.to_pandas_dtype() for n, t in zip(schema.names, schema.types) if n in on
