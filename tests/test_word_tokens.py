@@ -186,3 +186,49 @@ class TestEmptySideJoins:
             lambda df: df[df["k"] < 0][["k"]], batch_format="pandas"
         )
         assert bloom_semi_join(left, ek, ["k"]).to_pandas().empty
+
+
+class TestEmptyCorpusOps:
+    """Empty-INPUT hardening (round-5 probe): operators must return
+    their typed empty/NaN contract on a zero-row corpus instead of
+    crashing on Ray's schema-less empty blocks."""
+
+    @staticmethod
+    def _empty(ray, cols):
+        import pandas as pd
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                c: pd.Series(["x"] if dt == "str" else [0],
+                             dtype=("object" if dt == "str" else dt))
+                for c, dt in cols.items()
+            }
+        )
+        return ray.data.from_pandas(df).map_batches(
+            lambda d: d.iloc[0:0], batch_format="pandas"
+        )
+
+    def test_bigram_topk_empty_corpus(self, ray_session):
+        from web_graph_ray.stages.text import bigram_topk
+
+        out = bigram_topk(self._empty(ray_session, {"doc_id": "int64", "text": "str"}))
+        assert list(out.columns) == ["bigram", "n"] and out.empty
+
+    def test_roc_auc_empty_input(self, ray_session):
+        import numpy as np
+
+        from web_graph_ray.stages.eval import roc_auc
+
+        out = roc_auc(
+            self._empty(ray_session, {"k": "int64", "v": "float64"}),
+            "v", "k", stats=True,
+        )
+        assert np.isnan(out["auc"][0]) and np.isnan(out["z"][0])
+        assert int(out["n_pos"][0]) == 0 and int(out["n_neg"][0]) == 0
+
+    def test_global_prefix_sum_empty_input(self, ray_session):
+        from web_graph_ray.stages.relational import global_prefix_sum
+
+        ds = self._empty(ray_session, {"k": "int64", "v": "int64"})
+        assert global_prefix_sum(ds, "k", "v").to_pandas().empty

@@ -75,6 +75,10 @@ def roc_auc(
         # oracle summing in hugeint, and a float64 fold of O(N²)-sized
         # products carries ~1e-6 absolute error — right on the 6 dp
         # grid.  This fold is O(distinct scores), never O(rows).
+        if "pos" not in df.columns:  # schema-less empty block
+            return pd.DataFrame(
+                {"u": [], "t": [], "np": [], "nn": [], "tc": []}
+            )
         pos = df["pos"].to_numpy().astype(object)
         neg = df["neg"].to_numpy().astype(object)
         tot = (df["pos"] + df["neg"]).to_numpy(dtype="float64")
@@ -95,9 +99,16 @@ def roc_auc(
             }
         )
 
-    s = with_cum.map_batches(fold, batch_format="pandas").to_pandas().sum()
+    folded = with_cum.map_batches(fold, batch_format="pandas").to_pandas()
     from ..functions.numeric import round_half_away
 
+    if "u" not in folded.columns:
+        # empty input: zero rows of either class — same NaN contract as
+        # the single-class branch below
+        folded = pd.DataFrame(
+            {"u": [0], "t": [0], "np": [0], "nn": [0], "tc": [0.0]}
+        )
+    s = folded.sum()
     u = float(s.u) + 0.5 * float(s.t)
     if s.np == 0 or s.nn == 0:
         # single-class input: AUC is undefined — NaN, not a crash

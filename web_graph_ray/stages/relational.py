@@ -867,6 +867,8 @@ def global_prefix_sum(
     stats = ds.aggregate(
         ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
     )
+    if stats is None or stats.get(f"min({order_col})") is None:
+        return ds  # empty input: the scan of nothing is nothing
     lo = float(stats[f"min({order_col})"])
     hi = float(stats[f"max({order_col})"])
     width = (hi - lo) / num_buckets if hi > lo else 1.0
@@ -938,6 +940,8 @@ def global_prefix_max(
     stats = ds.aggregate(
         ray.data.aggregate.Min(order_col), ray.data.aggregate.Max(order_col)
     )
+    if stats is None or stats.get(f"min({order_col})") is None:
+        return ds  # empty input: the scan of nothing is nothing
     lo = float(stats[f"min({order_col})"])
     hi = float(stats[f"max({order_col})"])
     width = (hi - lo) / num_buckets if hi > lo else 1.0

@@ -834,12 +834,24 @@ def bigram_topk(
         num_buckets=num_buckets,
     )
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bigram": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+
     def top(df: pd.DataFrame) -> pd.DataFrame:
+        if "n" not in df.columns:  # schema-less empty block (empty corpus)
+            return _empty()
         return df.sort_values(
             ["n", "bigram"], ascending=[False, True], kind="mergesort"
         ).head(k)
 
     cand = counts.map_batches(top, batch_format="pandas").to_pandas()
+    if "n" not in cand.columns:  # all-empty corpus: no bigrams at all
+        return _empty()
     return (
         cand.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort")
         .head(k)
