@@ -232,3 +232,12 @@ class TestEmptyCorpusOps:
 
         ds = self._empty(ray_session, {"k": "int64", "v": "int64"})
         assert global_prefix_sum(ds, "k", "v").to_pandas().empty
+
+    def test_minhash_and_decontaminate_empty_corpus(self, ray_session):
+        from web_graph_ray.stages.dedup import decontaminate, minhash_lsh_pairs
+
+        docs = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
+        assert minhash_lsh_pairs(docs).to_pandas().empty
+        docs2 = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
+        bench = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
+        assert decontaminate(docs2, bench).to_pandas().empty

@@ -438,6 +438,19 @@ def minhash_lsh_pairs(
     # joins (the 10^9-doc path).
     sigs = _signatures(ds, text_col, id_col, k, num_perm)
     n_docs = ds.count()
+    if n_docs == 0:
+        # empty corpus: typed empty pairs (an all-empty sigs dataset is
+        # schema-less — indexing it would crash, and there is nothing
+        # to verify anyway)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "est_jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        )
     if n_docs * num_perm * 8 <= BROADCAST_BYTES:
         sig_df = sigs.to_pandas()
         sig_ref = ray.put(dict(zip(sig_df[id_col], sig_df["sig"])))
@@ -688,6 +701,8 @@ def decontaminate(
         batch_partial=lambda df: df.drop_duplicates(),
     ).materialize()
     n_grams = bench_grams.count()
+    if n_grams == 0:
+        return docs  # no benchmark grams: nothing can be contaminated
 
     if n_grams * 8 <= BROADCAST_BYTES:
         gram_set = ray.put(
