@@ -241,3 +241,46 @@ class TestEmptyCorpusOps:
         docs2 = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
         bench = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
         assert decontaminate(docs2, bench).to_pandas().empty
+
+    def _empty_emb(self, ray):
+        import pandas as pd
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                "vec_id": pd.Series([0], dtype="int64"),
+                "embedding": pd.Series([[0.0] * 8], dtype="object"),
+            }
+        )
+        return ray.data.from_pandas(df).map_batches(
+            lambda d: d.iloc[0:0], batch_format="pandas"
+        )
+
+    def test_ann_empty_corpus(self, ray_session):
+        import numpy as np
+
+        from web_graph_ray.stages.ann import cosine_topk, kmeans
+
+        Q = np.zeros((2, 8))
+        Q[:, 0] = 1.0
+        out = cosine_topk(self._empty_emb(ray_session), Q, k=3)
+        assert list(out.columns) == ["query_id", "vec_id", "score"] and out.empty
+        with pytest.raises(ValueError, match="empty dataset"):
+            kmeans(self._empty_emb(ray_session), k=2)
+
+    def test_text_ops_empty_corpus(self, ray_session):
+        from web_graph_ray.stages.text import (
+            dsir_logweights,
+            inverted_index,
+            logodds_terms,
+        )
+
+        docs = self._empty(ray_session, {"doc_id": "int64", "text": "str"})
+        assert inverted_index(docs).empty
+        gdocs = self._empty(ray_session, {"source": "str", "text": "str"})
+        assert logodds_terms(gdocs).to_pandas().empty
+        tdocs = self._empty(
+            ray_session, {"doc_id": "int64", "text": "str", "is_target": "int64"}
+        )
+        d = dsir_logweights(tdocs)
+        assert (d.to_pandas() if hasattr(d, "to_pandas") else d).empty

@@ -124,6 +124,14 @@ def cosine_topk(
         )
 
     cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if "query_id" not in cand.columns:  # empty corpus: no neighbours
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     cand = cand.sort_values(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
     )
@@ -198,6 +206,14 @@ def lsh_cosine_topk(
         )
 
     cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if "query_id" not in cand.columns:  # empty corpus: no neighbours
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     cand = cand.sort_values(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
     )
@@ -296,6 +312,10 @@ def ivf_centroids(
         )
 
     cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "h" not in cand.columns:
+        # no data, no centroids: an honest raise beats silently training
+        # a 0-cell index that would mis-route every later insert
+        raise ValueError("ivf_centroids: empty dataset — cannot derive centroids")
     cand = cand.sort_values(["h", id_col], kind="mergesort").head(nlist)
     return np.asarray(cand[vec_col].tolist(), dtype=np.float64)
 
@@ -357,6 +377,14 @@ def ivf_cosine_topk(
         )
 
     cand = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if "query_id" not in cand.columns:  # empty corpus: no neighbours
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                id_col: pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
     cand = cand.sort_values(
         ["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort"
     )

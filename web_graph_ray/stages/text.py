@@ -931,6 +931,14 @@ def inverted_index(
     cand = bucketed_group_map(
         pairs, ["token"], per_bucket, num_buckets=num_buckets
     ).to_pandas()
+    if "token" not in cand.columns:  # empty corpus: empty index
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="object"),
+                "df": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype="object"),
+            }
+        )
     return (
         cand.sort_values("token", kind="mergesort").head(limit).reset_index(drop=True)
     )
@@ -1046,9 +1054,25 @@ def logodds_terms(
     # consumer; the materialized set is O(distinct (group, tok)) counts
 
     totals = counts.map_batches(
-        lambda df: df.groupby(group_col, as_index=False)["y"].sum(),
+        lambda df: (
+            df.groupby(group_col, as_index=False)["y"].sum()
+            if group_col in df.columns
+            else df
+        ),
         batch_format="pandas",
     ).to_pandas()
+    if group_col not in totals.columns:  # empty corpus: no terms
+        import ray.data
+
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype="object"),
+                    "tok": pd.Series([], dtype="object"),
+                    "zscore": pd.Series([], dtype="float64"),
+                }
+            )
+        )
     totals = totals.groupby(group_col, as_index=False)["y"].sum()
     n_g = dict(zip(totals[group_col], totals["y"].astype("int64")))
     n_total = int(totals["y"].sum())
@@ -1196,10 +1220,12 @@ def dsir_logweights(
 
     def _fold_int(ds, col) -> int:
         parts = ds.map_batches(
-            lambda df, c=col: pd.DataFrame({c: [int(df[c].sum())]}),
+            lambda df, c=col: pd.DataFrame(
+                {c: [int(df[c].sum()) if c in df.columns else 0]}
+            ),
             batch_format="pandas",
         ).to_pandas()
-        return int(parts[col].sum())
+        return int(parts[col].sum()) if col in parts.columns else 0
 
     t_raw = _fold_int(both, "cq")
     t_tgt = _fold_int(both, "cp")
